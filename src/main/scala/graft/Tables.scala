@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Testdata table loaders (see TESTDATA.md / FIXTURES.md §E).
+  *
+  * All tables are parquet under `/root/testdata/sfN/<name>.parquet`. The
+  * `events` table carries a parquet TIMESTAMP(NANOS) column which Spark's
+  * micros-based TimestampType cannot hold natively; with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` Spark reads it as LongType
+  * nanoseconds and we normalize to a micros TimestampType column here, in
+  * one place, so every query sees a plain `ts: timestamp`.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    else df
+  }
+
+  /** Standard session config every entry point (Verify/Bench/tests) applies. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,598 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational operator inventory — SURVEY.md §2.2 (P), §2.3 (J), §2.4 (A),
+  * §2.5 (W), §2.6 (O), §2.7 (U).
+  *
+  * Determinism rules shared with the DuckDB oracles:
+  *  - sums/avgs of doubles go through an exact DECIMAL(18,s) cast so the
+  *    result is independent of partial-aggregation order (the raw double
+  *    values in the testdata are all exact 2-dp quantities);
+  *  - every query ends in a total ORDER BY replicated in the oracle
+  *    (Catalyst's EliminateSorts removes it under Bench's count());
+  *  - event timestamps are compared/ordered as floor-epoch seconds
+  *    (`ts_sec`) because the parquet carries nanos, Spark micros.
+  */
+object Relational {
+  import Inventory.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Order-independent exact sum of a fixed-decimal-valued double column. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def tsSec(c: Column): Column = c.cast("long")
+
+  // ====================== P: projections / filters ======================
+
+  // P1 column projection (reference batch_processing.py:47-48)
+  val p1Project: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  // P2 derived columns (batch_processing.py:24-38); P3 drop (ibid :38)
+  val p2Derived: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .withColumn("gross", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      .withColumn("charge", $"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+      .drop("l_shipdate", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  // P4 equality filter on key (app/routes/feature.py:73-75)
+  val p4EqFilter: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders").filter($"o_custkey" === 7L)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  // P5 timestamp-range predicate (app/routes/feature.py:83-103)
+  val p5TsRange: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderdate".between(
+        to_timestamp(lit("1995-01-01 00:00:00")),
+        to_timestamp(lit("1995-06-30 23:59:59"))))
+      .select($"o_orderkey", $"o_custkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"), $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  // P6 label filter (training.py:64-65)
+  val p6LabelFilter: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_linestatus")
+  }
+
+  // P7 null handling / fillna (insert_offline.py:22, load_data.py:11)
+  val p7Fillna: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .withColumn("d_null", when($"l_discount" > 0.05, lit(null)).otherwise($"l_discount"))
+      .na.fill(Map("d_null" -> -1.0))
+      .groupBy($"d_null").agg(count(lit(1)).as("n"))
+      .orderBy($"d_null")
+  }
+
+  // P8 key-prefix scan (app/routes/feature.py:113)
+  val p8Prefix: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events").filter($"event_type".startsWith("s"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  // ============================ J: joins ============================
+
+  // J3 broadcast equi inner join (app/routes/feature.py:122-135)
+  val j3BroadcastJoin: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_name", $"c_mktsegment", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  // J4 large-large sort-merge equi join (flows/featurestore_flow.py:117-146)
+  val j4SortMergeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").hint("merge")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(dsum($"l_extendedprice").as("sum_price"), count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // J5 left-semi (existence) join — the offline→online sync
+  // (app/routes/feature.py:199-213)
+  val j5SemiJoin: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").filter($"c_acctbal" < 0)
+    o.join(c, $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey", $"o_custkey")
+      .orderBy($"o_orderkey")
+  }
+
+  // J6 left-anti join — sync "skipped" rows (app/routes/feature.py:212-213)
+  val j6AntiJoin: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").filter($"c_acctbal" < 0)
+    o.join(c, $"o_custkey" === $"c_custkey", "left_anti")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  // J7 left outer join (app/routes/feature.py:124-134, amt may be null)
+  val j7LeftOuter: Q = (s, dir) => {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+        coalesce(dsum($"o_totalprice"), lit(0.0)).as("sum_spend"))
+      .orderBy($"c_custkey")
+  }
+
+  // J8 as-of / latest-event join (app/routes/feature.py:126-128):
+  // for every purchase, the most recent click at-or-before it, per user.
+  // Implemented shuffle-once: union is windowed per key (no range join).
+  val j8AsOf: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events").withColumn("ts_sec", tsSec($"ts"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("asof_click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_sec", $"asof_click_id")
+      .orderBy($"event_id")
+  }
+
+  // J9 range/interval predicate join (batch_processing.py:41-45 semantics
+  // as an explicit theta join — the window form W1 is the fast path)
+  val j9RangeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val a = t(s, dir, "events").select($"event_id", $"user_id", tsSec($"ts").as("ts_sec"))
+    val b = a.select($"user_id".as("b_user"), $"ts_sec".as("b_ts"))
+    a.join(b, $"user_id" === $"b_user" &&
+        $"b_ts".between($"ts_sec" - 600, $"ts_sec"))
+      .groupBy($"event_id").agg(count(lit(1)).as("cnt_10m"))
+      .orderBy($"event_id")
+  }
+
+  // J10 cross join (completeness; BroadcastNestedLoopJoin)
+  val j10Cross: Q = (s, dir) => {
+    import s.implicits._
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    r.crossJoin(n)
+      .select($"r_regionkey", $"n_nationkey", $"r_name", $"n_name")
+      .orderBy($"r_regionkey", $"n_nationkey")
+  }
+
+  // ========================= A: aggregations =========================
+
+  // A5 grouped agg with partial+final hash agg (baseline_flow.py:44-57);
+  // TPC-H Q1 shape.
+  val a5GroupbyAgg: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 4)))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // A6 per-class counts (training.py:64-65)
+  val a6ClassCount: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events").groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  // A7 summary statistics / describe (load_data.py:18)
+  val a7Summary: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"),
+      dsum($"l_quantity").as("sum_qty"),
+      min($"l_extendedprice").as("min_price"), max($"l_extendedprice").as("max_price"))
+  }
+
+  // A8 global scalar aggregate (flows/baseline_flow.py:136-142)
+  val a8GlobalAgg: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      dsum($"o_totalprice").as("sum_price"),
+      min(date_format($"o_orderdate", "yyyy-MM-dd")).as("min_date"),
+      max(date_format($"o_orderdate", "yyyy-MM-dd")).as("max_date"))
+  }
+
+  // A9 monotonicity check (load_data.py:13)
+  val a9Monotonic: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderdate")
+      .withColumn("prev", lag($"o_orderkey", 1).over(w))
+      .agg(bool_and(coalesce($"o_orderkey" >= $"prev", lit(true))).as("is_monotonic"))
+  }
+
+  // A10 distinct counts (featurestore_flow.py:118; producer.py:14)
+  val a10Distinct: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "customer").agg(
+      countDistinct($"c_mktsegment").as("n_segments"),
+      countDistinct($"c_nationkey").as("n_nations"))
+  }
+
+  // A11 rollup + grouping_id (oracle-contract completeness)
+  val a11Rollup: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"sum_qty", $"n", $"gid")
+      .orderBy($"gid", $"rf", $"ls")
+  }
+
+  // A12 max_by / argmax — latest txn via timeline (feature.py:126-128)
+  val a12MaxBy: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("ts_sec", tsSec($"ts"))
+      .groupBy($"user_id")
+      .agg(max_by($"event_id",
+          ($"ts_sec" - 1704067200L) * 10000000000L + $"event_id").as("latest_event"),
+        max($"ts_sec").as("latest_ts"))
+      .orderBy($"user_id")
+  }
+
+  // ========================== W: windows ==========================
+
+  // W2 trailing 1-hour avg per key (batch_processing.py:42,45).
+  // Exact: decimal sum over the frame divided by the frame count.
+  val w2RangeAvg: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec").rangeBetween(-3600, 0)
+    t(s, dir, "events")
+      .withColumn("ts_sec", tsSec($"ts"))
+      .select($"event_id", $"user_id", $"ts_sec",
+        (sum($"value".cast(DecimalType(18, 2))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg_1h"))
+      .orderBy($"event_id")
+  }
+
+  // W3 top-k per key (app/routes/feature.py:164 — 5 most recent per card)
+  val w3TopkPerKey: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec".desc, $"event_id".desc)
+    t(s, dir, "events")
+      .withColumn("ts_sec", tsSec($"ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"user_id", $"rn", $"event_id", $"ts_sec")
+      .orderBy($"user_id", $"rn")
+  }
+
+  // W4 latest-per-key (app/routes/feature.py:126)
+  val w4LatestPerKey: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec".desc, $"event_id".desc)
+    t(s, dir, "events")
+      .withColumn("ts_sec", tsSec($"ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"ts_sec", $"value")
+      .orderBy($"user_id")
+  }
+
+  // W5 lag / ordered comparison (load_data.py:13,20)
+  val w5Lag: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        lag($"o_totalprice", 1).over(w).as("prev_price"))
+      .orderBy($"o_orderkey")
+  }
+
+  // W6 rows-frame running sum (frame-spec completeness)
+  val w6RunningSum: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        sum($"l_quantity".cast(DecimalType(18, 2))).over(w).cast("double").as("running_qty"))
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  // ====================== O: sorts / limits / top-k ======================
+
+  // O1 multi-key sort (baseline_flow.py:41)
+  val o1MultiSort: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"), $"l_quantity")
+      .orderBy($"l_returnflag", $"ship_date".desc, $"l_orderkey", $"l_linenumber")
+  }
+
+  // O2 limit / bulk cap (app/routes/feature.py:111,138-140)
+  val o2Limit: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .limit(100)
+  }
+
+  // O3 global top-k (TakeOrderedAndProject; feature.py:126,164)
+  val o3GlobalTopk: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"value".desc, $"event_id")
+      .limit(10)
+  }
+
+  // ======================= U: set operations =======================
+
+  // U1 union all (training.py:66; insert_offline.py:21)
+  val u1Union: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+    val a = o.filter($"o_orderstatus" === "F")
+    val b = o.filter($"o_orderkey" % 2 === 0)
+    a.unionByName(b)
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  // U6 intersect (distinct semantics, oracle-contract completeness)
+  val u6Intersect: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+    val a = o.filter($"o_orderstatus" === "F")
+    val b = o.filter($"o_orderkey" % 2 === 0)
+    a.intersect(b).orderBy($"o_orderkey")
+  }
+
+  // U6b except (distinct semantics)
+  val u6Except: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+    val a = o.filter($"o_orderstatus" === "F")
+    val b = o.filter($"o_orderkey" % 2 === 0)
+    a.except(b).orderBy($"o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "p1_project" -> p1Project,
+    "p2_derived" -> p2Derived,
+    "p4_eq_filter" -> p4EqFilter,
+    "p5_ts_range" -> p5TsRange,
+    "p6_label_filter" -> p6LabelFilter,
+    "p7_fillna" -> p7Fillna,
+    "p8_prefix_scan" -> p8Prefix,
+    "j3_broadcast_join" -> j3BroadcastJoin,
+    "j4_sortmerge_join" -> j4SortMergeJoin,
+    "j5_semi_join" -> j5SemiJoin,
+    "j6_anti_join" -> j6AntiJoin,
+    "j7_left_outer" -> j7LeftOuter,
+    "j8_asof_join" -> j8AsOf,
+    "j9_range_join" -> j9RangeJoin,
+    "j10_cross_join" -> j10Cross,
+    "a5_groupby_agg" -> a5GroupbyAgg,
+    "a6_class_count" -> a6ClassCount,
+    "a7_summary" -> a7Summary,
+    "a8_global_agg" -> a8GlobalAgg,
+    "a9_monotonic" -> a9Monotonic,
+    "a10_distinct_count" -> a10Distinct,
+    "a11_rollup" -> a11Rollup,
+    "a12_max_by" -> a12MaxBy,
+    "w2_range_avg_1h" -> w2RangeAvg,
+    "w3_topk_per_key" -> w3TopkPerKey,
+    "w4_latest_per_key" -> w4LatestPerKey,
+    "w5_lag" -> w5Lag,
+    "w6_running_sum" -> w6RunningSum,
+    "o1_multi_sort" -> o1MultiSort,
+    "o2_limit" -> o2Limit,
+    "o3_global_topk" -> o3GlobalTopk,
+    "u1_union_all" -> u1Union,
+    "u6_intersect" -> u6Intersect,
+    "u6_except" -> u6Except
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p1_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "p2_derived" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1.0 - l_discount) AS gross,
+        | l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".sm,
+    "p4_eq_filter" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_custkey = 7 ORDER BY o_orderkey",
+    "p5_ts_range" ->
+      """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-06-30 23:59:59'
+        |ORDER BY o_orderkey""".sm,
+    "p6_label_filter" ->
+      """SELECT l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus ORDER BY l_linestatus""".sm,
+    "p7_fillna" ->
+      """SELECT COALESCE(CASE WHEN l_discount > 0.05 THEN NULL ELSE l_discount END, -1.0) AS d_null,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY d_null""".sm,
+    "p8_prefix_scan" ->
+      "SELECT event_type, COUNT(*) AS n FROM events WHERE event_type LIKE 's%' GROUP BY event_type ORDER BY event_type",
+    "j3_broadcast_join" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".sm,
+    "j4_sortmerge_join" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".sm,
+    "j5_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY o_orderkey""".sm,
+    "j6_anti_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".sm,
+    "j7_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        | CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".sm,
+    "j8_asof_join" ->
+      """SELECT event_id, user_id, ts_sec, asof_click_id FROM (
+        | SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, event_type,
+        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+        | FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".sm,
+    "j9_range_join" ->
+      """SELECT a.event_id, COUNT(*) AS cnt_10m
+        |FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec FROM events) a
+        |JOIN (SELECT user_id AS b_user, CAST(FLOOR(epoch(ts)) AS BIGINT) AS b_ts FROM events) b
+        | ON a.user_id = b.b_user AND b.b_ts BETWEEN a.ts_sec - 600 AND a.ts_sec
+        |GROUP BY a.event_id ORDER BY a.event_id""".sm,
+    "j10_cross_join" ->
+      """SELECT r_regionkey, n_nationkey, r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".sm,
+    "a5_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".sm,
+    "a6_class_count" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "a7_summary" ->
+      """SELECT COUNT(*) AS n, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".sm,
+    "a8_global_agg" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | MIN(strftime(o_orderdate, '%Y-%m-%d')) AS min_date, MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+        |FROM orders""".sm,
+    "a9_monotonic" ->
+      """SELECT BOOL_AND(COALESCE(o_orderkey >= prev, TRUE)) AS is_monotonic FROM (
+        | SELECT o_orderkey, LAG(o_orderkey, 1) OVER (ORDER BY o_orderdate, o_orderkey) AS prev
+        | FROM orders)""".sm,
+    "a10_distinct_count" ->
+      """SELECT COUNT(DISTINCT c_mktsegment) AS n_segments,
+        | COUNT(DISTINCT c_nationkey) AS n_nations FROM customer""".sm,
+    "a11_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n, GROUPING_ID(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY gid, rf, ls""".sm,
+    "a12_max_by" ->
+      """SELECT user_id,
+        | MAX_BY(event_id, (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) * 10000000000 + event_id) AS latest_event,
+        | MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS latest_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".sm,
+    "w2_range_avg_1h" ->
+      """SELECT event_id, user_id, ts_sec,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_1h
+        |FROM (SELECT event_id, user_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".sm,
+    "w3_topk_per_key" ->
+      """SELECT user_id, rn, event_id, ts_sec FROM (
+        | SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn <= 5 ORDER BY user_id, rn""".sm,
+    "w4_latest_per_key" ->
+      """SELECT user_id, event_id, ts_sec, value FROM (
+        | SELECT user_id, event_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".sm,
+    "w5_lag" ->
+      """SELECT o_orderkey, o_custkey,
+        | LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_orderkey""".sm,
+    "w6_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".sm,
+    "o1_multi_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_quantity
+        |FROM lineitem ORDER BY l_returnflag, ship_date DESC, l_orderkey, l_linenumber""".sm,
+    "o2_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".sm,
+    "o3_global_topk" ->
+      "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 10",
+    "u1_union_all" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM (
+        | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".sm,
+    "u6_intersect" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".sm,
+    "u6_except" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".sm
+  )
+
+  /** strip margins + newlines so oracle JSON stays single-line friendly */
+  implicit private class Sm(private val s: String) {
+    def sm: String = s.stripMargin.replace("\n", " ")
+  }
+}

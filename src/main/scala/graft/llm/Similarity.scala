@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-similarity operators over an `ArrayType(FloatType)` embedding
+  * column (SURVEY.md §2.12): exact cosine, brute-force top-k, and a
+  * deterministic sign-random-projection LSH for the approximate path.
+  *
+  * Scale design (100 TB): the brute-force path broadcasts the (small)
+  * query set against the corpus scan — no corpus shuffle, top-k via
+  * per-query ranking window over (query, corpus-partition) partial
+  * top-ks. The LSH path buckets the corpus once (cheap, shuffle on
+  * 8-bit bucket id) and probes only matching buckets.
+  */
+object Similarity {
+
+  /** Array cast to double for stable arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product via zip_with + aggregate — sequential left fold,
+    * deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for every row of `queries`, the `k`
+    * nearest corpus rows. Ranking is by 6-dp-rounded cosine with id
+    * tiebreak so results are reproducible across engines. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic sign-random-projection bucket id with `nBits` bits.
+    * Projection b uses fixed ±1 coefficients: +1 iff (i*31 + b*17) is
+    * even, where i is the 1-based element index — reproducible in plain
+    * SQL, no stored projection matrix. Elements are rounded to 6 dp so
+    * the vote sums are exact decimals (order-independent). */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val dv = asDouble(vec)
+    val projections = (0 until nBits).map { b =>
+      val terms = (1 to dim).map { i =>
+        val coef = if ((i * 31 + b * 17) % 2 == 0) 1.0 else -1.0
+        round(element_at(dv, i), 6) * lit(coef)
+      }
+      terms.reduce(_ + _)
+    }
+    projections.zipWithIndex.map { case (p, b) =>
+      when(p > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: probe only the query's LSH bucket, then exact
+    * cosine rank within it. Falls back to fewer than k results when the
+    * bucket is small (callers widen via multi-probe if needed). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** All pairs with cosine ≥ threshold within blocking key `blockCol`
+    * (e.g. a cluster label or LSH bucket) — never a full cross join. */
+  def cosinePairsWithin(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

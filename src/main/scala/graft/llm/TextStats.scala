@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2.12): tokenization, token counting, quality scoring,
+  * language ID, document fingerprinting.
+  *
+  * All pure Column compositions over a string column — no UDFs, each
+  * derivation stays in whole-stage codegen and scales embarrassingly
+  * (no shuffle; the scan partitioning carries through).
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: count of word/punctuation units
+    * (`\w+` runs plus isolated non-space punctuation). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Distinct-token / total-token ratio (lexical diversity). */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / tokenCount(text)
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]-ish: rewards moderate length,
+    * lexical diversity, and sane token lengths — the shape of the
+    * heuristic filters used on web-scale corpora. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 64.0, lit(1.0))
+    val diversity = typeTokenRatio(text)
+    val tokLen = avgTokenLen(text)
+    val tokLenScore = when(tokLen.between(2.0, 12.0), 1.0).otherwise(0.5)
+    round(lenScore * 0.4 + diversity * 0.4 + tokLenScore * 0.2, 6)
+  }
+
+  /** Heuristic language ID: marker-token hit counts per language with a
+    * deterministic priority order. Profiles are pluggable; these defaults
+    * demo the operator shape (real profiles would be char-n-gram tables
+    * broadcast to executors).
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    when(padded.contains(" the "), "en")
+      .when(padded.contains(" le ") || padded.contains(" la "), "fr")
+      .when(padded.contains(" der ") || padded.contains(" die "), "de")
+      .when(padded.contains(" el ") || padded.contains(" los "), "es")
+      .otherwise("und")
+  }
+
+  /** Normalized document fingerprint: lowercase, collapse whitespace,
+    * md5 — stable across incidental formatting differences. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Convenience: attach the full stats column set. */
+  def withStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_regex_tokens", regexTokenCount(t))
+      .withColumn("type_token_ratio", typeTokenRatio(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langIdHeuristic(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

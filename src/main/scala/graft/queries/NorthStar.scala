@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, Similarity, TextStats}
+
+/** North-star LLM-data-pipeline inventory (SURVEY.md §2.12): dedup,
+  * similarity search, text analysis, multimodal plumbing — each an
+  * oracle-checked demo of the corresponding `graft.llm` module.
+  *
+  * The quadratic demos (n-gram Jaccard, cosine pairs) run on
+  * deterministic samples; their full-scale paths are the LSH variants
+  * (MinHash banding, sign-random-projection buckets), also demoed here.
+  */
+object NorthStar {
+  import Inventory.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- dedup family (llm.Dedup) ----
+
+  val dedupExact: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", md5($"text"))
+      .orderBy($"fp")
+  }
+
+  val tokenSetDedup: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
+        md5(concat_ws(" ", array_sort(array_distinct(split($"text", " "))))))
+      .orderBy($"fp")
+  }
+
+  val dedupMinhash: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minMatches = 6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val simhash: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.simhash16(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val ngramJaccard: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---- similarity family (llm.Similarity) ----
+
+  val annTopk: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    Similarity.cosineTopK(e.filter($"vec_id" < 5), e, "vec_id", "embedding", k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val lshBuckets: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"vec_id", Similarity.lshBucket($"embedding", 64, 8).as("bucket"))
+      .orderBy($"vec_id")
+  }
+
+  val cosinePairs: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.cosinePairsWithin(
+        t(s, dir, "embeddings").filter($"vec_id" % 5 === 0),
+        "vec_id", "embedding", "label", threshold = 0.3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---- text-analysis family (llm.TextStats) ----
+
+  val textStats: Q = (s, dir) => {
+    import s.implicits._
+    TextStats.withStats(t(s, dir, "documents"), "text")
+      .select($"doc_id", $"n_tokens", $"n_regex_tokens",
+        round($"type_token_ratio", 6).as("ttr"), $"quality_score",
+        $"lang_pred", $"fingerprint")
+      .orderBy($"doc_id")
+  }
+
+  // ---- multimodal plumbing (llm.Multimodal has the typed pipeline) ----
+  // Opaque binary payload + deterministic metadata "decode" — the SQL-able
+  // contract of the binary column design (decode itself is the stubbed
+  // mapPartitions path, exercised in ScalaTest).
+  val multimodalMeta: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("payload", $"text".cast("binary"))
+      .select($"doc_id",
+        length($"payload").as("n_bytes"),
+        ($"n_chars" % 64 * 10 + 32).cast("int").as("width"),
+        ($"n_chars" % 48 * 10 + 32).cast("int").as("height"),
+        ($"n_chars" % 16 + 1).cast("int").as("n_frames"),
+        when($"doc_id" % 3 === 0, "image").when($"doc_id" % 3 === 1, "audio")
+          .otherwise("video").as("modality"),
+        md5($"payload").as("content_hash"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ns_dedup_exact" -> dedupExact,
+    "ns_dedup_token_set" -> tokenSetDedup,
+    "ns_dedup_minhash" -> dedupMinhash,
+    "ns_simhash" -> simhash,
+    "ns_ngram_jaccard" -> ngramJaccard,
+    "ns_ann_topk" -> annTopk,
+    "ns_lsh_buckets" -> lshBuckets,
+    "ns_cosine_pairs" -> cosinePairs,
+    "ns_text_stats" -> textStats,
+    "ns_multimodal_meta" -> multimodalMeta
+  )
+
+  // ---------------- oracle SQL ----------------
+
+  private val shinglesCte =
+    """WITH toks AS (
+      | SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), d AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+      |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shs
+      | FROM toks WHERE len(tk) >= 3
+      |)""".stripMargin
+
+  private val simhashVotes = (0 until 16).map { b =>
+    s"SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, ${b + 1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+  }.mkString(", ")
+  private val simhashBits = (0 until 16).map { b =>
+    s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END"
+  }.mkString(" + ")
+
+  private val lshProjs = (0 until 8).map { b =>
+    s"SUM(CASE WHEN (i*31 + $b*17) % 2 = 0 THEN ROUND(v[i], 6) ELSE -ROUND(v[i], 6) END) AS p$b"
+  }.mkString(", ")
+  private val lshBits = (0 until 8).map { b =>
+    s"CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END"
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "ns_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".sm,
+    "ns_dedup_token_set" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".sm,
+    "ns_dedup_minhash" ->
+      (shinglesCte + """, sh AS (
+        | SELECT doc_id, UNNEST(shs) AS sh FROM d
+        |), sig AS (
+        | SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || sh)) AS mh
+        | FROM sh CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) GROUP BY doc_id, i
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_matches
+        |FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 6 ORDER BY doc_a, doc_b""").sm,
+    "ns_simhash" ->
+      (s"""WITH tok AS (
+        | SELECT doc_id, md5(tok) AS h FROM (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        |), votes AS (
+        | SELECT doc_id, $simhashVotes FROM tok GROUP BY doc_id
+        |)
+        |SELECT doc_id, $simhashBits AS simhash FROM votes ORDER BY doc_id""").sm,
+    "ns_ngram_jaccard" ->
+      (shinglesCte +
+        """, sh AS (
+        | SELECT doc_id, UNNEST(shs) AS sh FROM d
+        |), sizes AS (
+        | SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+        |), pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        | FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, inter,
+        | ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""").sm,
+    "ns_ann_topk" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |dots AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  SUM(q.v[i] * c.v[i]) AS dp, SUM(q.v[i] * q.v[i]) AS qq, SUM(c.v[i] * c.v[i]) AS cc
+        | FROM e q, e c, pos WHERE q.vec_id < 5 AND c.vec_id != q.vec_id GROUP BY 1, 2
+        |), scored AS (
+        | SELECT query_id, neighbor_id, ROUND(dp / (SQRT(qq) * SQRT(cc)), 6) AS cos FROM dots
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        | SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".sm,
+    "ns_lsh_buckets" ->
+      (s"""WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |proj AS (
+        | SELECT vec_id, $lshProjs FROM e, pos GROUP BY vec_id
+        |)
+        |SELECT vec_id, $lshBits AS bucket FROM proj ORDER BY vec_id""").sm,
+    "ns_cosine_pairs" ->
+      """WITH e AS (
+        | SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id % 5 = 0
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |dots AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  SUM(a.v[i] * b.v[i]) AS dp, SUM(a.v[i] * a.v[i]) AS aa, SUM(b.v[i] * b.v[i]) AS bb
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id, pos GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, ROUND(dp / (SQRT(aa) * SQRT(bb)), 6) AS cos FROM dots
+        |WHERE ROUND(dp / (SQRT(aa) * SQRT(bb)), 6) >= 0.3 ORDER BY id_a, id_b""".sm,
+    "ns_text_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_regex_tokens,
+        | ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS ttr,
+        | ROUND(LEAST(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4
+        |  + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.4
+        |  + (CASE WHEN (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality_score,
+        | CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+        |      WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' la ') THEN 'fr'
+        |      WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' die ') THEN 'de'
+        |      WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' los ') THEN 'es'
+        |      ELSE 'und' END AS lang_pred,
+        | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".sm,
+    "ns_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        | CAST(n_chars % 64 * 10 + 32 AS INTEGER) AS width,
+        | CAST(n_chars % 48 * 10 + 32 AS INTEGER) AS height,
+        | CAST(n_chars % 16 + 1 AS INTEGER) AS n_frames,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        | md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".sm
+  )
+
+  implicit private class Sm(private val s: String) {
+    def sm: String = s.stripMargin.replace("\n", " ")
+  }
+}

@@ -5,11 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * W1: the reference's marquee feature — trailing 10-minute per-key count
-    * (reference back_end/feature_store/batch_processing.py:41,44).
+    * The full batch-pipeline replica — the reference's marquee feature set
+    * (reference back_end/feature_store/batch_processing.py:24-48).
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("w1_range_count_10min")(spark, "/root/testdata/sf0.001")
+    queries("replica_batch_features")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,98 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{LogisticRegression, MultilayerPerceptronClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ML plane (SURVEY.md §2.11) — the reference's pandas/sklearn/PyTorch
+  * flow re-expressed with MLlib:
+  *
+  *   LabelEncoder         → StringIndexer      (training.py:60-62)
+  *   StandardScaler       → StandardScaler     (training.py:70-71)
+  *   5:1 class balancing  → sampleBy           (training.py:64-66)
+  *   train_test_split     → randomSplit        (training.py:73)
+  *   DeepFraudNet MLP     → MultilayerPerceptronClassifier 256-128-64
+  *                          (model/training.py:33-54; no dropout in
+  *                          MLlib — documented deviation) with
+  *                          LogisticRegression as the fast baseline
+  *   eval acc/prec/rec/F1/AUC → Multiclass+Binary evaluators
+  *                          (training.py:113-116,141-144,173-192)
+  *
+  * Every stage is distributed: indexing is a distinct+rank fit with a
+  * broadcast transform; scaling is a two-pass stats + map; training
+  * iterations are tree-aggregated gradient passes — nothing collects
+  * the dataset to the driver.
+  */
+object FraudModel {
+
+  final case class Metrics(accuracy: Double, precision: Double,
+      recall: Double, f1: Double, rocAuc: Double)
+
+  val categoricalCols = Seq("category", "gender")
+  val numericCols = Seq("amt", "hour_of_day", "day_of_week", "age_at_txn",
+    "distance_to_merchant", "txn_count_last_10_min", "avg_amt_last_1_hour",
+    "city_pop")
+
+  /** 5:1 non-fraud:fraud downsample + deterministic reshuffle
+    * (training.py:64-66). */
+  def balance(df: DataFrame, ratio: Double = 5.0, seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy("is_fraud").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val frac = math.min(1.0, ratio * counts.getOrElse(1, 0L).toDouble /
+      math.max(1L, counts.getOrElse(0, 0L)))
+    df.stat.sampleBy("is_fraud", Map(0 -> frac, 1 -> 1.0), seed)
+  }
+
+  def pipeline(useMlp: Boolean): Pipeline = {
+    val indexers = categoricalCols.map { c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
+        .setHandleInvalid("keep")
+    }
+    val assembler = new VectorAssembler()
+      .setInputCols((numericCols ++ categoricalCols.map(_ + "_idx")).toArray)
+      .setOutputCol("raw_features")
+    val scaler = new StandardScaler()
+      .setInputCol("raw_features").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val clf =
+      if (useMlp)
+        new MultilayerPerceptronClassifier()
+          .setLayers(Array(numericCols.size + categoricalCols.size, 256, 128, 64, 2))
+          .setLabelCol("is_fraud").setFeaturesCol("features")
+          .setMaxIter(50).setSeed(42L)
+      else
+        new LogisticRegression()
+          .setLabelCol("is_fraud").setFeaturesCol("features").setMaxIter(50)
+    new Pipeline().setStages((indexers :+ assembler :+ scaler :+ clf).toArray)
+  }
+
+  def train(features: DataFrame, useMlp: Boolean = false,
+      testFraction: Double = 0.25, seed: Long = 42L): (PipelineModel, Metrics) = {
+    val Array(tr, te) = balance(features, seed = seed)
+      .randomSplit(Array(1 - testFraction, testFraction), seed)
+    val model = pipeline(useMlp).fit(tr)
+    (model, evaluate(model, te))
+  }
+
+  def evaluate(model: PipelineModel, test: DataFrame): Metrics = {
+    val pred = model.transform(test).cache()
+    def m(name: String): Double = new MulticlassClassificationEvaluator()
+      .setLabelCol("is_fraud").setPredictionCol("prediction")
+      .setMetricName(name).evaluate(pred)
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("is_fraud").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(pred)
+    val out = Metrics(m("accuracy"), m("precisionByLabel"), m("recallByLabel"), m("f1"), auc)
+    pred.unpersist()
+    out
+  }
+
+  /** Batched distributed inference with the reference's 0.5 threshold
+    * (training.py:114; inference_experiment.py:72-77). */
+  def infer(model: PipelineModel, df: DataFrame): DataFrame =
+    model.transform(df)
+      .withColumn("fraud_pred", when(col("prediction") > 0.5, 1).otherwise(0))
+}

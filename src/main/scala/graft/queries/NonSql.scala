@@ -1,0 +1,168 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.llm.Multimodal
+import graft.ml.FraudModel
+
+/** Operators whose results are not ANSI-SQL-reproducible (seeded
+  * sampling, approximate sketches, ML transforms, side-effecting
+  * sources/sinks). Driver records a rows>0 check; the strong assertions
+  * (seed determinism, tolerance vs exact, schema) live in ScalaTest
+  * (SURVEY.md §5). The CSV round-trip IS oracle-checked — the written
+  * data must agree with the parquet source exactly.
+  */
+object NonSql {
+  import Inventory.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // S1+S2+S3: CSV sink → multi-part CSV scan → same aggregate as parquet
+  // (batch_processing.py:21,52; insert_offline.py:18-21)
+  val s1CsvRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_csv_").toString
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true")
+      .schema("l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING")
+      .csv(s"$tmp/part-*.csv")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  // S11: synthetic producer distributions (producer.py:14-30) — batch
+  // analog of the rate source: exponential amounts, normal coordinates.
+  val s11Synthetic: Q = (s, dir) => {
+    import s.implicits._
+    s.range(0, 10000)
+      .select(
+        md5(concat(lit("txn_"), $"id".cast("string"))).as("txn_id"),
+        ($"id" % 983).as("cc_num"),
+        round(-log(rand(42)) * 70.0, 2).as("amount"),
+        round(randn(43) * 5.1 + 38.5, 6).as("lat"),
+        round(randn(44) * 13.7 - 90.2, 6).as("long"))
+      .filter($"amount" >= 0)
+  }
+
+  // U2: seeded fraction sample (featurestore_flow.py:48)
+  val u2SampleFrac: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders").sample(withReplacement = false, 0.75, 42L)
+      .agg(count(lit(1)).as("n_sampled"))
+  }
+
+  // U3: fixed-n sample via seeded shuffle + limit (training.py:65)
+  val u3SampleN: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders").orderBy(rand(42L)).limit(100)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // U4: stratified sampling (training.py:64-66 class balancing)
+  val u4Stratified: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .stat.sampleBy("l_returnflag", Map("A" -> 0.2, "N" -> 1.0, "R" -> 0.5), 42L)
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  // U5: train/test split (training.py:73)
+  val u5Split: Q = (s, dir) => {
+    import s.implicits._
+    val Array(tr, te) = t(s, dir, "orders").randomSplit(Array(0.75, 0.25), 42L)
+    tr.agg(count(lit(1)).as("n")).withColumn("split", lit("train"))
+      .unionByName(te.agg(count(lit(1)).as("n")).withColumn("split", lit("test")))
+  }
+
+  // O4: seeded random reorder (training.py:66)
+  val o4Shuffle: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders").orderBy(rand(42L)).limit(5)
+      .select($"o_orderkey")
+  }
+
+  // A10 approximate path: HLL distinct for 100 TB stats
+  val a10Approx: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders").agg(
+      approx_count_distinct($"o_custkey").as("approx_custs"),
+      countDistinct($"o_custkey").as("exact_custs"))
+  }
+
+  // A-extra: approximate quantiles (percentile_approx) for scale stats
+  val aQuantiles: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem").agg(
+      percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50"),
+      percentile_approx($"l_extendedprice", lit(0.99), lit(10000)).as("p99"))
+  }
+
+  // A3/A4 batch-equivalent: event-time sliding window aggregation
+  // (stream_features.py:6-17 semantics on the batch table)
+  val slidingWindowBatch: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(window($"ts", "600 seconds", "20 seconds"), $"user_id")
+      .agg(count(lit(1)).as("txn_count"))
+      .select($"window.start".cast("long").as("win_start"), $"user_id", $"txn_count")
+      .orderBy($"win_start", $"user_id")
+  }
+
+  // ML: distributed feature transform (indexer+assembler+scaler shape)
+  val mlFeatureTransform: Q = (s, dir) => {
+    import s.implicits._
+    val feats = t(s, dir, "events")
+      .select($"event_id", $"event_type".as("category"),
+        when($"user_id" % 2 === 0, "M").otherwise("F").as("gender"),
+        $"value".as("amt"), hour($"ts").as("hour_of_day"),
+        dayofweek($"ts").as("day_of_week"), lit(30.0).as("age_at_txn"),
+        lit(1.0).as("distance_to_merchant"), lit(1).as("txn_count_last_10_min"),
+        $"value".as("avg_amt_last_1_hour"), lit(1000).as("city_pop"),
+        when($"value" > 150, 1).otherwise(0).as("is_fraud"))
+    val model = FraudModel.pipeline(useMlp = false).fit(feats)
+    model.transform(feats)
+      .select($"event_id", $"is_fraud", $"prediction")
+      .orderBy($"event_id")
+  }
+
+  // Multimodal: stubbed batched decode over binary payloads
+  val mmDecode: Q = (s, dir) => {
+    import s.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.decodeMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")),
+        everyN = 4)
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s1_csv_roundtrip" -> s1CsvRoundtrip,
+    "s11_synthetic_producer" -> s11Synthetic,
+    "u2_sample_frac" -> u2SampleFrac,
+    "u3_sample_n" -> u3SampleN,
+    "u4_stratified_sample" -> u4Stratified,
+    "u5_train_test_split" -> u5Split,
+    "o4_seeded_shuffle" -> o4Shuffle,
+    "a10_approx_distinct" -> a10Approx,
+    "a13_approx_quantiles" -> aQuantiles,
+    "a3_sliding_window_batch" -> slidingWindowBatch,
+    "ml_feature_transform" -> mlFeatureTransform,
+    "mm_decode_meta" -> mmDecode
+  )
+
+  /** Only the CSV round-trip is oracle-comparable. */
+  val oracle: Map[String, String] = Map(
+    "s1_csv_roundtrip" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+  )
+}

@@ -1,0 +1,60 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.schema.FeatureRow
+
+/** Serving facade — one method per reference REST route
+  * (`back_end/app/routes/feature.py`; README.md:104-115). The "API" of
+  * the engine is this Scala surface; each method is a plain DataFrame
+  * query so filters push down to the parquet scan.
+  */
+class FeatureStore(spark: SparkSession, offlinePath: String) {
+
+  def offline: DataFrame = spark.read.parquet(offlinePath)
+
+  /** GET /features — bulk scan with cap (feature.py:56-67,111). */
+  def bulk(limit: Int = 100000): DataFrame = offline.limit(limit)
+
+  /** GET /features/by-ccnum/{cc} — point lookup (feature.py:70-80);
+    * the equality predicate reaches the parquet row groups. */
+  def byCcNum(cc: Long): DataFrame = offline.filter(col("cc_num") === cc)
+
+  /** GET /features/by-date — inclusive day range with the reference's
+    * 00:00:00 / 23:59:59.999999 bounds (feature.py:83-103). */
+  def byDateRange(startDay: String, endDay: String): DataFrame =
+    offline.filter(col("feature_timestamp").between(
+      to_timestamp(lit(s"$startDay 00:00:00")),
+      to_timestamp(lit(s"$endDay 23:59:59.999999"))))
+
+  /** GET /redis/transactions/{cc} top-k recent (feature.py:164). */
+  def topKRecent(cc: Long, k: Int = 5): DataFrame =
+    byCcNum(cc).orderBy(col("feature_timestamp").desc).limit(k)
+
+  /** Latest row per card — the zrevrange(0,0) lookup generalized
+    * (feature.py:126-128). */
+  def latestPerCard(): DataFrame = {
+    val w = Window.partitionBy(col("cc_num")).orderBy(col("feature_timestamp").desc)
+    offline.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** POST /features — batch ingest (feature.py:25-54). */
+  def ingest(rows: DataFrame): Unit =
+    rows.write.mode("append").parquet(offlinePath)
+
+  /** DELETE /features — delete-all (feature.py:20-23). */
+  def clear(): Unit = {
+    import spark.implicits._
+    spark.emptyDataset[FeatureRow].write.mode("overwrite").parquet(offlinePath)
+  }
+
+  /** POST /redis/sync — offline→online sync as a left-semi join on the
+    * online key set, returning (synced, skipped) counts like the route
+    * (feature.py:199-213). */
+  def sync(onlineKeys: DataFrame): (Long, Long) = {
+    val synced = offline.join(onlineKeys, Seq("cc_num"), "left_semi").count()
+    val skipped = offline.join(onlineKeys, Seq("cc_num"), "left_anti").count()
+    (synced, skipped)
+  }
+}

@@ -30,9 +30,14 @@ object FeaturePipeline {
 
   /** Parse a CSV-shaped frame with string timestamps (the reference's
     * `to_timestamp` calls at batch_processing.py:24-25). */
-  def parseRaw(df: DataFrame): DataFrame = df
-    .withColumn("trans_date_trans_time", to_timestamp(col("trans_date_trans_time")))
-    .withColumn("dob", to_timestamp(col("dob")))
+  def parseRaw(df: DataFrame): DataFrame = {
+    // `long` is a Java keyword, which Spark 4 encoders reject as a field
+    // name — the engine's canonical column is `lon` (renamed on ingest).
+    val renamed = if (df.columns.contains("long")) df.withColumnRenamed("long", "lon") else df
+    renamed
+      .withColumn("trans_date_trans_time", to_timestamp(col("trans_date_trans_time")))
+      .withColumn("dob", to_timestamp(col("dob")))
+  }
 
   def features(txns: DataFrame): DataFrame = {
     val byCard = Window.partitionBy(col("cc_num")).orderBy(col("unix_time"))
@@ -44,7 +49,7 @@ object FeaturePipeline {
       .withColumn("day_of_week", dayofweek(col("trans_date_trans_time")))
       .withColumn("age_at_txn", Functions.ageYears(col("trans_date_trans_time"), col("dob")))
       .withColumn("distance_to_merchant",
-        Haversine.haversineMiles(col("lat"), col("long"), col("merch_lat"), col("merch_long")))
+        Haversine.haversineMiles(col("lat"), col("lon"), col("merch_lat"), col("merch_long")))
       .withColumn("txn_count_last_10_min", count(lit(1)).over(w10min).cast("int"))
       .withColumn("avg_amt_last_1_hour",
         sum(col("amt").cast(DecimalType(18, 2))).over(w1h).cast("double") /

@@ -16,7 +16,7 @@ case class Txn(
     amt: Double,
     gender: String,
     lat: Double,
-    long: Double,
+    lon: Double,
     city_pop: Int,
     dob: Timestamp,
     merch_lat: Double,
@@ -47,7 +47,7 @@ case class StreamTxn(
     cc_num: Long,
     amount: Double,
     lat: Double,
-    long: Double,
+    lon: Double,
     merch_lat: Double,
     merch_long: Double,
     ts: Timestamp)
@@ -89,7 +89,7 @@ object Schemas {
     StructField("amt", DoubleType),
     StructField("gender", StringType),
     StructField("lat", DoubleType),
-    StructField("long", DoubleType),
+    StructField("lon", DoubleType),
     StructField("city_pop", IntegerType),
     StructField("dob", TimestampType),
     StructField("merch_lat", DoubleType),

@@ -50,7 +50,7 @@ object StreamPipeline {
         col("r.cc_num").cast("long").as("cc_num"),
         col("r.amount").cast("double").as("amount"),
         col("r.lat").cast("double").as("lat"),
-        col("r.long").cast("double").as("long"),
+        col("r.long").cast("double").as("lon"),
         col("r.merch_lat").cast("double").as("merch_lat"),
         col("r.merch_long").cast("double").as("merch_long"),
         to_timestamp(col("r.timestamp")).as("ts"))
@@ -68,7 +68,7 @@ object StreamPipeline {
   /** Stateless distance enrichment (pipeline.py:51-57). */
   def withDistance(txns: DataFrame): DataFrame =
     txns.withColumn("distance_to_merchant",
-      Haversine.haversineMiles(col("lat"), col("long"), col("merch_lat"), col("merch_long")))
+      Haversine.haversineMiles(col("lat"), col("lon"), col("merch_lat"), col("merch_long")))
 
   /** A3: per-card sliding-window count. */
   def slidingCount(txns: Dataset[StreamTxn], spec: WindowSpec = NamedDurations): DataFrame =
@@ -95,12 +95,16 @@ object StreamPipeline {
     * present (matching CombineTxnAndAvg + FinalJoiner emission rules).
     */
   def mergeStats(slots: Dataset[Slot],
-      stateTtlMs: Long = 86400000L): Dataset[CardStats] = {
+      stateTtlMs: Long = 86400000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[CardStats] = {
+    // NOTE: ProcessingTimeTimeout makes the engine schedule continuous
+    // no-data micro-batches, so tests driven by processAllAvailable()
+    // pass NoTimeout; production queries on a real trigger keep the TTL.
     val spark = slots.sparkSession
     import spark.implicits._
     slots.groupByKey(_.cc_num)
       .flatMapGroupsWithState[CardState, CardStats](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (cc: Long, in: Iterator[Slot], state: GroupState[CardState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
@@ -116,13 +120,14 @@ object StreamPipeline {
                 val emit = for {
                   t <- st.lastTxn; n <- st.txnCount; a <- st.avgAmt
                 } yield CardStats(cc, t.txn_id, t.amount,
-                  haversineMiles(t.lat, t.long, t.merch_lat, t.merch_long),
+                  haversineMiles(t.lat, t.lon, t.merch_lat, t.merch_long),
                   n, a, s.ts)
                 Some((emit, it))
               }
             }.flatten.toVector
             state.update(st)
-            state.setTimeoutDuration(stateTtlMs)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(stateTtlMs)
             out.iterator
           }
       }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+
+/** North-star operator semantics on crafted fixtures. */
+class LlmSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles here"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", md5($"text")).collect()
+    assert(g.length == 4)
+    val dupGroup = g.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 0L) // keep_id = min(0, 3)
+  }
+
+  test("minhash candidates find exact and near dup pairs, not the unrelated doc") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", n = 8, minMatches = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), s"exact dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc matched")
+  }
+
+  test("identical docs get identical simhash; unrelated docs differ") {
+    val m = Dedup.simhash16(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == m(3L))
+    assert(m(0L) != m(2L))
+  }
+
+  test("ngram jaccard is 1.0 for exact dups and high for near dups") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(j((0L, 3L)) == 1.0)
+    assert(j((0L, 1L)) > 0.5 && j((0L, 1L)) < 1.0)
+    assert(!j.contains((0L, 2L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1), // opposite of 0
+    (4L, Array(0.8f, 0.2f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force cosine top-k ranks by true cosine") {
+    val top = Similarity.cosineTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.take(2).map(_._2).toSeq == Seq(1L, 4L)) // closest first
+    assert(top.last._2 == 3L) // opposite vector ranks last
+  }
+
+  test("lsh buckets are deterministic and identical vectors collide") {
+    val b = vecs.union(vecs)
+      .select($"vec_id", Similarity.lshBucket($"embedding", 4, 8).as("bucket"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).distinct).toMap
+    assert(b.values.forall(_.length == 1), "same vector hashed to different buckets")
+  }
+
+  test("lshTopK returns a cosine-ranked subset of same-bucket vectors") {
+    val res = Similarity.lshTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 4, 4, 3)
+      .collect()
+    assert(res.nonEmpty)
+    val cosines = res.map(_.getDouble(3)).toSeq
+    assert(cosines == cosines.sorted.reverse, "not ranked descending")
+  }
+
+  test("text stats: quality bounded, fingerprint whitespace-invariant") {
+    val st = TextStats.withStats(docs, "text")
+    assert(st.filter($"quality_score" < 0 || $"quality_score" > 1).count() == 0)
+    val fp = Seq(Tuple1("a  b\tc"), Tuple1("a b c")).toDF("text")
+      .select(TextStats.fingerprint($"text")).distinct().count()
+    assert(fp == 1, "fingerprint not normalization-invariant")
+  }
+
+  test("langid heuristic picks marker languages") {
+    val pred = Seq(Tuple1("the cat sat"), Tuple1("le chat noir"), Tuple1("der hund lief"))
+      .toDF("text").select(TextStats.langIdHeuristic($"text")).collect().map(_.getString(0))
+    assert(pred.toSeq == Seq("en", "fr", "de"))
+  }
+
+  test("multimodal decode is deterministic with stable checksums") {
+    val meta1 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()
+    val meta2 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()
+    assert(meta1.map(_.checksum).toSeq == meta2.map(_.checksum).toSeq)
+    assert(meta1.forall(_.n_bytes > 0))
+    // exact dup payloads share a checksum; distinct payloads do not
+    val byId = meta1.map(m => m.media_id -> m.checksum).toMap
+    assert(byId(0L) == byId(3L))
+    assert(byId(0L) != byId(2L))
+  }
+}

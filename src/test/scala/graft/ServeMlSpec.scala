@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.FraudModel
+import graft.schema.FeatureRow
+import graft.serve.FeatureStore
+
+/** Serving facade + ML plane. */
+class ServeMlSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def row(cc: Long, amt: Double, at: String, fraud: Int) =
+    FeatureRow(cc, amt, 10, 2, 33.5, 12.0, 1, amt, "grocery", "F", 1000, ts(at), fraud)
+
+  private lazy val storePath = {
+    val p = java.nio.file.Files.createTempDirectory("graft_fs_").toString + "/offline"
+    Seq(
+      row(1L, 10.0, "2024-01-01 10:00:00", 0),
+      row(1L, 20.0, "2024-01-02 11:00:00", 0),
+      row(1L, 30.0, "2024-01-03 12:00:00", 1),
+      row(2L, 40.0, "2024-01-02 09:00:00", 0)
+    ).toDS().toDF().write.parquet(p)
+    p
+  }
+
+  test("point lookup, date range, bulk cap, top-k, latest") {
+    val fs = new FeatureStore(spark, storePath)
+    assert(fs.byCcNum(1L).count() == 3)
+    assert(fs.byDateRange("2024-01-02", "2024-01-03").count() == 3)
+    assert(fs.bulk(2).count() == 2)
+    val top = fs.topKRecent(1L, 2).collect().map(_.getAs[Double]("amt"))
+    assert(top.toSeq == Seq(30.0, 20.0))
+    val latest = fs.latestPerCard().collect()
+      .map(r => r.getAs[Long]("cc_num") -> r.getAs[Double]("amt")).toMap
+    assert(latest == Map(1L -> 30.0, 2L -> 40.0))
+  }
+
+  test("sync = semi/anti join counts; ingest appends") {
+    val fs = new FeatureStore(spark, storePath)
+    val onlineKeys = Seq(1L).toDF("cc_num")
+    val (synced, skipped) = fs.sync(onlineKeys)
+    assert(synced == 3 && skipped == 1)
+    val p2 = java.nio.file.Files.createTempDirectory("graft_fs2_").toString + "/offline"
+    val fs2 = new FeatureStore(spark, p2)
+    fs2.ingest(Seq(row(9L, 1.0, "2024-02-01 00:00:00", 0)).toDS().toDF())
+    fs2.ingest(Seq(row(9L, 2.0, "2024-02-02 00:00:00", 0)).toDS().toDF())
+    assert(fs2.offline.count() == 2)
+  }
+
+  test("fraud model learns a separable signal (AUC > 0.8)") {
+    // fraud iff amt high and distance large — linearly separable-ish
+    val n = 2000
+    val data = spark.range(n).select(
+      ($"id" % 100).as("cc_num"),
+      when($"id" % 10 === 0, rand(1) * 500 + 300).otherwise(rand(2) * 80).as("amt"),
+      ($"id" % 24).cast("int").as("hour_of_day"),
+      ($"id" % 7 + 1).cast("int").as("day_of_week"),
+      (rand(3) * 50 + 20).as("age_at_txn"),
+      when($"id" % 10 === 0, rand(4) * 900 + 100).otherwise(rand(5) * 30).as("distance_to_merchant"),
+      lit(1).as("txn_count_last_10_min"),
+      (rand(6) * 100).as("avg_amt_last_1_hour"),
+      when($"id" % 3 === 0, "grocery").when($"id" % 3 === 1, "gas").otherwise("travel").as("category"),
+      when($"id" % 2 === 0, "F").otherwise("M").as("gender"),
+      lit(5000).as("city_pop"),
+      when($"id" % 10 === 0, 1).otherwise(0).as("is_fraud"))
+    val (_, metrics) = FraudModel.train(data)
+    assert(metrics.rocAuc > 0.8, s"AUC ${metrics.rocAuc}")
+    assert(metrics.accuracy > 0.8, s"acc ${metrics.accuracy}")
+  }
+
+  test("balancing caps the non-fraud:fraud ratio near 5:1") {
+    val df = spark.range(10000).select(
+      when($"id" % 100 === 0, 1).otherwise(0).as("is_fraud"), $"id")
+    val b = FraudModel.balance(df).groupBy("is_fraud").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ratio = b(0).toDouble / b(1)
+    assert(ratio > 3.0 && ratio < 7.0, s"ratio $ratio")
+  }
+
+  test("inference applies the 0.5 threshold column") {
+    val feats = Seq(row(1L, 500.0, "2024-01-01 00:00:00", 1),
+      row(2L, 5.0, "2024-01-02 00:00:00", 0)).toDS().toDF()
+    val (model, _) = FraudModel.train(
+      spark.range(200).select(
+        ($"id" % 10).as("cc_num"),
+        when($"id" % 2 === 0, lit(400.0) + rand(7) * 100).otherwise(rand(8) * 50).as("amt"),
+        lit(10).as("hour_of_day"), lit(2).as("day_of_week"), lit(30.0).as("age_at_txn"),
+        lit(1.0).as("distance_to_merchant"), lit(1).as("txn_count_last_10_min"),
+        lit(10.0).as("avg_amt_last_1_hour"), lit("grocery").as("category"),
+        lit("F").as("gender"), lit(1000).as("city_pop"),
+        when($"id" % 2 === 0, 1).otherwise(0).as("is_fraud")))
+    val out = FraudModel.infer(model, feats)
+    assert(out.columns.contains("fraud_pred"))
+    assert(out.select("fraud_pred").as[Int].collect().forall(v => v == 0 || v == 1))
+  }
+}

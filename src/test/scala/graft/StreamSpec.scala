@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.schema.{CardStats, StreamTxn}
+import graft.stream.{OnlineStore, StreamPipeline}
+
+/** Streaming plane via MemoryStream (SURVEY §5.4): JSON parse, sliding
+  * windows + watermark, latest-wins stateful merge, online store. */
+class StreamSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def txn(id: String, cc: Long, amt: Double, at: String) =
+    StreamTxn(id, cc, amt, 40.0, -74.0, 40.1, -74.1, ts(at))
+
+  test("json wire parse produces typed rows") {
+    val mem = MemoryStream[String](spark)
+    val parsed = StreamPipeline.parse(mem.toDF().withColumnRenamed("value", "value"))
+    val q = parsed.writeStream.format("memory").queryName("parsed_t").outputMode("append").start()
+    mem.addData("""{"txn_id":"t1","cc_num":"7","amount":"12.5","lat":"40.0","long":"-74.0","merch_lat":"40.1","merch_long":"-74.1","timestamp":"2024-01-01T10:00:00.000000"}""")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("parsed_t").as[StreamTxn].collect()
+    assert(rows.length == 1)
+    assert(rows.head.cc_num == 7L && rows.head.amount == 12.5)
+  }
+
+  test("sliding-window count emits per-card windows after watermark passes") {
+    val mem = MemoryStream[StreamTxn](spark)
+    val counts = StreamPipeline.slidingCount(mem.toDS())
+    val q = counts.writeStream.format("memory").queryName("wc_t").outputMode("append").start()
+    mem.addData(
+      txn("a", 1L, 10.0, "2024-01-01 10:00:05"),
+      txn("b", 1L, 20.0, "2024-01-01 10:00:15"),
+      txn("c", 2L, 30.0, "2024-01-01 10:00:25"))
+    q.processAllAvailable()
+    // advance watermark far past the windows so append-mode emits them
+    mem.addData(txn("z", 9L, 1.0, "2024-01-01 12:00:00"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("wc_t")
+      .select($"cc_num", $"window.start".cast("string").as("ws"), $"txn_count")
+      .as[(Long, String, Long)].collect()
+    // card 1: both txns fall in the window starting 10:00:00 (size 600s slide 20s)
+    assert(out.contains((1L, "2024-01-01 10:00:00", 2L)), s"got ${out.toSeq}")
+    assert(out.contains((2L, "2024-01-01 10:00:20", 1L)))
+    // card 1 txn@10:00:05 is in the [09:50:20,10:00:20) slide but txn@10:00:15 too
+    assert(out.filter(_._1 == 9L).isEmpty || out.nonEmpty)
+  }
+
+  test("stateful merge is latest-wins and only emits when all slots present") {
+    val mem = MemoryStream[StreamPipeline.Slot](spark)
+    val merged = StreamPipeline.mergeStats(mem.toDS(),
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = merged.writeStream.format("memory").queryName("merge_t").outputMode("append").start()
+    val t1 = txn("t1", 5L, 100.0, "2024-01-01 10:00:00")
+    mem.addData(StreamPipeline.Slot(5L, Some(t1), None, None, t1.ts))
+    q.processAllAvailable()
+    assert(spark.table("merge_t").count() == 0, "emitted before all slots present")
+    mem.addData(StreamPipeline.Slot(5L, None, Some(3L), None, t1.ts))
+    mem.addData(StreamPipeline.Slot(5L, None, None, Some(55.5), t1.ts))
+    q.processAllAvailable()
+    val rows = spark.table("merge_t").as[CardStats].collect()
+    assert(rows.length >= 1)
+    val last = rows.maxBy(_.txn_count_last_10_min)
+    assert(last.cc_num == 5L && last.txn_id == "t1" && last.avg_amt_last_1_hour == 55.5)
+    // latest-wins: a new raw txn re-emits with updated txn but kept stats
+    val t2 = txn("t2", 5L, 200.0, "2024-01-01 10:01:00")
+    mem.addData(StreamPipeline.Slot(5L, Some(t2), None, None, t2.ts))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("merge_t").as[CardStats].collect()
+    assert(all.exists(r => r.txn_id == "t2" && r.avg_amt_last_1_hour == 55.5))
+  }
+
+  test("online store: idempotent upsert, latest stats, top-k, TTL") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_os_").toString + "/log"
+    val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)
+    val now = ts("2024-01-01 12:00:00").getTime / 1000
+    def stats(id: String, cc: Long, amt: Double, at: String) =
+      CardStats(cc, id, amt, 1.0, 1L, amt, ts(at))
+    val batch = Seq(
+      stats("a", 1L, 10.0, "2024-01-01 11:30:00"),
+      stats("b", 1L, 20.0, "2024-01-01 11:45:00"),
+      stats("old", 1L, 99.0, "2024-01-01 09:00:00"), // beyond TTL at `now`
+      stats("c", 2L, 30.0, "2024-01-01 11:50:00")).toDS()
+    store.upsertBatch(batch, 0L)
+    store.upsertBatch(batch, 1L) // replay — must not double-count
+    assert(store.retained(now).count() == 3) // old dropped, replay deduped
+    val latest = store.stats(now).collect().map(r =>
+      r.getAs[Long]("cc_num") -> r.getAs[String]("txn_id")).toMap
+    assert(latest == Map(1L -> "b", 2L -> "c"))
+    val top = store.topKRecent(1L, 5, now).collect().map(_.getAs[String]("txn_id"))
+    assert(top.toSeq == Seq("b", "a"))
+  }
+}

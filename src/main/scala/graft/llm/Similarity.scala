@@ -33,11 +33,16 @@ object Similarity {
     * tiebreak so results are reproducible across engines. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // Norms are precomputed per side so each (query, corpus) pair costs
+    // ONE array-fold instead of three (the higher-order-function fold is
+    // interpreted, not codegen'd — minimize evaluations per pair).
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -71,11 +76,13 @@ object Similarity {
       vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
       lshBucket(col(vecCol), dim, nBits).as("bucket"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
       lshBucket(col(vecCol), dim, nBits).as("bucket"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -89,9 +96,10 @@ object Similarity {
       blockCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("cos", round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

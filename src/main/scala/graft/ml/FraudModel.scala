@@ -46,7 +46,7 @@ object FraudModel {
     df.stat.sampleBy("is_fraud", Map(0 -> frac, 1 -> 1.0), seed)
   }
 
-  def pipeline(useMlp: Boolean): Pipeline = {
+  def pipeline(useMlp: Boolean, maxIter: Int = 50): Pipeline = {
     val indexers = categoricalCols.map { c =>
       new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
         .setHandleInvalid("keep")
@@ -62,10 +62,10 @@ object FraudModel {
         new MultilayerPerceptronClassifier()
           .setLayers(Array(numericCols.size + categoricalCols.size, 256, 128, 64, 2))
           .setLabelCol("is_fraud").setFeaturesCol("features")
-          .setMaxIter(50).setSeed(42L)
+          .setMaxIter(maxIter).setSeed(42L)
       else
         new LogisticRegression()
-          .setLabelCol("is_fraud").setFeaturesCol("features").setMaxIter(50)
+          .setLabelCol("is_fraud").setFeaturesCol("features").setMaxIter(maxIter)
     new Pipeline().setStages((indexers :+ assembler :+ scaler :+ clf).toArray)
   }
 

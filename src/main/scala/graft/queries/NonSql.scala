@@ -128,7 +128,7 @@ object NonSql {
         lit(1.0).as("distance_to_merchant"), lit(1).as("txn_count_last_10_min"),
         $"value".as("avg_amt_last_1_hour"), lit(1000).as("city_pop"),
         when($"value" > 150, 1).otherwise(0).as("is_fraud"))
-    val model = FraudModel.pipeline(useMlp = false).fit(feats)
+    val model = FraudModel.pipeline(useMlp = false, maxIter = 10).fit(feats)
     model.transform(feats)
       .select($"event_id", $"is_fraud", $"prediction")
       .orderBy($"event_id")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
-import graft.expr.{Functions, Haversine}
+import graft.expr.{Functions, HaversineMiles}
 
 /** The reference's batch feature plane re-expressed Spark-first.
   *
@@ -49,7 +49,7 @@ object FeaturePipeline {
       .withColumn("day_of_week", dayofweek(col("trans_date_trans_time")))
       .withColumn("age_at_txn", Functions.ageYears(col("trans_date_trans_time"), col("dob")))
       .withColumn("distance_to_merchant",
-        Haversine.haversineMiles(col("lat"), col("lon"), col("merch_lat"), col("merch_long")))
+        HaversineMiles.native(col("lat"), col("lon"), col("merch_lat"), col("merch_long")))
       .withColumn("txn_count_last_10_min", count(lit(1)).over(w10min).cast("int"))
       .withColumn("avg_amt_last_1_hour",
         sum(col("amt").cast(DecimalType(18, 2))).over(w1h).cast("double") /

@@ -16,8 +16,11 @@ import org.apache.spark.sql.types.LongType
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Integer `div`, not `/`: the double division rounds 1.7e18 ns to the
+    // nearest 256 ns before dividing, which can flip a floor-to-second
+    // boundary vs an engine computing from exact nanos.
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

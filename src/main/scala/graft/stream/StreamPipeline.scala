@@ -145,6 +145,16 @@ object StreamPipeline {
     2 * Haversine.EarthRadiusMiles * math.asin(math.sqrt(a))
   }
 
+  /** End-to-end streaming feature pipeline: txns → sliding windows →
+    * slot union → latest-wins merge. Runs as ONE streaming query
+    * (Spark 4 supports chained stateful operators); attach
+    * [[OnlineStore.sink]] via foreachBatch for the online plane.
+    * Mirrors pipeline.py:38-80 minus the Kafka/Redis edges. */
+  def pipeline(txns: Dataset[StreamTxn], spec: WindowSpec = NamedDurations,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[CardStats] =
+    mergeStats(toSlots(txns, slidingCount(txns, spec), slidingAvg(txns, spec)),
+      timeout = timeout)
+
   /** Tag the three derived streams into merge slots (union replaces the
     * reference's chained `connect`s — one operator, one shuffle). */
   def toSlots(txns: Dataset[StreamTxn], counts: DataFrame, avgs: DataFrame): Dataset[Slot] = {

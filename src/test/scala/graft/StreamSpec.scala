@@ -73,6 +73,31 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(all.exists(r => r.txn_id == "t2" && r.avg_amt_last_1_hour == 55.5))
   }
 
+  test("end-to-end pipeline: windows + merge + online-store sink in one query") {
+    val mem = MemoryStream[StreamTxn](spark)
+    val stats = StreamPipeline.pipeline(mem.toDS(),
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e2e_").toString
+    val store = new OnlineStore(spark, tmp + "/log", ttlSeconds = 86400)
+    val q = store.sink(stats, tmp + "/ckpt").start()
+    mem.addData(
+      txn("t1", 1L, 50.0, "2024-01-01 10:00:05"),
+      txn("t2", 1L, 70.0, "2024-01-01 10:00:15"),
+      txn("t3", 2L, 30.0, "2024-01-01 10:00:25"))
+    q.processAllAvailable()
+    // advance watermark so windows close and stats flow through the merge
+    mem.addData(txn("zz", 9L, 1.0, "2024-01-01 12:00:00"))
+    q.processAllAvailable(); q.stop()
+    val now = ts("2024-01-01 12:30:00").getTime / 1000
+    val latest = store.stats(now)
+    val cards = latest.collect().map(_.getAs[Long]("cc_num")).toSet
+    assert(cards.contains(1L) && cards.contains(2L), s"got $cards")
+    val c1 = store.stats(now).filter(col("cc_num") === 1L).head()
+    assert(c1.getAs[Long]("txn_count_last_10_min") == 2L,
+      s"card 1 window count ${c1}")
+    assert(math.abs(c1.getAs[Double]("avg_amt_last_1_hour") - 60.0) < 1e-9)
+  }
+
   test("online store: idempotent upsert, latest stats, top-k, TTL") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_os_").toString + "/log"
     val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.{Functions, HaversineMiles}
+import graft.llm.{Dedup, MllibLsh}
+import graft.stream.StreamPipeline
+
+/** ScalaCheck properties (SURVEY §5.3): haversine metric axioms against
+  * the scalar reference implementation, try_cast round-trips, dedup
+  * idempotence, and MLlib-LSH vs exact-Jaccard agreement. */
+class PropertySpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val lat = Gen.choose(-89.0, 89.0)
+  private val lon = Gen.choose(-179.0, 179.0)
+
+  test("columnar haversine equals the scalar form; symmetric; non-negative; zero at identity") {
+    val pts = Gen.listOfN(4, Gen.zip(lat, lon)).sample.get ++
+      (1 to 30).flatMap(_ => Gen.listOfN(2, Gen.zip(lat, lon)).sample.toList.flatten)
+    val pairs = pts.grouped(2).collect { case Seq(a, b) => (a._1, a._2, b._1, b._2) }.toSeq
+    val df = pairs.toDF("a1", "o1", "a2", "o2")
+      .select($"a1", $"o1", $"a2", $"o2",
+        HaversineMiles.native($"a1", $"o1", $"a2", $"o2").as("fwd"),
+        HaversineMiles.native($"a2", $"o2", $"a1", $"o1").as("rev"),
+        HaversineMiles.native($"a1", $"o1", $"a1", $"o1").as("self"))
+    df.collect().foreach { r =>
+      val scalar = StreamPipeline.haversineMiles(
+        r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(r.getDouble(4) - scalar) < 1e-6)
+      assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-6) // symmetry
+      assert(r.getDouble(4) >= 0.0)
+      assert(r.getDouble(6) == 0.0)
+    }
+  }
+
+  test("tryCastAny: numeric strings round-trip, garbage maps to null") {
+    val rows = Seq("12", "-7", "3.5", "-0.25", "abc", "1.2.3", "", "12a")
+    val got = rows.toDF("s").select(Functions.tryCastAny($"s")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(12.0), Some(-7.0), Some(3.5), Some(-0.25),
+      None, None, None, None))
+  }
+
+  test("exact dedup is idempotent: deduping the keepers changes nothing") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val once = Dedup.exactGroups(docs, "doc_id", md5($"text"))
+    val keepers = docs.join(once.select($"keep_id".as("doc_id")), "doc_id")
+    val twice = Dedup.exactGroups(keepers, "doc_id", md5($"text"))
+    assert(twice.filter($"n_dups" > 1).count() == 0)
+    assert(twice.count() == once.count())
+  }
+
+  test("MLlib MinHashLSH candidates cover the exact high-jaccard pairs") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = MllibLsh.minhashDupPairs(docs, "doc_id", "text", maxJaccardDistance = 0.4)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val missed = exact -- approx
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("MLlib BucketedRandomProjectionLSH finds the vector itself first") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val key = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val nn = MllibLsh.euclideanNeighbors(emb, "vec_id", "embedding", key, k = 3)
+      .collect()
+    assert(nn.nonEmpty)
+    assert(nn.head.getLong(0) == 0L && nn.head.getDouble(1) == 0.0)
+  }
+}

@@ -63,6 +63,19 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** TF-IDF features (SURVEY §2.12): whitespace tokens → HashingTF →
+    * IDF. Both fits are distributed (document-frequency aggregation);
+    * the transform is per-row. */
+  def tfidf(df: DataFrame, textCol: String, numFeatures: Int = 1 << 12): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+    val tok = new Tokenizer().setInputCol(textCol).setOutputCol("_tokens")
+    val tf = new HashingTF().setInputCol("_tokens").setOutputCol("_tf")
+      .setNumFeatures(numFeatures)
+    val tfed = tf.transform(tok.transform(df))
+    val idf = new IDF().setInputCol("_tf").setOutputCol("tfidf").fit(tfed)
+    idf.transform(tfed).drop("_tokens", "_tf")
+  }
+
   /** Convenience: attach the full stats column set. */
   def withStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

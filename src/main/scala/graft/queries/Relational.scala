@@ -338,6 +338,32 @@ object Relational {
       .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
   }
 
+  // A14 session windows (gap-based; SURVEY §2.9 completeness). Gap 300 s
+  // on floor-second event times so the oracle's gaps-and-islands
+  // formulation sees identical boundaries.
+  val a14SessionWindow: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("tsec", timestamp_seconds($"ts".cast("long")))
+      .groupBy($"user_id", session_window($"tsec", "300 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"w.start".cast("long").as("session_start"),
+        $"w.end".cast("long").as("session_end"), $"n")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  // A15 tumbling event-time windows (epoch-aligned hourly buckets)
+  val a15TumblingWindow: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("tsec", timestamp_seconds($"ts".cast("long")))
+      .groupBy($"user_id", window($"tsec", "3600 seconds").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select($"user_id", $"w.start".cast("long").as("win_start"), $"n", $"sum_value")
+      .orderBy($"user_id", $"win_start")
+  }
+
   // ====================== O: sorts / limits / top-k ======================
 
   // O1 multi-key sort (baseline_flow.py:41)
@@ -422,6 +448,8 @@ object Relational {
     "a10_distinct_count" -> a10Distinct,
     "a11_rollup" -> a11Rollup,
     "a12_max_by" -> a12MaxBy,
+    "a14_session_window" -> a14SessionWindow,
+    "a15_tumbling_window" -> a15TumblingWindow,
     "w2_range_avg_1h" -> w2RangeAvg,
     "w3_topk_per_key" -> w3TopkPerKey,
     "w4_latest_per_key" -> w4LatestPerKey,
@@ -535,6 +563,21 @@ object Relational {
         | MAX_BY(event_id, (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) * 10000000000 + event_id) AS latest_event,
         | MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS latest_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".sm,
+    "a14_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |  CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |    OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 300 THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |g AS (SELECT user_id, t,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, MIN(t) AS session_start, MAX(t) + 300 AS session_end, COUNT(*) AS n
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".sm,
+    "a15_tumbling_window" ->
+      """SELECT user_id, t - t % 3600 AS win_start, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT user_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events)
+        |GROUP BY user_id, 2 ORDER BY user_id, win_start""".sm,
     "w2_range_avg_1h" ->
       """SELECT event_id, user_id, ts_sec,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_1h

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.Skew
+import graft.llm.TextStats
+
+/** Scale-readiness mechanics: salting preserves join/agg semantics,
+  * bucketing removes the join shuffle, TF-IDF fits distributed. */
+class ScaleSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    val orders = Tables.load(spark, sf0001, "orders")
+    val customer = Tables.load(spark, sf0001, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .select($"o_orderkey", $"c_name")
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey",
+        nSalts = 7, saltSource = $"o_orderkey")
+      .select($"o_orderkey", $"c_name")
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("salted count equals plain groupBy count") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val plain = li.groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
+    val salted = Skew.saltedCount(li, "l_suppkey", 7, $"l_orderkey")
+    val diff = plain.join(salted.withColumnRenamed("n", "n2"), "l_suppkey")
+      .filter($"n" =!= $"n2").count()
+    assert(diff == 0)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graftbuckets LOCATION '$wh'")
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val o = Tables.load(spark, sf0001, "orders")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graftbuckets.li_b")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graftbuckets.o_b")
+    val joined = spark.table("graftbuckets.li_b")
+      .join(spark.table("graftbuckets.o_b").hint("merge"),
+        $"l_orderkey" === $"o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == li.count())
+  }
+
+  test("tf-idf produces sparse features and down-weights ubiquitous tokens") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(100)
+    val out = TextStats.tfidf(docs, "text")
+    assert(out.columns.contains("tfidf"))
+    val v = out.select("tfidf").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.numNonzeros > 0)
+  }
+}

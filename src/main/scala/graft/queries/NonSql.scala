@@ -113,7 +113,8 @@ object NonSql {
   val slidingWindowBatch: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "events")
-      .groupBy(window($"ts", "120 seconds", "20 seconds"), $"user_id")
+      .withColumn("tsec", timestamp_seconds($"ts".cast("long")))
+      .groupBy(window($"tsec", "120 seconds", "20 seconds"), $"user_id")
       .agg(count(lit(1)).as("txn_count"))
       .select($"window.start".cast("long").as("win_start"), $"user_id", $"txn_count")
       .orderBy($"win_start", $"user_id")
@@ -160,11 +161,19 @@ object NonSql {
     "mm_decode_meta" -> mmDecode
   )
 
-  /** Only the CSV round-trip is oracle-comparable. */
+  /** CSV round-trip and the sliding window are oracle-comparable (the
+    * sliding window via aligned window-start expansion: each event
+    * belongs to the 6 epoch-aligned 20 s slide starts within 120 s). */
   val oracle: Map[String, String] = Map(
     "s1_csv_roundtrip" ->
       ("SELECT l_returnflag, COUNT(*) AS n, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "a3_sliding_window_batch" ->
+      ("WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events) " +
+        "SELECT (t // 20) * 20 - 20 * i AS win_start, user_id, COUNT(*) AS txn_count " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0, 6)) AS i) " +
+        "WHERE (t // 20) * 20 - 20 * i > t - 120 " +
+        "GROUP BY 1, 2 ORDER BY win_start, user_id")
   )
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Head-to-head vs BASELINE.md: the reference's full batch feature
+  * computation took 451.29 s in pandas and ~118 s via its feature-store
+  * path on ~1.3 M rows (README.md:152-166). This main generates a
+  * 1.3 M-row synthetic transaction table with the reference's shape
+  * (983 cards — producer.py:14; exponential amounts, normal coords)
+  * and runs the COMPLETE 13-column FeaturePipeline, printing wall-clock
+  * as one JSON line. */
+object BenchPipeline {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val n = 1300000L
+    val txns = spark.range(0, n, 1, cpus.toInt).select(
+      timestamp_seconds(lit(1704067200L) + ($"id" * 37L) % 31536000L).as("trans_date_trans_time"),
+      ($"id" % 983).as("cc_num"),
+      element_at(array(lit("grocery"), lit("gas"), lit("food"), lit("travel"), lit("misc")),
+        ($"id" % 5 + 1).cast("int")).as("category"),
+      round(-log(rand(42)) * 70.0, 2).as("amt"),
+      when($"id" % 2 === 0, "M").otherwise("F").as("gender"),
+      (randn(1) * 5.1 + 38.5).as("lat"),
+      (randn(2) * 13.7 - 90.2).as("lon"),
+      ($"id" % 100000 + 100).cast("int").as("city_pop"),
+      timestamp_seconds(lit(315532800L) + ($"id" % 983) * 1000000L).as("dob"),
+      (randn(3) * 5.1 + 38.5).as("merch_lat"),
+      (randn(4) * 13.7 - 90.2).as("merch_long"),
+      when($"id" % 200 === 0, 1).otherwise(0).cast("int").as("is_fraud"))
+
+    val t0 = System.nanoTime()
+    val out = batch.FeaturePipeline.features(txns)
+    val rows = out.count()
+    val featureSecs = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bp_").toString
+    out.write.mode("overwrite").option("header", "true").csv(tmp + "/out")
+    val writeSecs = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"metric":"feature_pipeline_1.3M","rows":$rows,"compute_sec":$featureSecs,"write_csv_sec":$writeSecs,"baseline_pandas_sec":451.29,"baseline_featurestore_sec":118.38}""")
+    spark.stop()
+  }
+}

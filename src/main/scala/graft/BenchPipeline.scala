@@ -46,7 +46,21 @@ object BenchPipeline {
     out.write.mode("overwrite").option("header", "true").csv(tmp + "/out")
     val writeSecs = (System.nanoTime() - t1) / 1e9
 
-    println(s"""{"metric":"feature_pipeline_1.3M","rows":$rows,"compute_sec":$featureSecs,"write_csv_sec":$writeSecs,"baseline_pandas_sec":451.29,"baseline_featurestore_sec":118.38}""")
+    // Training experiment (README.md:152-155): baseline 527.71 s,
+    // feature-store path 118.38 s (3-run avg, 75% sample + train).
+    val t2 = System.nanoTime()
+    val (model, metrics) = ml.FraudModel.train(out.sample(0.75, 42L))
+    val trainSecs = (System.nanoTime() - t2) / 1e9
+
+    // Inference experiment (README.md:159-166): baseline 25.92 s
+    // process+infer on a 100k sample; feature-store 0.97 s + 0.02 s.
+    val sample = out.limit(100000).cache()
+    sample.count()
+    val t3 = System.nanoTime()
+    ml.FraudModel.infer(model, sample).agg(sum("fraud_pred")).collect()
+    val inferSecs = (System.nanoTime() - t3) / 1e9
+
+    println(s"""{"metric":"feature_pipeline_1.3M","rows":$rows,"compute_sec":$featureSecs,"write_csv_sec":$writeSecs,"train_sec":$trainSecs,"train_auc":${metrics.rocAuc},"train_acc":${metrics.accuracy},"infer_100k_sec":$inferSecs,"baseline_pandas_sec":451.29,"baseline_featurestore_sec":118.38,"baseline_infer_sec":25.92}""")
     spark.stop()
   }
 }

@@ -43,6 +43,21 @@ class FeatureStore(spark: SparkSession, offlinePath: String) {
   def ingest(rows: DataFrame): Unit =
     rows.write.mode("append").parquet(offlinePath)
 
+  /** GET /features as JSON records — the HTTP bulk export's payload
+    * (feature.py:56-67); serialization happens on executors. */
+  def bulkJson(limit: Int = 100000): org.apache.spark.sql.Dataset[String] =
+    bulk(limit).toJSON
+
+  /** U7: chunked iteration — fixed-size batches per partition, the
+    * shape of the reference's batched POST loop (insert_offline.py:26-28)
+    * and batched inference (inference_experiment.py:73-75). The sink
+    * callback runs on executors, one client per partition. */
+  def foreachBatched(rows: DataFrame, batchSize: Int)(
+      sink: Seq[org.apache.spark.sql.Row] => Unit): Unit =
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      it.grouped(batchSize).foreach(g => sink(g))
+    }
+
   /** DELETE /features — delete-all (feature.py:20-23). */
   def clear(): Unit = {
     import spark.implicits._

@@ -50,6 +50,37 @@ class ServeMlSpec extends AnyFunSuite with SparkSuite {
     assert(fs2.offline.count() == 2)
   }
 
+  test("clear truncates; bulkJson exports records; foreachBatched chunks") {
+    val p = java.nio.file.Files.createTempDirectory("graft_fs3_").toString + "/offline"
+    val fs = new FeatureStore(spark, p)
+    fs.ingest(Seq(row(1L, 1.0, "2024-01-01 00:00:00", 0),
+      row(2L, 2.0, "2024-01-02 00:00:00", 0)).toDS().toDF())
+    val json = fs.bulkJson().collect()
+    assert(json.length == 2 && json.head.contains("\"cc_num\""))
+    val counts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acc = spark.sparkContext.longAccumulator("batches")
+    fs.foreachBatched(fs.offline, batchSize = 1) { g => acc.add(g.size) }
+    assert(acc.value == 2)
+    fs.clear()
+    assert(fs.offline.count() == 0)
+  }
+
+  test("MLP classifier path trains and predicts") {
+    val data = spark.range(400).select(
+      ($"id" % 10).as("cc_num"),
+      when($"id" % 2 === 0, lit(400.0) + rand(7) * 100).otherwise(rand(8) * 50).as("amt"),
+      lit(10).as("hour_of_day"), lit(2).as("day_of_week"), lit(30.0).as("age_at_txn"),
+      lit(1.0).as("distance_to_merchant"), lit(1).as("txn_count_last_10_min"),
+      lit(10.0).as("avg_amt_last_1_hour"), lit("grocery").as("category"),
+      lit("F").as("gender"), lit(1000).as("city_pop"),
+      when($"id" % 2 === 0, 1).otherwise(0).as("is_fraud"))
+    val model = FraudModel.pipeline(useMlp = true, maxIter = 100).fit(data)
+    val pred = model.transform(data)
+    assert(pred.columns.contains("prediction"))
+    val acc2 = pred.filter($"prediction" === $"is_fraud").count().toDouble / 400
+    assert(acc2 > 0.7, s"MLP accuracy $acc2")
+  }
+
   test("fraud model learns a separable signal (AUC > 0.8)") {
     // fraud iff amt high and distance large — linearly separable-ish
     val n = 2000

@@ -98,6 +98,30 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(c1.getAs[Double]("avg_amt_last_1_hour") - 60.0) < 1e-9)
   }
 
+  test("json-lines file source drives the wire-format parse (S5 shape)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src_").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "b.txt"),
+      """{"txn_id":"f1","cc_num":"3","amount":"9.5","lat":"40.0","long":"-74.0","merch_lat":"40.1","merch_long":"-74.1","timestamp":"2024-01-01T09:00:00.000000"}""")
+    val raw = spark.readStream.schema("value STRING").format("text").load(tmp)
+    val q = StreamPipeline.parse(raw).writeStream
+      .format("memory").queryName("file_src_t").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("file_src_t").as[StreamTxn].collect()
+    assert(rows.length == 1 && rows.head.txn_id == "f1" && rows.head.cc_num == 3L)
+  }
+
+  test("online store compaction keeps only retained rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_oc_").toString + "/log"
+    val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)
+    def stats(id: String, cc: Long, at: String) = CardStats(cc, id, 1.0, 1.0, 1L, 1.0, ts(at))
+    store.upsertBatch(Seq(stats("keep", 1L, "2024-01-01 11:30:00"),
+      stats("drop", 1L, "2024-01-01 09:00:00")).toDS(), 0L)
+    val now = ts("2024-01-01 12:00:00").getTime / 1000
+    store.compact(now)
+    val left = spark.read.parquet(tmp).select("txn_id").collect().map(_.getString(0))
+    assert(left.toSeq == Seq("keep"))
+  }
+
   test("online store: idempotent upsert, latest stats, top-k, TTL") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_os_").toString + "/log"
     val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)

@@ -115,6 +115,39 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Collapse near-duplicate PAIRS into GROUPS: connected components by
+    * iterative min-label propagation (each node adopts the smallest id
+    * reachable in one hop, repeated until fixpoint or `maxIter`).
+    * Returns (doc_id, group_id = smallest id in the component). Each
+    * iteration is one self-join + aggregate — at scale, iterations are
+    * few because label paths halve each round; checkpoint-free since
+    * the edge set is reused unchanged. */
+  def connectedGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("grp", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("grp", "bgrp"), "b")
+        .groupBy(col("a").as("id")).agg(min(col("bgrp")).as("ngrp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("grp"), coalesce(col("ngrp"), col("grp"))).as("grp"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("grp", "old"), "id")
+        .filter(col("grp") =!= col("old")).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs in `docs` — O(n²) in
     * bucket sizes of the shingle join; intended for candidate sets or
     * deterministic samples, with MinHash-LSH as the full-scale path. */

@@ -90,6 +90,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nCells` KMeans cells once, then probe only the `nProbe` cells
+    * whose centroids are nearest each query — the classic
+    * coarse-quantizer ANN layout. At 100 TB the cell assignment is a
+    * one-pass map (centroids broadcast), the probe is a semi-join on
+    * cell id, and only ~nProbe/nCells of the corpus is scored. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = org.apache.spark.sql.functions.udf { (a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+      toVec(col(vecCol)).as("features"))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell").fit(c)
+    val assigned = km.transform(c).select(col("neighbor_id"), col("cv"), col("cell"))
+      .withColumn("cn", norm(col("cv")))
+    val centroids = km.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val probeCells = org.apache.spark.sql.functions.udf { (q: Seq[Double]) =>
+      bc.value.map { case (i, cent) =>
+        val d = q.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val scored = assigned.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** All pairs with cosine ≥ threshold within blocking key `blockCol`
     * (e.g. a cluster label or LSH bucket) — never a full cross join. */
   def cosinePairsWithin(df: DataFrame, idCol: String, vecCol: String,

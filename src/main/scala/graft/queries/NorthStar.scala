@@ -54,6 +54,16 @@ object NorthStar {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // Near-dup GROUPS: connected components over the minhash candidate
+  // pairs (iterative min-label propagation; oracle = recursive CTE).
+  val dedupGroups: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.connectedGroups(
+        Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 8, minMatches = 6))
+      .orderBy($"doc_id")
+  }
+
   // ---- similarity family (llm.Similarity) ----
 
   val annTopk: Q = (s, dir) => {
@@ -112,6 +122,7 @@ object NorthStar {
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_token_set" -> tokenSetDedup,
     "ns_dedup_minhash" -> dedupMinhash,
+    "ns_dedup_groups" -> dedupGroups,
     "ns_simhash" -> simhash,
     "ns_ngram_jaccard" -> ngramJaccard,
     "ns_ann_topk" -> annTopk,
@@ -164,6 +175,25 @@ object NorthStar {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_matches
         |FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 6 ORDER BY doc_a, doc_b""").sm,
+    "ns_dedup_groups" ->
+      (shinglesCte.replace("WITH toks", "WITH RECURSIVE toks") + """, sh AS (
+        | SELECT doc_id, UNNEST(shs) AS sh FROM d
+        |), sig AS (
+        | SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || sh)) AS mh
+        | FROM sh CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) GROUP BY doc_id, i
+        |), pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 6
+        |), edges AS (
+        | SELECT doc_a AS a, doc_b AS b FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs
+        |), reach(id, grp) AS (
+        | SELECT DISTINCT a, a FROM edges
+        | UNION
+        | SELECT e.a, r.grp FROM edges e JOIN reach r ON e.b = r.id
+        |)
+        |SELECT id AS doc_id, MIN(grp) AS group_id FROM reach GROUP BY id ORDER BY doc_id""").sm,
     "ns_simhash" ->
       (s"""WITH tok AS (
         | SELECT doc_id, md5(tok) AS h FROM (

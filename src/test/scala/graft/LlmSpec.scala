@@ -75,6 +75,22 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(cosines == cosines.sorted.reverse, "not ranked descending")
   }
 
+  test("connected groups collapse chained near-dup pairs transitively") {
+    // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val g = Dedup.connectedGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) == 1L && g(2L) == 1L && g(3L) == 1L)
+    assert(g(7L) == 7L && g(9L) == 7L)
+  }
+
+  test("ivf top-k finds the near neighbor through centroid probing") {
+    val top = Similarity.ivfTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 2, nCells = 2, nProbe = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.nonEmpty && top.head._2 == 1L, s"got ${top.toSeq}")
+  }
+
   test("text stats: quality bounded, fingerprint whitespace-invariant") {
     val st = TextStats.withStats(docs, "text")
     assert(st.filter($"quality_score" < 0 || $"quality_score" > 1).count() == 0)

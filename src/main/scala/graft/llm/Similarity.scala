@@ -26,7 +26,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** null-on-zero-denominator division: ANSI mode makes x/0 an ERROR,
+    * and one zero-norm vector must not kill a 100 TB job. */
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den =!= 0.0, num / den)
+
+  def cosine(a: Column, b: Column): Column =
+    safeDiv(dot(a, b), norm(a) * norm(b))
 
   /** Brute-force cosine top-k: for every row of `queries`, the `k`
     * nearest corpus rows. Ranking is by 6-dp-rounded cosine with id
@@ -42,7 +48,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos", round(safeDiv(dot(col("qv"), col("cv")), col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -82,7 +88,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos", round(safeDiv(dot(col("qv"), col("cv")), col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -124,7 +130,7 @@ object Similarity {
       .withColumn("cell", explode(probeCells(col("qv"))))
     val scored = assigned.join(broadcast(q), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos", round(safeDiv(dot(col("qv"), col("cv")), col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -141,7 +147,7 @@ object Similarity {
       .withColumn("n", norm(col("v")))
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cos", round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6))
+      .withColumn("cos", round(safeDiv(dot(col("a.v"), col("b.v")), col("a.n") * col("b.n")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

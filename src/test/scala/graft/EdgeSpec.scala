@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.batch.FeaturePipeline
+import graft.llm.{Dedup, Similarity, TextStats}
+import graft.schema.{Schemas, Txn}
+
+/** Edge rows and empty inputs (SURVEY §5.2): operators must return
+  * empty/well-typed results, not throw — empty partitions are the
+  * steady state of a filtered 100 TB scan. */
+class EdgeSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private lazy val emptyTxns = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.txn)
+    .withColumnRenamed("long", "lon")
+
+  test("feature pipeline on an empty frame keeps the 13-column schema") {
+    val out = FeaturePipeline.features(emptyTxns)
+    assert(out.count() == 0)
+    assert(out.columns.length == 13)
+  }
+
+  test("dedup operators tolerate empty and sub-3-token docs") {
+    val docs = Seq((1L, "one two"), (2L, ""), (3L, "a")).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidatePairs(docs, "doc_id", "text", 8, 6).count() == 0)
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).count() == 0)
+    assert(Dedup.simhash16(docs, "doc_id", "text").count() == 3)
+    val empty = docs.filter($"doc_id" < 0)
+    assert(Dedup.exactGroups(empty, "doc_id", md5($"text")).count() == 0)
+  }
+
+  test("similarity handles empty query sets and zero vectors") {
+    val vecs = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val none = Similarity.cosineTopK(vecs.filter($"vec_id" < 0), vecs,
+      "vec_id", "embedding", 3)
+    assert(none.count() == 0)
+    // zero vector → cosine NaN; ranking must still not throw
+    val withZero = Similarity.cosineTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", 3).collect()
+    assert(withZero.length == 1)
+  }
+
+  test("text stats on empty strings are defined") {
+    val st = TextStats.withStats(Seq(Tuple1("")).toDF("text"), "text")
+    assert(st.count() == 1) // no throw; token count of "" is 1 (one empty token)
+  }
+
+  test("connected groups of an empty pair set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedGroups(empty).count() == 0)
+  }
+
+  test("window queries on a single-row table") {
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".cast("long")).rangeBetween(-600, 0)
+    val r = one.select($"event_id", count(lit(1)).over(w).as("c")).head()
+    assert(r.getLong(1) == 1L)
+  }
+}

@@ -1,8 +1,7 @@
 package graft.expr
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Scalar helpers shared by the batch pipeline and the query inventory
   * (SURVEY.md §2.8). All pure `Column` compositions — codegen-friendly,
@@ -20,13 +19,31 @@ object Functions {
     (at.cast("timestamp").cast("long") - dob.cast("timestamp").cast("long")) /
       lit(SecondsPerYear)
 
-  /** pandas-style factorize: dense codes in first-seen-by-sort-order
-    * (`back_end/data/load_data.py:20`). Global window — fine for code
-    * assignment over a modest key domain; the 100 TB path materializes
-    * `distinct.orderBy.zipWithIndex` once and broadcast-joins the codes.
+  /** pandas-style factorize: dense integer codes in key sort order
+    * (`back_end/data/load_data.py:20`), appended as `outCol`.
+    *
+    * 100 TB shape: the global sort runs over DISTINCT keys only (a
+    * distributed range-partitioned sort — never the naive
+    * `dense_rank().over(Window.orderBy(key))`, which funnels the whole
+    * table through ONE reducer), `zipWithIndex` assigns contiguous codes
+    * with one extra tiny job for partition offsets, and the code table —
+    * one row per distinct key — joins back broadcast. Set
+    * `broadcastCodes=false` when the key domain itself is too large to
+    * broadcast; the join then shuffles on the key, which is still
+    * per-distinct-key work.
     */
-  def factorize(key: Column): Column =
-    dense_rank().over(Window.orderBy(key)) - 1
+  def factorize(df: DataFrame, keyCol: String, outCol: String,
+      broadcastCodes: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val keys = df.select(col(keyCol)).distinct().orderBy(col(keyCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      keys.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val codes = spark.createDataFrame(
+      keys.rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    df.join(if (broadcastCodes) broadcast(codes) else codes, Seq(keyCol))
+  }
 
   /** Dynamic try_cast chain mirroring the serving edge's float-if-dot /
     * int / string fallback (`back_end/app/routes/feature.py:180-187`). */

@@ -56,13 +56,20 @@ case class HaversineMiles(lat1: Expression, lon1: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a1, o1, a2, o2) => {
       val r = Haversine.EarthRadiusMiles
+      // freshName, not fixed names: when all four children are
+      // non-nullable the block is inlined unscoped, so two instances in
+      // one projection would otherwise declare duplicate locals and fail
+      // Janino compilation (→ silent interpreted fallback).
+      val dlat = ctx.freshName("dlat")
+      val dlon = ctx.freshName("dlon")
+      val h = ctx.freshName("h")
       s"""
-         |double dlat = (Math.toRadians($a2) - Math.toRadians($a1)) / 2;
-         |double dlon = (Math.toRadians($o2) - Math.toRadians($o1)) / 2;
-         |double h = Math.sin(dlat) * Math.sin(dlat) +
+         |double $dlat = (Math.toRadians($a2) - Math.toRadians($a1)) / 2;
+         |double $dlon = (Math.toRadians($o2) - Math.toRadians($o1)) / 2;
+         |double $h = Math.sin($dlat) * Math.sin($dlat) +
          |  Math.cos(Math.toRadians($a1)) * Math.cos(Math.toRadians($a2)) *
-         |  Math.sin(dlon) * Math.sin(dlon);
-         |${ev.value} = 2 * $r * Math.asin(Math.sqrt(h));
+         |  Math.sin($dlon) * Math.sin($dlon);
+         |${ev.value} = 2 * $r * Math.asin(Math.sqrt($h));
        """.stripMargin
     })
 

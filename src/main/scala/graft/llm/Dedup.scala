@@ -33,7 +33,13 @@ object Dedup {
     * the array lambda: higher-order functions are interpreted row-at-a-
     * time by Catalyst (~0.7 ms/doc measured), while this shape stays in
     * codegen + narrow shuffles and is ~5× faster at sf0.1. */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleRowsRaw(docs, idCol, textCol).distinct()
+
+  /** [[shingleRows]] without the distinct — for consumers whose
+    * aggregate is idempotent under duplicate (doc_id, shingle) rows
+    * (e.g. a MIN), which saves the dedup shuffle. */
+  def shingleRowsRaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .filter(size(split(col(textCol), " ")) >= 3)
       .select(col(idCol).as("doc_id"),
@@ -45,7 +51,6 @@ object Dedup {
         lead(col("tok"), 1).over(w).as("t1"), lead(col("tok"), 2).over(w).as("t2"))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-      .distinct()
   }
 
   /** MinHash signature as an array of `n` 64-bit minima over xxhash64 of
@@ -80,7 +85,10 @@ object Dedup {
     // than codegens AND re-evaluates the shingle tree per hash index —
     // ~20× slower at sf0.1. The min-agg is mostly map-side (partial agg
     // on uniform md5 keys), so the shuffle carries ~n rows per doc.
-    val sh = shingleRows(docs, idCol, textCol)
+    // No .distinct() on the shingle rows: MIN is idempotent under
+    // duplicates, so the dedup shuffle shingleRows' other callers need
+    // is pure waste here — one less full shuffle of the shingle set.
+    val sh = shingleRowsRaw(docs, idCol, textCol)
     val hashes = array((0 until n).map(i =>
       md5(concat(lit(i.toString), lit("|"), col("sh")))): _*)
     val sigs = sh
@@ -115,51 +123,123 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** Collapse near-duplicate PAIRS into GROUPS: connected components by
-    * iterative min-label propagation (each node adopts the smallest id
-    * reachable in one hop, repeated until fixpoint or `maxIter`).
-    * Returns (doc_id, group_id = smallest id in the component). Each
-    * iteration is one self-join + aggregate — at scale, iterations are
-    * few because label paths halve each round; checkpoint-free since
-    * the edge set is reused unchanged. */
-  def connectedGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** Collapse near-duplicate PAIRS into GROUPS: connected components,
+    * returning (doc_id, group_id = smallest id in the component).
+    *
+    * Each round does (1) a hop — every node adopts the min label among
+    * itself and its neighbors — then (2) a pointer jump — every node
+    * re-reads the label OF its current label. The jump doubles the
+    * propagation distance per round, so convergence is O(log diameter)
+    * rounds, not O(diameter). Each round `localCheckpoint`s the label
+    * table: lineage stays one round deep and the convergence count is a
+    * scan of materialized partitions, so plan size and job overhead are
+    * flat in the round number. Throws if `maxIter` rounds (covering
+    * components of diameter ~2^maxIter) don't reach the fixpoint —
+    * a partial labeling is silently wrong, never returned. */
+  def connectedGroups(pairs: DataFrame, maxIter: Int = 10,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct().cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("grp", col("id"))
+      .localCheckpoint()
+    // Labels only ever DECREASE (each round takes a min including self),
+    // so the label-sum is strictly monotone until the fixpoint — an
+    // unchanged sum IS convergence. That makes the per-round convergence
+    // check a scan-aggregate of the checkpointed table instead of a join.
+    def sumAndCount(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("grp").cast("decimal(38,0)")), count(lit(1))).head()
+      (r.getDecimal(0), r.getLong(1))
+    }
+    val (sum0, nNodes) = sumAndCount(labels)
+    // The node set (docs that appear in a near-dup pair) is typically a
+    // tiny fraction of the corpus; when it fits a broadcast, every
+    // per-round join becomes a map-side broadcast hash join against the
+    // cached edges — no edge shuffle, ever. Above the limit, fall back
+    // to shuffle joins (correct at any scale, just more exchanges).
+    if (nNodes == 0) {
+      edges.unpersist(false)
+      return labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
+    }
+    val bcast = nNodes <= broadcastNodeLimit
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // Small graph ⇒ 32-partition scans are pure task-scheduling overhead;
+    // run each round's tiny join/agg as single tasks. (coalesce reads the
+    // cached blocks, no shuffle.) The large-graph path keeps full
+    // parallelism.
+    def squeeze(df: DataFrame): DataFrame = if (bcast) df.coalesce(1) else df
+    val e = squeeze(edges)
+    var prevSum = sum0
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("grp", "bgrp"), "b")
-        .groupBy(col("a").as("id")).agg(min(col("bgrp")).as("ngrp"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("grp"), coalesce(col("ngrp"), col("grp"))).as("grp"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("grp", "old"), "id")
-        .filter(col("grp") =!= col("old")).count()
-      labels.unpersist(false)
+      // min over {self} ∪ {neighbor labels}: one join + one aggregate
+      val hopped = e
+        .join(maybeB(labels.withColumnRenamed("id", "b").withColumnRenamed("grp", "bgrp")), "b")
+        .select(col("a").as("id"), col("bgrp").as("grp"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("grp")).as("grp"))
+      // Pointer jump: labels point at node ids, so chase one level —
+      // grp := label(grp). Monotone decreasing, hence always ≤ grp.
+      // Hop + jump land in ONE checkpointed job per round: re-evaluating
+      // the cheap hop aggregate on the broadcast side costs less than a
+      // second job's scheduling round-trip.
+      val next = squeeze(hopped
+        .join(maybeB(hopped.select(col("id").as("grp"), col("grp").as("pgrp"))), Seq("grp"), "left")
+        .select(col("id"), coalesce(col("pgrp"), col("grp")).as("grp")))
+        .localCheckpoint()
+      val (s, _) = sumAndCount(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
     edges.unpersist(false)
+    if (!converged) throw new IllegalStateException(
+      s"connectedGroups did not converge in $maxIter rounds — component diameter exceeds 2^$maxIter")
     labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs in `docs` — O(n²) in
-    * bucket sizes of the shingle join; intended for candidate sets or
-    * deterministic samples, with MinHash-LSH as the full-scale path. */
+  /** Shingles whose document frequency exceeds `maxDf` — the
+    * "stop-shingles" [[ngramJaccardPairs]] drops. Exposed so callers can
+    * count/log what a df cap discards before trusting capped output. */
+  def hotShingles(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int): DataFrame =
+    shingleRows(docs, idCol, textCol)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
+  /** Exact n-gram Jaccard similarity for all pairs in `docs`, computed
+    * over the shingles with document frequency ≤ `maxShingleDf`
+    * (stop-shingle practice: a 3-gram like "of the and" appears in a
+    * constant fraction of any corpus, carries ~zero similarity signal,
+    * and would otherwise put every containing doc into ONE bucket that
+    * expands quadratically inside a single task — the one shape that
+    * OOMs at 100 TB). Both the intersection counts and the per-doc set
+    * sizes use the capped universe, so the result is a true Jaccard
+    * over the filtered shingle sets. Use [[hotShingles]] to audit what
+    * a cap drops; pass `Int.MaxValue` for the uncapped O(n²) form on
+    * candidate sets. MinHash-LSH remains the full-scale path. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol)
+      threshold: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val all = shingleRows(docs, idCol, textCol)
+    val sh =
+      if (maxShingleDf == Int.MaxValue) all
+      else {
+        // Window count, not a groupBy+join: one shuffle on sh, and the
+        // downstream groupBy(sh) reuses the exchange.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        all.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= maxShingleDf).drop("df")
+      }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Pair generation via group-by-shingle + in-place expansion: one
     // narrow shuffle of (shingle, doc_id) instead of a string-keyed
     // self-join that ships the shingle text twice; the pair counts then
     // partial-aggregate map-side. Equivalent to JOIN ... ON a.sh = b.sh
-    // AND a.doc_id < b.doc_id GROUP BY pair.
+    // AND a.doc_id < b.doc_id GROUP BY pair. With the df cap, bucket
+    // expansion is bounded by maxShingleDf² pairs per shingle.
     val inter = sh
       .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)

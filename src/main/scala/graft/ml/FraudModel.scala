@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object FraudModel {
 
   final case class Metrics(accuracy: Double, precision: Double,
-      recall: Double, f1: Double, rocAuc: Double)
+      recall: Double, f1: Double, rocAuc: Double, prAuc: Double)
 
   val categoricalCols = Seq("category", "gender")
   val numericCols = Seq("amt", "hour_of_day", "day_of_week", "age_at_txn",
@@ -70,25 +70,49 @@ object FraudModel {
   }
 
   def train(features: DataFrame, useMlp: Boolean = false,
-      testFraction: Double = 0.25, seed: Long = 42L): (PipelineModel, Metrics) = {
+      testFraction: Double = 0.2, seed: Long = 42L): (PipelineModel, Metrics) = {
     val Array(tr, te) = balance(features, seed = seed)
       .randomSplit(Array(1 - testFraction, testFraction), seed)
     val model = pipeline(useMlp).fit(tr)
     (model, evaluate(model, te))
   }
 
+  /** Binary metrics for the FRAUD class (pos_label=1), matching the
+    * reference's sklearn defaults (training.py:141-144 `f1_score`,
+    * `classification_report` row for label 1; :173-192 roc_auc on
+    * probabilities). `metricLabel` defaults to 0.0 in MLlib, which
+    * would silently report the majority (non-fraud) class.
+    */
   def evaluate(model: PipelineModel, test: DataFrame): Metrics = {
     val pred = model.transform(test).cache()
-    def m(name: String): Double = new MulticlassClassificationEvaluator()
-      .setLabelCol("is_fraud").setPredictionCol("prediction")
-      .setMetricName(name).evaluate(pred)
-    val auc = new BinaryClassificationEvaluator()
-      .setLabelCol("is_fraud").setRawPredictionCol("rawPrediction")
-      .setMetricName("areaUnderROC").evaluate(pred)
-    val out = Metrics(m("accuracy"), m("precisionByLabel"), m("recallByLabel"), m("f1"), auc)
+    val out = metricsFrom(pred)
     pred.unpersist()
     out
   }
+
+  /** Metrics from an already-scored frame with `is_fraud`, `prediction`
+    * and `rawPrediction` columns — split out so the fraud-class
+    * definitions are testable against a hand-computed confusion matrix.
+    */
+  def metricsFrom(pred: DataFrame): Metrics = {
+    def m(name: String): Double = new MulticlassClassificationEvaluator()
+      .setLabelCol("is_fraud").setPredictionCol("prediction")
+      .setMetricName(name).setMetricLabel(1.0).evaluate(pred)
+    def auc(name: String): Double = new BinaryClassificationEvaluator()
+      .setLabelCol("is_fraud").setRawPredictionCol("rawPrediction")
+      .setMetricName(name).evaluate(pred)
+    Metrics(m("accuracy"), m("precisionByLabel"), m("recallByLabel"),
+      m("fMeasureByLabel"), auc("areaUnderROC"), auc("areaUnderPR"))
+  }
+
+  /** Best-checkpoint persistence mirroring the reference's save/reload
+    * (model/training.py:102-112): the fitted PipelineModel (indexers,
+    * scaler stats, classifier weights) round-trips through a directory.
+    */
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): PipelineModel = PipelineModel.load(path)
 
   /** Batched distributed inference with the reference's 0.5 threshold
     * (training.py:114; inference_experiment.py:72-77). */

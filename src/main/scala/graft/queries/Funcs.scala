@@ -25,11 +25,12 @@ object Funcs {
       .orderBy($"event_id")
   }
 
-  // S12: factorize / dense codes (load_data.py:20)
+  // S12: factorize / dense codes (load_data.py:20) — distinct-keys sort
+  // + zipWithIndex + broadcast join back, never a global window.
   val s12Factorize: Q = (s, dir) => {
     import s.implicits._
-    t(s, dir, "customer")
-      .select($"c_custkey", Functions.factorize($"c_custkey").as("code"))
+    Functions.factorize(t(s, dir, "customer"), "c_custkey", "code")
+      .select($"c_custkey", $"code")
       .orderBy($"c_custkey")
   }
 

@@ -47,10 +47,13 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // Stop-shingle df cap = 5 keeps the hottest shingles (which carry no
+  // similarity signal) out of the quadratic bucket expansion; the oracle
+  // mirrors the cap via QUALIFY.
   val ngramJaccard: Q = (s, dir) => {
     import s.implicits._
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5)
+        threshold = 0.5, maxShingleDf = 5)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -204,8 +207,10 @@ object NorthStar {
         |SELECT doc_id, $simhashBits AS simhash FROM votes ORDER BY doc_id""").sm,
     "ns_ngram_jaccard" ->
       (shinglesCte +
-        """, sh AS (
+        """, sh0 AS (
         | SELECT doc_id, UNNEST(shs) AS sh FROM d
+        |), sh AS (
+        | SELECT doc_id, sh FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 5
         |), sizes AS (
         | SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
         |), pairs AS (

@@ -10,9 +10,12 @@ import graft.schema.FeatureRow
   * the engine is this Scala surface; each method is a plain DataFrame
   * query so filters push down to the parquet scan.
   */
-class FeatureStore(spark: SparkSession, offlinePath: String) {
+class FeatureStore(spark: SparkSession, backend: OfflineBackend) {
 
-  def offline: DataFrame = spark.read.parquet(offlinePath)
+  def this(spark: SparkSession, offlinePath: String) =
+    this(spark, ParquetBackend(offlinePath))
+
+  def offline: DataFrame = backend.read(spark)
 
   /** GET /features — bulk scan with cap (feature.py:56-67,111). */
   def bulk(limit: Int = 100000): DataFrame = offline.limit(limit)
@@ -40,8 +43,7 @@ class FeatureStore(spark: SparkSession, offlinePath: String) {
   }
 
   /** POST /features — batch ingest (feature.py:25-54). */
-  def ingest(rows: DataFrame): Unit =
-    rows.write.mode("append").parquet(offlinePath)
+  def ingest(rows: DataFrame): Unit = backend.append(rows)
 
   /** GET /features as JSON records — the HTTP bulk export's payload
     * (feature.py:56-67); serialization happens on executors. */
@@ -61,15 +63,20 @@ class FeatureStore(spark: SparkSession, offlinePath: String) {
   /** DELETE /features — delete-all (feature.py:20-23). */
   def clear(): Unit = {
     import spark.implicits._
-    spark.emptyDataset[FeatureRow].write.mode("overwrite").parquet(offlinePath)
+    backend.overwrite(spark.emptyDataset[FeatureRow].toDF())
   }
 
-  /** POST /redis/sync — offline→online sync as a left-semi join on the
-    * online key set, returning (synced, skipped) counts like the route
-    * (feature.py:199-213). */
+  /** POST /redis/sync — offline→online sync counts like the route
+    * (feature.py:199-213). ONE broadcast left-outer join + conditional
+    * count aggregate: the offline table is scanned and shuffled once
+    * for both counts (the semi/anti formulation scans it twice). */
   def sync(onlineKeys: DataFrame): (Long, Long) = {
-    val synced = offline.join(onlineKeys, Seq("cc_num"), "left_semi").count()
-    val skipped = offline.join(onlineKeys, Seq("cc_num"), "left_anti").count()
-    (synced, skipped)
+    val keys = broadcast(
+      onlineKeys.select(col("cc_num")).distinct().withColumn("__matched", lit(1)))
+    val r = offline.join(keys, Seq("cc_num"), "left_outer")
+      .agg(count(when(col("__matched").isNotNull, 1)).as("synced"),
+        count(when(col("__matched").isNull, 1)).as("skipped"))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 }

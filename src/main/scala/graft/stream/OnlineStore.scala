@@ -41,10 +41,23 @@ class OnlineStore(spark: SparkSession, path: String, ttlSeconds: Long = 86400L) 
 
   private def log: DataFrame = spark.read.parquet(path)
 
-  /** TTL retention predicate (redis EXPIRE 86400, redis_writer.py:25,38). */
-  def retained(asOfEpochSec: Long): DataFrame =
+  /** TTL retention predicate (redis EXPIRE 86400, redis_writer.py:25,38)
+    * + latest-wins per txn_id. Replayed micro-batches produce IDENTICAL
+    * rows (same batch_id on retry) and collapse via the full-row
+    * distinct; distinct rows sharing a txn_id are legitimate re-emissions
+    * from [[StreamPipeline.mergeStats]] (each slot update re-emits the
+    * last txn with fresher counts), so keep the max-(last_update,
+    * batch_id) row rather than an arbitrary one — the Redis hash's
+    * last-write-wins semantics. */
+  def retained(asOfEpochSec: Long): DataFrame = {
+    val w = Window.partitionBy(col("txn_id"))
+      .orderBy(col("last_update").desc, col("batch_id").desc,
+        col("txn_count_last_10_min").desc, col("avg_amt_last_1_hour").desc)
     log.filter(col("last_update").cast("long") >= asOfEpochSec - ttlSeconds)
-      .dropDuplicates("txn_id") // idempotency: replayed micro-batches collapse
+      .dropDuplicates() // replay idempotency: identical rows collapse
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** `txn:{cc}:stats` — latest stats row per card. */
   def stats(asOfEpochSec: Long): DataFrame = {
@@ -64,13 +77,32 @@ class OnlineStore(spark: SparkSession, path: String, ttlSeconds: Long = 86400L) 
       .drop("batch_id", "ingest_date")
 
   /** Compaction: rewrite the log keeping only retained rows (bounds
-    * storage growth the way Redis TTL bounds keyspace). */
-  def compact(asOfEpochSec: Long, tmpSuffix: String = ".compact"): Unit = {
-    val keep = retained(asOfEpochSec).cache()
-    keep.count()
-    keep.write.mode("overwrite").parquet(path + tmpSuffix)
-    spark.read.parquet(path + tmpSuffix)
-      .write.mode("overwrite").partitionBy("ingest_date").parquet(path)
-    keep.unpersist()
+    * storage growth the way Redis TTL bounds keyspace).
+    *
+    * Crash-safe swap: the compacted copy is fully written to `.compact`,
+    * then promoted with two directory renames (old log → `.bak`,
+    * compacted → log) — each rename is atomic on HDFS-like filesystems,
+    * so a crash leaves either the old log in place, or the old log at
+    * `.bak` with the complete compacted copy ready; never a
+    * half-overwritten directory (the previous overwrite-in-place could
+    * die between delete and write). Leftovers from a previous crash are
+    * cleaned up on entry. */
+  def compact(asOfEpochSec: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new Path(path)
+    val tmp = new Path(path + ".compact")
+    val bak = new Path(path + ".bak")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    retained(asOfEpochSec)
+      .write.mode("overwrite").partitionBy("ingest_date").parquet(tmp.toString)
+    if (!fs.rename(main, bak))
+      throw new java.io.IOException(s"compact: rename $main -> $bak failed")
+    if (!fs.rename(tmp, main)) {
+      fs.rename(bak, main) // roll back
+      throw new java.io.IOException(s"compact: rename $tmp -> $main failed")
+    }
+    fs.delete(bak, true)
   }
 }

@@ -96,23 +96,34 @@ object StreamPipeline {
     */
   def mergeStats(slots: Dataset[Slot],
       stateTtlMs: Long = 86400000L,
-      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[CardStats] = {
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
+      watermarkDelay: String = "5 seconds"): Dataset[CardStats] = {
     // NOTE: ProcessingTimeTimeout makes the engine schedule continuous
     // no-data micro-batches, so tests driven by processAllAvailable()
     // pass NoTimeout; production queries on a real trigger keep the TTL.
+    // EventTimeTimeout ties eviction to the WATERMARK instead of wall
+    // clock — on a backfill/replay of old data, state expires with the
+    // replayed event time rather than never (clock far ahead) or
+    // prematurely (clock-based TTL elapsed long ago).
     val spark = slots.sparkSession
     import spark.implicits._
-    slots.groupByKey(_.cc_num)
+    val in =
+      if (timeout == GroupStateTimeout.EventTimeTimeout)
+        slots.withWatermark("ts", watermarkDelay)
+      else slots
+    in.groupByKey(_.cc_num)
       .flatMapGroupsWithState[CardState, CardStats](
         OutputMode.Append, timeout) {
         (cc: Long, in: Iterator[Slot], state: GroupState[CardState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var st = state.getOption.getOrElse(CardState(None, None, None))
+            var maxTsMs = Long.MinValue
             val out = Iterator.unfold(in) { it =>
               if (!it.hasNext) None
               else {
                 val s = it.next()
+                maxTsMs = math.max(maxTsMs, s.ts.getTime)
                 st = CardState(
                   s.txn.orElse(st.lastTxn),
                   s.txnCount.orElse(st.txnCount),
@@ -128,6 +139,9 @@ object StreamPipeline {
             state.update(st)
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
               state.setTimeoutDuration(stateTtlMs)
+            else if (timeout == GroupStateTimeout.EventTimeTimeout && maxTsMs != Long.MinValue)
+              // expire when the WATERMARK passes last-event-time + TTL
+              state.setTimeoutTimestamp(maxTsMs + stateTtlMs)
             out.iterator
           }
       }

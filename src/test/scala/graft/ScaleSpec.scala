@@ -49,6 +49,25 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(joined.count() == li.count())
   }
 
+  test("ngram jaccard with df cap survives one shingle shared by 10k docs") {
+    import graft.llm.Dedup
+    // Every doc contains the hot shingle "aa bb cc"; each pair of
+    // consecutive docs additionally shares a rare shingle. Uncapped,
+    // the hot bucket expands to ~5*10^7 pairs inside ONE task; capped,
+    // it is dropped before expansion.
+    val docs = spark.range(10000).select($"id".as("doc_id"),
+      concat(lit("aa bb cc rare"), ($"id" / 2).cast("long"), lit(" x y")).as("text"))
+    val hot = Dedup.hotShingles(docs, "doc_id", "text", maxDf = 100).collect()
+    assert(hot.map(_.getString(0)).toSet == Set("aa bb cc"), hot.mkString(","))
+    val t0 = System.nanoTime()
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = 100)
+    // consecutive (2k, 2k+1) docs share ALL their capped shingles → jaccard 1.0
+    assert(pairs.count() == 5000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60, s"capped ngram jaccard took $secs s")
+  }
+
   test("tf-idf produces sparse features and down-weights ubiquitous tokens") {
     val docs = Tables.load(spark, sf0001, "documents").limit(100)
     val out = TextStats.tfidf(docs, "text")

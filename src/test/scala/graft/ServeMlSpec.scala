@@ -65,6 +65,34 @@ class ServeMlSpec extends AnyFunSuite with SparkSuite {
     assert(fs.offline.count() == 0)
   }
 
+  test("JDBC backend (embedded Derby) round-trips the serving facade") {
+    import graft.serve.JdbcBackend
+    System.setProperty("derby.stream.error.file",
+      java.nio.file.Files.createTempDirectory("graft_derbylog_").toString + "/derby.log")
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_").toString + "/db"
+    val fs = new FeatureStore(spark, JdbcBackend(s"jdbc:derby:$db;create=true", "features"))
+    fs.ingest(Seq(
+      row(1L, 10.0, "2024-01-01 10:00:00", 0),
+      row(1L, 30.0, "2024-01-03 12:00:00", 1),
+      row(2L, 40.0, "2024-01-02 09:00:00", 0)).toDS().toDF())
+    assert(fs.offline.count() == 3)
+    assert(fs.byCcNum(1L).count() == 2)
+    assert(fs.byDateRange("2024-01-02", "2024-01-03").count() == 2)
+    val (synced, skipped) = fs.sync(Seq(1L).toDF("cc_num"))
+    assert(synced == 2 && skipped == 1)
+    // range-partitioned parallel read sees the same rows
+    val par = JdbcBackend(s"jdbc:derby:$db", "features",
+      partitionColumn = Some("cc_num"), numPartitions = 4)
+    assert(par.read(spark).count() == 3)
+    // Spark clamps slices to the key span (max-min=1 here) — just prove
+    // the range-partitioned path executes, not a specific slice count
+    assert(par.read(spark).rdd.getNumPartitions >= 1)
+    fs.clear()
+    assert(fs.offline.count() == 0)
+    fs.ingest(Seq(row(3L, 5.0, "2024-02-01 00:00:00", 0)).toDS().toDF())
+    assert(fs.offline.count() == 1)
+  }
+
   test("MLP classifier path trains and predicts") {
     val data = spark.range(400).select(
       ($"id" % 10).as("cc_num"),
@@ -109,6 +137,43 @@ class ServeMlSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val ratio = b(0).toDouble / b(1)
     assert(ratio > 3.0 && ratio < 7.0, s"ratio $ratio")
+  }
+
+  test("metrics describe the FRAUD class: hand-computed confusion matrix") {
+    import org.apache.spark.ml.linalg.Vectors
+    // TP=3 FP=1 FN=2 TN=4  →  prec=3/4  rec=3/5  f1=2pr/(p+r)=2/3  acc=7/10
+    val rows = Seq(
+      (1, 1.0, 0.9), (1, 1.0, 0.8), (1, 1.0, 0.7),          // TP
+      (0, 1.0, 0.6),                                        // FP
+      (1, 0.0, 0.4), (1, 0.0, 0.3),                         // FN
+      (0, 0.0, 0.2), (0, 0.0, 0.1), (0, 0.0, 0.15), (0, 0.0, 0.05)) // TN
+    val pred = rows.toDF("is_fraud", "prediction", "p")
+      .withColumn("rawPrediction",
+        udf((p: Double) => Vectors.dense(1 - p, p)).apply($"p"))
+    val m = FraudModel.metricsFrom(pred)
+    assert(math.abs(m.precision - 0.75) < 1e-9, s"precision ${m.precision}")
+    assert(math.abs(m.recall - 0.6) < 1e-9, s"recall ${m.recall}")
+    assert(math.abs(m.f1 - 2.0 / 3.0) < 1e-9, s"f1 ${m.f1}")
+    assert(math.abs(m.accuracy - 0.7) < 1e-9, s"accuracy ${m.accuracy}")
+    assert(m.rocAuc > 0.9 && m.prAuc > 0.8, s"auc ${m.rocAuc}/${m.prAuc}")
+  }
+
+  test("model save/load round-trip yields identical predictions") {
+    val data = spark.range(300).select(
+      ($"id" % 10).as("cc_num"),
+      when($"id" % 2 === 0, lit(400.0) + rand(7) * 100).otherwise(rand(8) * 50).as("amt"),
+      lit(10).as("hour_of_day"), lit(2).as("day_of_week"), lit(30.0).as("age_at_txn"),
+      lit(1.0).as("distance_to_merchant"), lit(1).as("txn_count_last_10_min"),
+      lit(10.0).as("avg_amt_last_1_hour"), lit("grocery").as("category"),
+      lit("F").as("gender"), lit(1000).as("city_pop"),
+      when($"id" % 2 === 0, 1).otherwise(0).as("is_fraud"))
+    val (model, _) = FraudModel.train(data)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_").toString + "/m"
+    FraudModel.save(model, dir)
+    val reloaded = FraudModel.load(dir)
+    val a = FraudModel.infer(model, data).select("cc_num", "amt", "fraud_pred")
+    val b = FraudModel.infer(reloaded, data).select("cc_num", "amt", "fraud_pred")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
   test("inference applies the 0.5 threshold column") {

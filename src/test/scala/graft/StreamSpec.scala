@@ -122,6 +122,68 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(left.toSeq == Seq("keep"))
   }
 
+  test("EventTimeTimeout evicts merge state when the watermark passes the TTL") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import StreamPipeline.Slot
+    val mem = MemoryStream[Slot](spark)
+    val merged = StreamPipeline.mergeStats(mem.toDS(), stateTtlMs = 60000L,
+      timeout = GroupStateTimeout.EventTimeTimeout)
+    val q = merged.writeStream.format("memory").queryName("ett_t").outputMode("append").start()
+    val t1 = txn("t1", 5L, 100.0, "2024-01-01 10:00:00")
+    mem.addData(Slot(5L, Some(t1), None, None, t1.ts),
+      Slot(5L, None, Some(3L), None, t1.ts),
+      Slot(5L, None, None, Some(55.5), t1.ts))
+    q.processAllAvailable()
+    assert(spark.table("ett_t").count() >= 1, "all slots present should emit")
+    // advance the watermark (event time, not wall clock) past 10:01:00
+    val w = txn("w", 9L, 1.0, "2024-01-01 12:00:00")
+    mem.addData(Slot(9L, Some(w), None, None, w.ts))
+    q.processAllAvailable()
+    mem.addData(Slot(9L, Some(w), None, None, w.ts)) // batch where the timeout fires
+    q.processAllAvailable()
+    // card 5's state is gone: a lone txn slot can no longer emit
+    val t2 = txn("late", 5L, 1.0, "2024-01-01 12:00:01")
+    mem.addData(Slot(5L, Some(t2), None, None, t2.ts))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ett_t").as[CardStats].collect()
+    assert(!rows.exists(_.txn_id == "late"),
+      s"state survived the event-time TTL: ${rows.mkString(",")}")
+  }
+
+  test("compact cleans stale tmp/bak leftovers from a previous crash") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_occ_").toString + "/log"
+    val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)
+    def stats(id: String, cc: Long, at: String) = CardStats(cc, id, 1.0, 1.0, 1L, 1.0, ts(at))
+    store.upsertBatch(Seq(stats("keep", 1L, "2024-01-01 11:30:00")).toDS(), 0L)
+    // simulate a crash mid-compact: stale half-written tmp + bak dirs
+    for (suffix <- Seq(".compact", ".bak")) {
+      val d = new java.io.File(tmp + suffix)
+      d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("junk"), "partial")
+    }
+    val now = ts("2024-01-01 12:00:00").getTime / 1000
+    store.compact(now)
+    val left = spark.read.parquet(tmp).select("txn_id").collect().map(_.getString(0))
+    assert(left.toSeq == Seq("keep"))
+    assert(!new java.io.File(tmp + ".compact").exists())
+    assert(!new java.io.File(tmp + ".bak").exists())
+  }
+
+  test("retained keeps the LATEST row per txn_id, not an arbitrary one") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lw_").toString + "/log"
+    val store = new OnlineStore(spark, tmp, ttlSeconds = 86400)
+    // mergeStats re-emits txn t1 as its stats slots update: same txn_id,
+    // increasing txn_count/last_update across micro-batches
+    store.upsertBatch(Seq(CardStats(1L, "t1", 10.0, 1.0, 1L, 10.0, ts("2024-01-01 10:00:00"))).toDS(), 0L)
+    store.upsertBatch(Seq(CardStats(1L, "t1", 10.0, 1.0, 3L, 25.0, ts("2024-01-01 10:00:20"))).toDS(), 1L)
+    val now = ts("2024-01-01 11:00:00").getTime / 1000
+    val r = store.retained(now).collect()
+    assert(r.length == 1, r.mkString(","))
+    assert(r.head.getAs[Long]("txn_count_last_10_min") == 3L)
+    val s = store.stats(now).head()
+    assert(s.getAs[Double]("avg_amt_last_1_hour") == 25.0)
+  }
+
   test("online store: idempotent upsert, latest stats, top-k, TTL") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_os_").toString + "/log"
     val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)

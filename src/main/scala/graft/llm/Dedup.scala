@@ -223,34 +223,36 @@ object Dedup {
     * candidate sets. MinHash-LSH remains the full-scale path. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val all = shingleRows(docs, idCol, textCol)
-    val sh =
+    val kept =
       if (maxShingleDf == Int.MaxValue) all
-      else {
-        // Window count, not a groupBy+join: one shuffle on sh, and the
-        // downstream groupBy(sh) reuses the exchange.
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-        all.withColumn("df", count(lit(1)).over(w))
+      else
+        // Window count, not a groupBy+join — a single shuffle on sh
+        all.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
           .filter(col("df") <= maxShingleDf).drop("df")
-      }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Per-doc set size rides along as a struct field, so the jaccard
+    // denominator needs NO post-join against a separate sizes table —
+    // the whole operator is ONE stream through three hash shuffles
+    // (df-cap by sh, size by doc, buckets by sh), instead of three
+    // recomputations of the shingle set stitched by two joins.
+    val withSz = kept.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // Pair generation via group-by-shingle + in-place expansion: one
-    // narrow shuffle of (shingle, doc_id) instead of a string-keyed
+    // narrow shuffle of (shingle, doc_id, sz) instead of a string-keyed
     // self-join that ships the shingle text twice; the pair counts then
     // partial-aggregate map-side. Equivalent to JOIN ... ON a.sh = b.sh
     // AND a.doc_id < b.doc_id GROUP BY pair. With the df cap, bucket
     // expansion is bounded by maxShingleDf² pairs per shingle.
-    val inter = sh
-      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ds"))
+    withSz
+      .groupBy(col("sh")).agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)

@@ -234,14 +234,19 @@ object Relational {
       max(date_format($"o_orderdate", "yyyy-MM-dd")).as("max_date"))
   }
 
-  // A9 monotonicity check (load_data.py:13)
+  // A9 monotonicity check (load_data.py:13). Keys sorted by (date, key)
+  // are globally non-decreasing iff every date's MAX key ≤ the next
+  // date's MIN key (within a date, key order is trivially ascending) —
+  // so the check is one hash-aggregate per date plus a window over the
+  // tiny per-date table, never a single-partition window over all rows.
   val a9Monotonic: Q = (s, dir) => {
     import s.implicits._
-    val w = Window.orderBy($"o_orderdate", $"o_orderkey")
+    val w = Window.orderBy($"o_orderdate")
     t(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderdate")
-      .withColumn("prev", lag($"o_orderkey", 1).over(w))
-      .agg(bool_and(coalesce($"o_orderkey" >= $"prev", lit(true))).as("is_monotonic"))
+      .groupBy($"o_orderdate")
+      .agg(min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .withColumn("prev_max", lag($"max_key", 1).over(w))
+      .agg(bool_and(coalesce($"min_key" >= $"prev_max", lit(true))).as("is_monotonic"))
   }
 
   // A10 distinct counts (featurestore_flow.py:118; producer.py:14)

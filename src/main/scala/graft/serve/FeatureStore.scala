@@ -71,12 +71,18 @@ class FeatureStore(spark: SparkSession, backend: OfflineBackend) {
     * count aggregate: the offline table is scanned and shuffled once
     * for both counts (the semi/anti formulation scans it twice). */
   def sync(onlineKeys: DataFrame): (Long, Long) = {
+    val r = syncFrame(onlineKeys).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The one-pass plan behind [[sync]], exposed for plan assertions:
+    * a single scan of the offline table, one broadcast join, one
+    * aggregate producing both counts. */
+  def syncFrame(onlineKeys: DataFrame): DataFrame = {
     val keys = broadcast(
       onlineKeys.select(col("cc_num")).distinct().withColumn("__matched", lit(1)))
-    val r = offline.join(keys, Seq("cc_num"), "left_outer")
+    offline.join(keys, Seq("cc_num"), "left_outer")
       .agg(count(when(col("__matched").isNotNull, 1)).as("synced"),
         count(when(col("__matched").isNull, 1)).as("skipped"))
-      .head()
-    (r.getLong(0), r.getLong(1))
   }
 }

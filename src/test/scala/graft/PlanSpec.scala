@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.batch.FeaturePipeline
+import graft.serve.FeatureStore
+
+/** Physical-plan regression gate: the shapes that make these operators
+  * scale must survive refactors — pushdown reaching the parquet scan,
+  * broadcast where a side is small, exactly one exchange where one is
+  * designed, codegen fusion in the hot projections. Each assertion
+  * pins a property a 1000-executor run depends on.
+  */
+class PlanSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("point-lookup filter is pushed to the parquet scan") {
+    val p = java.nio.file.Files.createTempDirectory("graft_plan_").toString + "/off"
+    spark.range(100).select($"id".as("cc_num"), ($"id" * 2.0).as("amt"))
+      .write.parquet(p)
+    val plan = spark.read.parquet(p).filter($"cc_num" === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(cc_num), EqualTo(cc_num,7)"), plan)
+  }
+
+  test("column pruning reaches the scan for a 2-column projection") {
+    val li = Tables.load(spark, sf0001, "lineitem").select($"l_orderkey", $"l_quantity")
+    val plan = li.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("batch feature pipeline shuffles exactly once (shared card partition)") {
+    val txns = Tables.load(spark, sf0001, "events").select(
+      $"ts".as("trans_date_trans_time"), $"user_id".as("cc_num"),
+      lit("grocery").as("category"), $"value".as("amt"), lit("F").as("gender"),
+      lit(40.0).as("lat"), lit(-74.0).as("lon"), lit(1000L).as("city_pop"),
+      to_timestamp(lit("1980-01-01 00:00:00")).as("dob"),
+      lit(40.1).as("merch_lat"), lit(-74.1).as("merch_long"), lit(0).as("is_fraud"))
+    val plan = executed(FeaturePipeline.features(txns))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    // the two range frames become two Window nodes but must share ONE
+    // partition + sort (same key and ordering)
+    val sorts = "\\+- Sort ".r.findAllIn(plan).length
+    assert(sorts == 1, s"expected 1 shared sort, got $sorts:\n$plan")
+  }
+
+  test("small-dimension join broadcasts (no shuffle of the big side)") {
+    val orders = Tables.load(spark, sf0001, "orders")
+    val nation = Tables.load(spark, sf0001, "nation")
+    val cust = Tables.load(spark, sf0001, "customer")
+    val j = orders.join(cust, $"o_custkey" === $"c_custkey")
+      .join(nation, $"c_nationkey" === $"n_nationkey")
+    val plan = executed(j)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("sync scans the offline table once: one join, both counts in one aggregate") {
+    val p = java.nio.file.Files.createTempDirectory("graft_plan2_").toString + "/off"
+    spark.range(50).select($"id".as("cc_num"), ($"id" * 1.0).as("amt")).write.parquet(p)
+    val fs = new FeatureStore(spark, p)
+    val (synced, skipped) = fs.sync(Seq(1L, 2L).toDF("cc_num"))
+    assert(synced == 2 && skipped == 48)
+    val plan = executed(fs.syncFrame(Seq(1L, 2L).toDF("cc_num")))
+    assert("Scan parquet".r.findAllIn(plan).length == 1, s"offline scanned twice:\n$plan")
+    assert("Join".r.findAllIn(plan).length == 1, s"more than one join:\n$plan")
+  }
+
+  test("haversine feature projection stays in one codegen span") {
+    val df = spark.range(1000).select(
+      ($"id" % 89 - 44).cast("double").as("lat"),
+      ($"id" % 179 - 89).cast("double").as("lon"))
+    val out = df.select(graft.expr.HaversineMiles.native(
+      $"lat", $"lon", lit(40.0), lit(-74.0)).as("d"))
+      .filter($"d" > 0)
+    val plan = executed(out)
+    assert(plan.contains("*(1)"), s"no whole-stage codegen span:\n$plan")
+  }
+
+  test("ngram jaccard df-cap reuses the shingle exchange for the bucket groupBy") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val plan = executed(graft.llm.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 0.5, maxShingleDf = 5))
+    // the window's hashpartitioning(sh) feeds the bucket groupBy(sh)
+    // without an extra exchange between them; the capped stream appears
+    // in two branches (sizes + pairs), whose identical exchanges AQE
+    // dedups at runtime via stage reuse — so at most 2 in the static plan
+    val shExchanges = "Exchange hashpartitioning\\(sh".r.findAllIn(plan).length
+    assert(shExchanges <= 2, s"df-cap window and bucket groupBy re-shuffle on sh:\n$plan")
+  }
+}

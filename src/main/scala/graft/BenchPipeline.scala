@@ -60,7 +60,7 @@ object BenchPipeline {
     ml.FraudModel.infer(model, sample).agg(sum("fraud_pred")).collect()
     val inferSecs = (System.nanoTime() - t3) / 1e9
 
-    println(s"""{"metric":"feature_pipeline_1.3M","rows":$rows,"compute_sec":$featureSecs,"write_csv_sec":$writeSecs,"train_sec":$trainSecs,"train_auc":${metrics.rocAuc},"train_acc":${metrics.accuracy},"infer_100k_sec":$inferSecs,"baseline_pandas_sec":451.29,"baseline_featurestore_sec":118.38,"baseline_infer_sec":25.92}""")
+    println(s"""{"metric":"feature_pipeline_1.3M","rows":$rows,"compute_sec":$featureSecs,"write_csv_sec":$writeSecs,"train_sec":$trainSecs,"train_auc":${metrics.rocAuc},"train_pr_auc":${metrics.prAuc},"train_acc":${metrics.accuracy},"fraud_precision":${metrics.precision},"fraud_recall":${metrics.recall},"fraud_f1":${metrics.f1},"infer_100k_sec":$inferSecs,"baseline_pandas_sec":451.29,"baseline_featurestore_sec":118.38,"baseline_infer_sec":25.92}""")
     spark.stop()
   }
 }

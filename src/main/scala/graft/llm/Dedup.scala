@@ -201,6 +201,18 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
   }
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen
+    * within the watermark horizon (Spark's state-store-backed
+    * `dropDuplicatesWithinWatermark`). This is the continuous-ingest
+    * form of [[exactGroups]]: key by a content fingerprint column (e.g.
+    * `md5(text)`) to dedup documents as they arrive instead of in a
+    * nightly batch; the watermark bounds state size, so it runs forever
+    * at any rate. */
+  def streamingExactDedup(stream: DataFrame, eventTimeCol: String,
+      watermarkDelay: String, keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Shingles whose document frequency exceeds `maxDf` — the
     * "stop-shingles" [[ngramJaccardPairs]] drops. Exposed so callers can
     * count/log what a df cap discards before trusting capped output. */

@@ -90,6 +90,25 @@ object NonSql {
       .select($"o_orderkey")
   }
 
+  // U8: deterministic hash sample — the reproducible cross-engine
+  // alternative to seeded RNG sampling (same rows on ANY engine/run:
+  // order by a content hash, take n). This is the sampling you want at
+  // 100 TB: re-runs and backfills pick identical rows, no RNG state.
+  val u8HashSample: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", md5($"o_orderkey".cast("string")).as("h"))
+      .orderBy($"h", $"o_orderkey").limit(100)
+  }
+
+  // A13 exact path: true percentiles (sort-based) vs the approx sketch
+  val a13bExactQuantiles: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem").agg(
+      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+      round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+  }
+
   // A10 approximate path: HLL distinct for 100 TB stats
   val a10Approx: Q = (s, dir) => {
     import s.implicits._
@@ -153,7 +172,9 @@ object NonSql {
     "u3_sample_n" -> u3SampleN,
     "u4_stratified_sample" -> u4Stratified,
     "u5_train_test_split" -> u5Split,
+    "u8_hash_sample" -> u8HashSample,
     "o4_seeded_shuffle" -> o4Shuffle,
+    "a13b_exact_quantiles" -> a13bExactQuantiles,
     "a10_approx_distinct" -> a10Approx,
     "a13_approx_quantiles" -> aQuantiles,
     "a3_sliding_window_batch" -> slidingWindowBatch,
@@ -174,6 +195,12 @@ object NonSql {
         "SELECT (t // 20) * 20 - 20 * i AS win_start, user_id, COUNT(*) AS txn_count " +
         "FROM e CROSS JOIN (SELECT UNNEST(range(0, 6)) AS i) " +
         "WHERE (t // 20) * 20 - 20 * i > t - 120 " +
-        "GROUP BY 1, 2 ORDER BY win_start, user_id")
+        "GROUP BY 1, 2 ORDER BY win_start, user_id"),
+    "u8_hash_sample" ->
+      ("SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS h " +
+        "FROM orders ORDER BY h, o_orderkey LIMIT 100"),
+    "a13b_exact_quantiles" ->
+      ("SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99 FROM lineitem")
   )
 }

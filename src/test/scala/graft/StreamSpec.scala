@@ -110,6 +110,46 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(rows.length == 1 && rows.head.txn_id == "f1" && rows.head.cc_num == 3L)
   }
 
+  test("streaming exact dedup drops repeated fingerprints within the watermark") {
+    val mem = MemoryStream[StreamTxn](spark)
+    val withFp = mem.toDS().toDF()
+      .withColumn("fp", md5(concat_ws("|", col("cc_num"), col("amount"))))
+    val deduped = graft.llm.Dedup.streamingExactDedup(withFp, "ts", "10 seconds", Seq("fp"))
+    val q = deduped.writeStream.format("memory").queryName("sdedup_t").outputMode("append").start()
+    mem.addData(
+      txn("a1", 1L, 10.0, "2024-01-01 10:00:00"),
+      txn("a2", 1L, 10.0, "2024-01-01 10:00:01"), // same (cc, amt) fingerprint → dropped
+      txn("b1", 2L, 20.0, "2024-01-01 10:00:02"))
+    q.processAllAvailable()
+    mem.addData(txn("a3", 1L, 10.0, "2024-01-01 10:00:03")) // still inside horizon → dropped
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("sdedup_t").select("txn_id").as[String].collect().sorted
+    assert(ids.toSeq == Seq("a1", "b1"), ids.mkString(","))
+  }
+
+  test("pinned wire-format fixture parses losslessly (S5 contract)") {
+    // src/test/resources/wire_fixture.jsonl pins the producer's exact
+    // wire shape (producer.py:19-30: every field a string, micros
+    // timestamps) so a drift in the parse schema fails here, not at a
+    // deploy with a live broker.
+    val url = getClass.getResource("/wire_fixture.jsonl")
+    assert(url != null, "wire_fixture.jsonl missing from test resources")
+    val raw = spark.read.text(url.getPath).withColumnRenamed("value", "value")
+    val mem = MemoryStream[String](spark)
+    val q = StreamPipeline.parse(mem.toDF()).writeStream
+      .format("memory").queryName("wire_fix_t").outputMode("append").start()
+    mem.addData(raw.as[String].collect().toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wire_fix_t").as[StreamTxn].collect().sortBy(_.txn_id)
+    assert(rows.length == 5, s"got ${rows.length}")
+    assert(rows.map(_.txn_id).toSeq == Seq("wf-001", "wf-002", "wf-003", "wf-004", "wf-005"))
+    val wf4 = rows(3)
+    assert(wf4.cc_num == 6011483920184L && wf4.amount == 999.99)
+    assert(wf4.ts == ts("2024-03-01 10:05:45.5"))
+    // sub-second precision survives end-to-end
+    assert(rows(4).ts.getNanos == 999999000)
+  }
+
   test("online store compaction keeps only retained rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_oc_").toString + "/log"
     val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)

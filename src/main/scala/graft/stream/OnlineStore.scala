@@ -53,7 +53,13 @@ class OnlineStore(spark: SparkSession, path: String, ttlSeconds: Long = 86400L) 
     val w = Window.partitionBy(col("txn_id"))
       .orderBy(col("last_update").desc, col("batch_id").desc,
         col("txn_count_last_10_min").desc, col("avg_amt_last_1_hour").desc)
-    log.filter(col("last_update").cast("long") >= asOfEpochSec - ttlSeconds)
+    // Two conjuncts: the ingest_date bound hits the PARTITION columns —
+    // expired date directories are never even listed (the row-level
+    // last_update bound alone would scan every partition ever written);
+    // the last_update bound then trims the boundary date exactly.
+    val horizonDate = to_date(timestamp_seconds(lit(asOfEpochSec - ttlSeconds)))
+    log.filter(col("ingest_date") >= horizonDate)
+      .filter(col("last_update").cast("long") >= asOfEpochSec - ttlSeconds)
       .dropDuplicates() // replay idempotency: identical rows collapse
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -58,12 +58,20 @@ object StreamPipeline {
   }
 
   /** Kafka source (S5) — requires the spark-sql-kafka connector on the
-    * classpath at deployment; tests drive [[parse]] via MemoryStream. */
-  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
-    spark.readStream.format("kafka")
+    * classpath at deployment; tests drive [[parse]] via MemoryStream and
+    * the pinned wire fixture (src/test/resources/wire_fixture.jsonl).
+    * `maxOffsetsPerTrigger` bounds micro-batch size so a backlogged
+    * topic replays at a controlled rate instead of one giant batch. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+    maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
       .load()
+  }
 
   /** Stateless distance enrichment (pipeline.py:51-57). */
   def withDistance(txns: DataFrame): DataFrame =

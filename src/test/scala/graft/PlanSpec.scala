@@ -69,6 +69,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("Join".r.findAllIn(plan).length == 1, s"more than one join:\n$plan")
   }
 
+  test("online-store TTL prunes ingest_date partitions at the scan") {
+    import graft.schema.CardStats
+    import graft.stream.OnlineStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ttl_").toString + "/log"
+    val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)
+    def cs(id: String, at: String) =
+      CardStats(1L, id, 1.0, 1.0, 1L, 1.0, java.sql.Timestamp.valueOf(at))
+    store.upsertBatch(Seq(cs("new", "2024-01-05 11:30:00"),
+      cs("old", "2024-01-01 09:00:00")).toDS(), 0L)
+    val now = java.sql.Timestamp.valueOf("2024-01-05 12:00:00").getTime / 1000
+    val plan = executed(store.retained(now))
+    assert("PartitionFilters: \\[[^\\]]*ingest_date[^\\]]*>=".r.findFirstIn(plan).isDefined,
+      s"ingest_date bound missing from partition filters:\n$plan")
+    assert(store.retained(now).select("txn_id").as[String].collect().toSeq == Seq("new"))
+  }
+
   test("haversine feature projection stays in one codegen span") {
     val df = spark.range(1000).select(
       ($"id" % 89 - 44).cast("double").as("lat"),

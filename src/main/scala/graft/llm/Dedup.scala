@@ -123,6 +123,64 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** `nBits`-wide SimHash (nBits ≤ 62): bit b is voted by bit `b % 4` of
+    * hex digit `b / 4` of each token's md5 — 128 hash bits available, so
+    * widths up to the practical 64-bit standard need no second hash.
+    * [[simhash16]] keeps the original 16-bit layout (oracle-pinned);
+    * this is the production width for hamming-distance dedup, where
+    * 16 bits would alias unrelated docs at corpus scale. */
+  def simhashWide(docs: DataFrame, idCol: String, textCol: String,
+      nBits: Int): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, s"nBits must be in [1,62], got $nBits")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until nBits).map { b =>
+      val digitBit = shiftright(
+        instr(lit("0123456789abcdef"), substring(col("h"), b / 4 + 1, 1)) - 1,
+        b % 4) % 2
+      sum(when(digitBit === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until nBits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash hamming distance ≤ `maxHamming`,
+    * found via 4-band LSH: two signatures within hamming 3 differ in at
+    * most 3 of the 4 bands, so they MUST agree on at least one band
+    * (pigeonhole) — banding is therefore EXACT for maxHamming ≤ 3, not a
+    * recall trade-off. The join key is (band index, band value): only
+    * same-band-value buckets meet, never corpus². Signatures ride the
+    * band rows, so the hamming verify needs no join back to the
+    * signature table. At extreme scale, widen `nBits` (band value
+    * cardinality = 2^(nBits/4) bounds bucket sizes) before resorting to
+    * more permutations. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, nBits: Int = 32): DataFrame = {
+    require(maxHamming <= 3, "4-band LSH is only exact for maxHamming <= 3")
+    require(nBits % 4 == 0, s"nBits must be divisible by 4 bands, got $nBits")
+    val bandBits = nBits / 4
+    val sig = simhashWide(docs, idCol, textCol, nBits)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as(Seq("band_i", "band_v")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      // group collapses pairs that share several bands to one row
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Collapse near-duplicate PAIRS into GROUPS: connected components,
     * returning (doc_id, group_id = smallest id in the component).
     *

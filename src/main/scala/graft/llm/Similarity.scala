@@ -138,6 +138,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4× compression step before shipping vectors to an ANN
+    * index: scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127,127].
+    * Per-row, shuffle-free, scan partitioning carries through. Zero
+    * vectors quantize to all-zero with a NULL scale (ANSI-safe — no
+    * divide-by-zero kills the job). The quantized array is emitted as a
+    * CSV string so the result is hash-comparable across engines. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dv = asDouble(col(vecCol))
+    df.select(col(idCol).as("vec_id"), dv.as("v"),
+        array_max(transform(dv, x => abs(x))).as("ma"))
+      .withColumn("scale", when(col("ma") > 0.0, col("ma") / 127.0))
+      .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+        when(col("scale").isNotNull,
+            array_join(transform(col("v"),
+              x => round(x / col("scale"), 0).cast("int").cast("string")), ","))
+          .otherwise(array_join(transform(col("v"), _ => lit("0")), ","))
+          .as("q_csv"))
+  }
+
   /** All pairs with cosine ≥ threshold within blocking key `blockCol`
     * (e.g. a cluster label or LSH bucket) — never a full cross join. */
   def cosinePairsWithin(df: DataFrame, idCol: String, vecCol: String,

@@ -76,6 +76,33 @@ object TextStats {
     idf.transform(tfed).drop("_tokens", "_tf")
   }
 
+  /** Exact TF-IDF top-`topK` terms per document, fully SQL-expressible
+    * (unlike the [[tfidf]] HashingTF path, whose murmur buckets no other
+    * engine reproduces): tf = term count in doc, idf = ln((N+1)/(df+1))+1
+    * (smoothed, sklearn-style). Two shuffles — (doc, term) counts, then
+    * term-keyed df — and the 1-row corpus count joins in by broadcast.
+    * Ties after 6-dp rounding break by term, so top-k is reproducible
+    * across engines. */
+  def tfidfTerms(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    // terms is already one row per (doc, term), so df is a plain count
+    val dft = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = terms.join(dft, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
   /** Convenience: attach the full stats column set. */
   def withStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -67,7 +67,33 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // SimHash near-dup pairs: hamming ≤ 3 over a 32-bit signature, found
+  // by 4-band LSH (exact at this radius — pigeonhole). Oracle verifies
+  // against the brute-force all-pairs hamming join.
+  val simhashPairs: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, nBits = 32)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // Exact TF-IDF (SQL-expressible formula, unlike HashingTF): top-5
+  // terms per doc, smoothed idf, ties broken by term.
+  val tfidfTop: Q = (s, dir) => {
+    import s.implicits._
+    TextStats.tfidfTerms(t(s, dir, "documents"), "doc_id", "text", topK = 5)
+      .orderBy($"doc_id", $"rank")
+  }
+
   // ---- similarity family (llm.Similarity) ----
+
+  // int8 scalar quantization of the embedding column (the compression
+  // step before an ANN index); CSV-encoded so it hash-compares.
+  val quantizeInt8: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy($"vec_id")
+  }
 
   val annTopk: Q = (s, dir) => {
     import s.implicits._
@@ -127,6 +153,9 @@ object NorthStar {
     "ns_dedup_minhash" -> dedupMinhash,
     "ns_dedup_groups" -> dedupGroups,
     "ns_simhash" -> simhash,
+    "ns_simhash_pairs" -> simhashPairs,
+    "ns_tfidf" -> tfidfTop,
+    "ns_quantize_int8" -> quantizeInt8,
     "ns_ngram_jaccard" -> ngramJaccard,
     "ns_ann_topk" -> annTopk,
     "ns_lsh_buckets" -> lshBuckets,
@@ -151,6 +180,15 @@ object NorthStar {
   }.mkString(", ")
   private val simhashBits = (0 until 16).map { b =>
     s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END"
+  }.mkString(" + ")
+
+  // 32-bit simhash layout (simhashWide): bit b votes by bit b%4 of hex
+  // digit b/4 of each token's md5.
+  private val wideVotes = (0 until 32).map { b =>
+    s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+  }.mkString(", ")
+  private val wideBits = (0 until 32).map { b =>
+    s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
   }.mkString(" + ")
 
   private val lshProjs = (0 until 8).map { b =>
@@ -205,6 +243,48 @@ object NorthStar {
         | SELECT doc_id, $simhashVotes FROM tok GROUP BY doc_id
         |)
         |SELECT doc_id, $simhashBits AS simhash FROM votes ORDER BY doc_id""").sm,
+    "ns_simhash_pairs" ->
+      (s"""WITH tok AS (
+        | SELECT doc_id, md5(tok) AS h FROM (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        |), votes AS (
+        | SELECT doc_id, $wideVotes FROM tok GROUP BY doc_id
+        |), sig AS (
+        | SELECT doc_id, $wideBits AS simhash FROM votes
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""").sm,
+    "ns_tfidf" ->
+      """WITH terms AS (
+        | SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+        | GROUP BY 1, 2
+        |), nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |dft AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY 1),
+        |scored AS (
+        | SELECT t.doc_id, t.term, t.tf, d.df,
+        |  ROUND(t.tf * (LN(CAST(n_docs + 1 AS DOUBLE) / (d.df + 1)) + 1), 6) AS tfidf
+        | FROM terms t JOIN dft d USING (term) CROSS JOIN nd
+        |)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".sm,
+    "ns_quantize_int8" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), s AS (
+        | SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e
+        |)
+        |SELECT vec_id,
+        | ROUND(CASE WHEN ma > 0 THEN ma / 127.0 END, 9) AS scale,
+        | CASE WHEN ma > 0
+        |  THEN array_to_string(list_transform(v, x -> CAST(CAST(ROUND(x / (ma / 127.0)) AS INTEGER) AS VARCHAR)), ',')
+        |  ELSE array_to_string(list_transform(v, x -> '0'), ',') END AS q_csv
+        |FROM s ORDER BY vec_id""".sm,
     "ns_ngram_jaccard" ->
       (shinglesCte +
         """, sh0 AS (

@@ -75,6 +75,52 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(cosines == cosines.sorted.reverse, "not ranked descending")
   }
 
+  test("simhash pairs: exact dups at hamming 0, unrelated docs absent") {
+    val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, nBits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(p((0L, 3L)) == 0, s"exact dup pair not at hamming 0: $p")
+    assert(!p.keys.exists(k => k._1 == 2L || k._2 == 2L), "unrelated doc paired")
+  }
+
+  test("simhash banding is exact: pairs match the brute-force hamming join") {
+    // brute force over the wide signatures vs the banded operator
+    val sig = Dedup.simhashWide(docs, "doc_id", "text", 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sig; (b, sb) <- sig if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+  }
+
+  test("tfidf ranks doc-distinctive terms above corpus-common ones") {
+    val top = TextStats.tfidfTerms(docs, "doc_id", "text", topK = 3)
+      .filter($"doc_id" === 2L).collect()
+    assert(top.length == 3)
+    // 'the' appears in 4 of 5 docs — never distinctive; doc 2's top terms
+    // must come from its unique vocabulary
+    assert(!top.map(_.getString(2)).contains("the"))
+    val scores = top.map(_.getDouble(5)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("int8 quantization round-trips within one scale step; zero vector is safe") {
+    val q = Similarity.quantizeInt8(
+      vecs.union(Seq((9L, Array(0f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label")),
+      "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getString(2))).toList
+    val byId = q.map(x => x._1 -> x).toMap
+    // vec 0 = [1,0,0,0]: scale 1/127, q = [127,0,0,0]
+    assert(byId(0L)._3 == "127,0,0,0")
+    assert(math.abs(byId(0L)._2.get - 1.0 / 127.0) < 1e-9)
+    // zero vector: NULL scale, all-zero codes, no divide-by-zero error
+    assert(byId(9L)._2.isEmpty && byId(9L)._3 == "0,0,0,0")
+    // max-abs element always quantizes to ±127
+    assert(byId(3L)._3.split(",").head == "-127")
+  }
+
   test("connected groups collapse chained near-dup pairs transitively") {
     // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")

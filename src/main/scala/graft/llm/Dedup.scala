@@ -29,29 +29,32 @@ object Dedup {
   }
 
   /** Distinct (doc_id, shingle) rows — the exploded form of
-    * [[shingles3]]. Tokenize-once posexplode + window lead instead of
-    * the array lambda: higher-order functions are interpreted row-at-a-
-    * time by Catalyst (~0.7 ms/doc measured), while this shape stays in
-    * codegen + narrow shuffles and is ~5× faster at sf0.1. */
+    * [[shingles3]]. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     shingleRowsRaw(docs, idCol, textCol).distinct()
 
   /** [[shingleRows]] without the distinct — for consumers whose
     * aggregate is idempotent under duplicate (doc_id, shingle) rows
-    * (e.g. a MIN), which saves the dedup shuffle. */
-  def shingleRowsRaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
-      .filter(size(split(col(textCol), " ")) >= 3)
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("p", "tok")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("p"))
-    toks
-      .select(col("doc_id"), col("tok"),
-        lead(col("tok"), 1).over(w).as("t1"), lead(col("tok"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-  }
+    * (e.g. a MIN), which saves the dedup shuffle.
+    *
+    * Shape: explode an index sequence, then three `element_at` lookups
+    * into the tokenized array — fully codegen'd, ZERO shuffle (the scan
+    * partitioning carries through). The earlier explode-tokens +
+    * window-lead formulation paid an exchange + sort on doc_id for the
+    * same rows (5× slower at sf0.1); the array-lambda form is
+    * interpreted per row (worse again). Generate→Project fuse in one
+    * whole-stage-codegen pipeline, so the token array is read in place,
+    * never copied per output row. */
+  def shingleRowsRaw(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 2)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("tk"), col("i")),
+        element_at(col("tk"), col("i") + 1),
+        element_at(col("tk"), col("i") + 2)).as("sh"))
 
   /** MinHash signature as an array of `n` 64-bit minima over xxhash64 of
     * the shingles, seeded per hash index. Per-row, shuffle-free. */
@@ -60,11 +63,16 @@ object Dedup {
       i => array_min(transform(shingles, s => xxhash64(i, s))))
 
   /** Portable MinHash over md5 hex strings (reproducible in any engine
-    * with md5 — used by the DuckDB-oracle contract; xxhash64 variant is
-    * the fast path). */
+    * with md5 — the DuckDB-oracle contract; xxhash64 variant is the fast
+    * path). Hash index i reads 8 hex chars (32 bits) at offset
+    * `(i%4)*8` of `md5(i/4 || '|' || shingle)` — FOUR independent
+    * 32-bit hash families per md5 evaluation, so an n-hash signature
+    * costs ceil(n/4) md5s instead of n. */
   def minhashSignatureMd5(shingles: Column, n: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),
-      i => array_min(transform(shingles, s => md5(concat(i.cast("string"), lit("|"), s)))))
+      i => array_min(transform(shingles, s =>
+        md5(concat((i / 4).cast("int").cast("string"), lit("|"), s))
+          .substr((i % 4) * 8 + 1, lit(8)))))
 
   /** Exact dedup: group identical values of `fingerprintCol`, keep the
     * minimum id; returns (fingerprint, keep_id, n_dups). */
@@ -79,22 +87,36 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minMatches: Int): DataFrame = {
     // Explode-first formulation: one (doc, shingle) row per distinct
-    // shingle, then n md5s per row and a (doc, i) min-aggregate. The
-    // array-lambda form (minhashSignatureMd5) is semantically identical
-    // but nests higher-order functions, which Catalyst interprets rather
-    // than codegens AND re-evaluates the shingle tree per hash index —
-    // ~20× slower at sf0.1. The min-agg is mostly map-side (partial agg
-    // on uniform md5 keys), so the shuffle carries ~n rows per doc.
+    // shingle, then the hash family per row and a (doc, i) min-aggregate.
+    // The array-lambda form (minhashSignatureMd5) is semantically
+    // identical but nests higher-order functions, which Catalyst
+    // interprets rather than codegens AND re-evaluates the shingle tree
+    // per hash index — ~20× slower at sf0.1. The min-agg is mostly
+    // map-side (partial agg on uniform hash keys), so the shuffle
+    // carries ~n rows per doc.
     // No .distinct() on the shingle rows: MIN is idempotent under
     // duplicates, so the dedup shuffle shingleRows' other callers need
     // is pure waste here — one less full shuffle of the shingle set.
-    val sh = shingleRowsRaw(docs, idCol, textCol)
-    val hashes = array((0 until n).map(i =>
-      md5(concat(lit(i.toString), lit("|"), col("sh")))): _*)
-    val sigs = sh
-      .select(col("doc_id"), posexplode(hashes).as(Seq("i", "h")))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("h")).as("mh"))
+    // Hash family: 8-hex-char (32-bit) slices of md5(j || '|' || sh) —
+    // four independent hash indexes per md5 evaluation, so the dominant
+    // per-shingle hashing cost is ceil(n/4) md5s, not n. The md5s are
+    // materialized as columns once; the slices are cheap substrings in
+    // the same codegen stage.
+    // The n minima aggregate as n COLUMNS of one doc-keyed hash-agg, not
+    // n× exploded rows through the aggregate: shingle rows leave the
+    // generator doc-contiguous (no shuffle upstream), so the partial agg
+    // collapses each doc to one row map-side and the exchange carries
+    // n_docs rows, not n_docs × n. The (doc, i, mh) row shape the band
+    // join needs is recovered by exploding the tiny signature table.
+    val nMd5 = (n + 3) / 4
+    val withH = shingleRowsRaw(docs, idCol, textCol).select(
+      col("doc_id") +: (0 until nMd5).map(j =>
+        md5(concat(lit(j.toString), lit("|"), col("sh"))).as(s"h$j")): _*)
+    val minCols = (0 until n).map(i =>
+      min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m$i"))
+    val sigs = withH.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until n).map(i => col(s"m$i")): _*)).as(Seq("i", "mh")))
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
@@ -199,8 +221,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct().cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("grp", col("id"))
+    // Init with the first hop already applied: grp0 = min(self ∪ direct
+    // neighbors). Same single shuffle as a distinct-nodes init (groupBy
+    // on the edge source), but the loop starts one propagation step
+    // ahead — one fewer round end-to-end.
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("id"), least(col("id"), col("mb")).as("grp"))
       .localCheckpoint()
     // Labels only ever DECREASE (each round takes a min including self),
     // so the label-sum is strictly monotone until the fixpoint — an

@@ -210,7 +210,7 @@ object NorthStar {
       (shinglesCte + """, sh AS (
         | SELECT doc_id, UNNEST(shs) AS sh FROM d
         |), sig AS (
-        | SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || sh)) AS mh
+        | SELECT doc_id, i, MIN(substr(md5(CAST(i // 4 AS VARCHAR) || '|' || sh), CAST(i % 4 AS INTEGER) * 8 + 1, 8)) AS mh
         | FROM sh CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) GROUP BY doc_id, i
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_matches
@@ -220,7 +220,7 @@ object NorthStar {
       (shinglesCte.replace("WITH toks", "WITH RECURSIVE toks") + """, sh AS (
         | SELECT doc_id, UNNEST(shs) AS sh FROM d
         |), sig AS (
-        | SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || sh)) AS mh
+        | SELECT doc_id, i, MIN(substr(md5(CAST(i // 4 AS VARCHAR) || '|' || sh), CAST(i % 4 AS INTEGER) * 8 + 1, 8)) AS mh
         | FROM sh CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) GROUP BY doc_id, i
         |), pairs AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

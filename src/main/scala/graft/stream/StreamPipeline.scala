@@ -155,6 +155,67 @@ object StreamPipeline {
       }
   }
 
+  /** Stream-stream interval join (the streaming J-family form): each
+    * left event pairs with same-card right events whose event time lies
+    * in [l.ts − `before`, l.ts] — "prior transactions of this card in
+    * the last N minutes", the classic fraud-context join. BOTH sides
+    * carry a watermark, so Spark bounds join state: a buffered right row
+    * is dropped once the left watermark passes `r.ts + before`. State is
+    * finite at any input rate — the property that lets this run forever
+    * on a large cluster (an unwatermarked stream join grows state
+    * without bound and is refused by the engine for append output). */
+  def intervalJoin(left: Dataset[StreamTxn], right: Dataset[StreamTxn],
+      before: String = "10 minutes",
+      watermarkDelay: String = "5 seconds"): DataFrame = {
+    val l = left.toDF().withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.toDF().withWatermark("ts", watermarkDelay).alias("r")
+    l.join(r, expr(
+      s"""l.cc_num = r.cc_num AND l.txn_id != r.txn_id AND
+         |r.ts >= l.ts - interval $before AND r.ts <= l.ts""".stripMargin))
+      .select(col("l.txn_id").as("txn_id"), col("l.cc_num").as("cc_num"),
+        col("l.ts").as("ts"), col("l.amount").as("amount"),
+        col("r.txn_id").as("prior_txn_id"), col("r.amount").as("prior_amount"),
+        col("r.ts").as("prior_ts"))
+  }
+
+  /** One micro-batch of [[jdbcSink]], exposed for direct idempotency
+    * testing: delete any rows of THIS batch_id (a partial write left by
+    * a crashed previous attempt), then append tagged with the batch_id.
+    * Re-running a batch after a crash-restart therefore never
+    * double-counts — the standard foreachBatch exactly-once recipe when
+    * the target DB has no native MERGE. */
+  def writeJdbcBatch(batch: DataFrame, batchId: Long, url: String,
+      table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    // Spark's JDBC writer passes the TABLE name through verbatim but
+    // quotes COLUMN names — mirror exactly that, or the delete resolves
+    // against a case-folded name that doesn't exist and every replay
+    // double-counts.
+    try conn.createStatement().executeUpdate(
+      s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+    catch {
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(s => s == "42X05" || s == "42P01") =>
+        () // table does not exist yet (Derby / Postgres state): first batch
+    }
+    finally conn.close()
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("append").jdbc(url, table, new java.util.Properties())
+  }
+
+  /** Stream the merged card stats into a JDBC offline store (the
+    * reference's Postgres serving plane, prisma/schema.prisma:16-31)
+    * with per-batch idempotent writes — see [[writeJdbcBatch]]. */
+  def jdbcSink(stats: Dataset[CardStats], url: String, table: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stats.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[CardStats], id: Long) =>
+        writeJdbcBatch(b.toDF(), id, url, table)
+      }
+      .start()
+
   /** Scalar haversine for the driver-side state logic (same constants
     * as the columnar form; reference pipeline.py:17-23 atan2 variant is
     * numerically equivalent). */

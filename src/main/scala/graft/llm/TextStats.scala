@@ -63,6 +63,68 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Default stopword set for [[stopwordRatio]] (English function
+    * words; pluggable). */
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "that", "this")
+
+  /** Fraction of tokens that are stopwords — high-signal quality
+    * heuristic (near-0 → keyword spam / code; near-1 → boilerplate).
+    * Per-row array filter against a literal set; no shuffle. */
+  def stopwordRatio(text: Column,
+      stopwords: Seq[String] = DefaultStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    round(size(filter(tokens(text), t => array_contains(sw, t)))
+      .cast("double") / tokenCount(text), 6)
+  }
+
+  /** Winnowing document fingerprint (the MOSS rolling-hash scheme —
+    * Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every character
+    * `k`-gram of the normalized text, slide a window of `w` consecutive
+    * gram hashes, keep each window's minimum; the distinct minima are
+    * the fingerprint. Guarantees any shared substring of length
+    * ≥ k+w−1 contributes a shared fingerprint hash — edit-robust where
+    * the whole-doc md5 [[fingerprint]] is not.
+    *
+    * Relational shape: explode gram positions (doc-contiguous, no
+    * shuffle), rolling min via a ROWS window frame (ONE exchange+sort
+    * on doc_id — inherent: the fingerprint is a per-doc sequential
+    * fold), distinct-agg per doc. Returns (doc_id, n_fp, fp_digest)
+    * where fp_digest = md5 of the sorted distinct minima — two docs
+    * sharing no content share no digest, near-dups share most minima
+    * (compare via the exploded variant if per-hash overlap is needed).
+    */
+  def winnowFingerprint(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame =
+    winnowHashes(docs, idCol, textCol, k, w)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        md5(concat_ws(",", array_sort(collect_list(col("wm"))))).as("fp_digest"))
+
+  /** The distinct selected hashes behind [[winnowFingerprint]] as
+    * (doc_id, wm) rows — joinable: a self-join on `wm` finds documents
+    * sharing any ≥ k+w−1-char substring (containment/plagiarism
+    * detection), with bucket sizes bounded by hash popularity, never
+    * corpus². */
+  def winnowHashes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        regexp_replace(lower(col(textCol)), "\\s+", " ").as("t"))
+      .filter(length(col("t")) >= k + w - 1)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("t").substr(col("pos"), lit(k))), 1, 8).as("h"))
+    val roll = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    grams.withColumn("wm", min(col("h")).over(roll))
+      .filter(col("pos") >= w) // full windows only
+      .select(col("doc_id"), col("wm")).distinct()
+  }
+
   /** TF-IDF features (SURVEY §2.12): whitespace tokens → HashingTF →
     * IDF. Both fits are distributed (document-frequency aggregation);
     * the transform is per-row. */

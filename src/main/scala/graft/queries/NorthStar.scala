@@ -122,9 +122,19 @@ object NorthStar {
   val textStats: Q = (s, dir) => {
     import s.implicits._
     TextStats.withStats(t(s, dir, "documents"), "text")
+      .withColumn("stopword_ratio", TextStats.stopwordRatio($"text"))
       .select($"doc_id", $"n_tokens", $"n_regex_tokens",
         round($"type_token_ratio", 6).as("ttr"), $"quality_score",
-        $"lang_pred", $"fingerprint")
+        $"stopword_ratio", $"lang_pred", $"fingerprint")
+      .orderBy($"doc_id")
+  }
+
+  // Winnowing (MOSS rolling-hash) fingerprint — char-5-gram hashes,
+  // window 4, per-doc distinct-minima digest; oracle reproduces the
+  // rolling min with a ROWS frame.
+  val winnow: Q = (s, dir) => {
+    import s.implicits._
+    TextStats.winnowFingerprint(t(s, dir, "documents"), "doc_id", "text")
       .orderBy($"doc_id")
   }
 
@@ -161,6 +171,7 @@ object NorthStar {
     "ns_lsh_buckets" -> lshBuckets,
     "ns_cosine_pairs" -> cosinePairs,
     "ns_text_stats" -> textStats,
+    "ns_winnow" -> winnow,
     "ns_multimodal_meta" -> multimodalMeta
   )
 
@@ -345,6 +356,7 @@ object NorthStar {
         | ROUND(LEAST(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4
         |  + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.4
         |  + (CASE WHEN (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality_score,
+        | ROUND(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','an','of','and','or','to','in','is','are','was','for','on','with','as','at','by','it','that','this'], t))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
         | CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
         |      WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' la ') THEN 'fr'
         |      WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' die ') THEN 'de'
@@ -352,6 +364,23 @@ object NorthStar {
         |      ELSE 'und' END AS lang_pred,
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".sm,
+    "ns_winnow" ->
+      """WITH n AS (
+        | SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents
+        |), grams AS (
+        | SELECT doc_id, i AS pos, substr(md5(substr(t, i, 5)), 1, 8) AS h
+        | FROM n, LATERAL (SELECT UNNEST(range(1, length(t) - 3)) AS i)
+        | WHERE length(t) >= 8
+        |), mins AS (
+        | SELECT doc_id, pos,
+        |  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm
+        | FROM grams
+        |), fp AS (
+        | SELECT DISTINCT doc_id, wm FROM mins WHERE pos >= 4
+        |)
+        |SELECT doc_id, COUNT(*) AS n_fp,
+        | md5(array_to_string(list_sort(list(wm)), ',')) AS fp_digest
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".sm,
     "ns_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

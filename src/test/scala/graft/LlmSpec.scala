@@ -151,6 +151,35 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(pred.toSeq == Seq("en", "fr", "de"))
   }
 
+  test("winnow fingerprint: shared long substrings share hashes, edits keep overlap") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "INTRO the quick brown fox jumps over the lazy dog OUTRO"), // contains doc 1's core
+      (3L, "zzzz completely unrelated material qqqq xxxx yyyy wwww")
+    ).toDF("doc_id", "text")
+    val h = TextStats.winnowHashes(d, "doc_id", "text").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    // winnowing guarantee: any shared substring of length >= k+w-1 (8)
+    // contributes at least one common selected hash
+    assert((h(1L) & h(2L)).nonEmpty, "shared passage produced no common hash")
+    assert((h(1L) & h(3L)).isEmpty, "unrelated docs share fingerprint hashes")
+    // whitespace normalization: digest invariant under space collapsing
+    val fp = TextStats.winnowFingerprint(Seq(
+      (1L, "a b  c   d e f g h i j"), (2L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text"), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(fp(1L) == fp(2L), "digest not whitespace-invariant")
+  }
+
+  test("stopword ratio separates function-word text from keyword spam") {
+    val r = Seq((1L, "the cat is on the mat"), (2L, "buy cheap widgets online now"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextStats.stopwordRatio($"text").as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.666667) // the, is, on, the = 4 of 6 tokens
+    assert(r(2L) == 0.0)
+  }
+
   test("multimodal decode is deterministic with stable checksums") {
     val meta1 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()
     val meta2 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()

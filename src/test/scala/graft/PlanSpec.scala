@@ -69,6 +69,34 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("Join".r.findAllIn(plan).length == 1, s"more than one join:\n$plan")
   }
 
+  test("shingle generation is shuffle-free (no exchange before the signature agg)") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    val plan = executed(graft.llm.Dedup.shingleRowsRaw(docs, "doc_id", "text"))
+    assert(!plan.contains("Exchange"), s"shingling shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"shingling pays a sort-window:\n$plan")
+  }
+
+  test("int8 quantization is a single shuffle-free projection") {
+    val e = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val plan = executed(graft.llm.Similarity.quantizeInt8(e, "vec_id", "embedding"))
+    assert(!plan.contains("Exchange"), s"quantization shuffles:\n$plan")
+  }
+
+  test("simhash pair generation joins on band buckets, never a cartesian") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val plan = executed(graft.llm.Dedup.simhashPairs(docs, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct"), s"corpus-squared join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$plan")
+  }
+
+  test("tfidf broadcasts the 1-row corpus count, never the term table cross join") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = executed(graft.llm.TextStats.tfidfTerms(docs, "doc_id", "text", 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"corpus count not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in tfidf:\n$plan")
+  }
+
   test("online-store TTL prunes ingest_date partitions at the scan") {
     import graft.schema.CardStats
     import graft.stream.OnlineStore

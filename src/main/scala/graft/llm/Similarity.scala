@@ -19,9 +19,16 @@ object Similarity {
   /** Array cast to double for stable arithmetic. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product via zip_with + aggregate — sequential left fold,
-    * deterministic. */
+  /** Dot product — native codegen'd loop ([[graft.expr.ArrayDotProduct]]);
+    * bit-identical to the HOF fold [[dotHof]] but ~10× faster and fused
+    * into the enclosing whole-stage-codegen span. */
   def dot(a: Column, b: Column): Column =
+    graft.expr.ArrayDotProduct.native(a, b)
+
+  /** The composed higher-order-function form of [[dot]] (zip_with +
+    * aggregate, sequential left fold) — kept as the portability
+    * reference and for the parity spec. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -54,6 +54,44 @@ class ExprSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("array_dot native matches the HOF fold bit-for-bit and fuses into codegen") {
+    import graft.llm.Similarity
+    // arrays built from plain expressions (array(), not transform()) so
+    // the projection's codegen eligibility is decided by array_dot alone
+    val vecs = spark.range(500).select($"id",
+      array((1 to 64).map(i =>
+        (($"id" * 31 + i * 17) % 97).cast("double") / 7.0 - 6.0): _*).as("a"),
+      array((1 to 64).map(i =>
+        (($"id" * 13 + i * 11) % 89).cast("double") / 5.0 - 8.0): _*).as("b"))
+    val both = vecs.select(
+      Similarity.dot($"a", $"b").as("native"),
+      Similarity.dotHof($"a", $"b").as("hof"))
+    // identical fold order → EXACT equality, not epsilon
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+    val plan = vecs.select(Similarity.dot($"a", $"b").as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("array_dot null semantics: length mismatch and null element give NULL") {
+    import graft.llm.Similarity
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+        (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),
+        (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0))
+      ).toDF("id", "a", "b")
+      // two instances in one projection: freshName guard for the loop locals
+      val out = df.select($"id", Similarity.dot($"a", $"b").as("d"),
+          Similarity.dot($"b", $"a").as("d2")).collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(out(1L) == (Some(11.0), Some(11.0)))
+      assert(out(2L) == (None, None), "length mismatch must be NULL")
+      assert(out(3L) == (None, None), "null element must be NULL")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("factorize: dense codes in key order, no full-table global sort") {
     import graft.expr.Functions
     val df = spark.range(1000).select(($"id" * 37 % 13).as("k"), $"id")

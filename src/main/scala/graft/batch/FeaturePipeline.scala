@@ -39,7 +39,16 @@ object FeaturePipeline {
       .withColumn("dob", to_timestamp(col("dob")))
   }
 
-  def features(txns: DataFrame): DataFrame = {
+  private val outputCols = Seq(
+    col("cc_num"), col("amt"), col("hour_of_day"), col("day_of_week"),
+    col("age_at_txn"), col("distance_to_merchant"),
+    col("txn_count_last_10_min"), col("avg_amt_last_1_hour"),
+    col("category"), col("gender"), col("city_pop").cast("int").as("city_pop"),
+    col("trans_date_trans_time").as("feature_timestamp"), col("is_fraud"))
+
+  /** The 13-column derivation with all input columns still attached
+    * (callers project). */
+  private def derived(txns: DataFrame): DataFrame = {
     val byCard = Window.partitionBy(col("cc_num")).orderBy(col("unix_time"))
     val w10min = byCard.rangeBetween(-600, 0)
     val w1h = byCard.rangeBetween(-3600, 0)
@@ -54,12 +63,46 @@ object FeaturePipeline {
       .withColumn("avg_amt_last_1_hour",
         sum(col("amt").cast(DecimalType(18, 2))).over(w1h).cast("double") /
           count(lit(1)).over(w1h))
-      .select(
-        col("cc_num"), col("amt"), col("hour_of_day"), col("day_of_week"),
-        col("age_at_txn"), col("distance_to_merchant"),
-        col("txn_count_last_10_min"), col("avg_amt_last_1_hour"),
-        col("category"), col("gender"), col("city_pop").cast("int").as("city_pop"),
-        col("trans_date_trans_time").as("feature_timestamp"), col("is_fraud"))
+  }
+
+  def features(txns: DataFrame): DataFrame =
+    derived(txns).select(outputCols: _*)
+
+  /** Incremental recompute: features for ONLY `newTxns`, reading just
+    * the lookback horizon of `history` for the affected cards — the
+    * operating mode that keeps a daily 100 TB corpus from being fully
+    * re-derived for each increment (the reference's nightly job rereads
+    * everything; batch_processing.py:21).
+    *
+    * Cost is O(increment + touched-cards' recent history):
+    *  - `history` is filtered to [min(new ts) − `lookbackSec`, max(new
+    *    ts)] — on date-partitioned storage this prunes old partitions at
+    *    the listing, and the predicate pushes to parquet row groups;
+    *  - then semi-joined to the increment's card set (AQE broadcasts the
+    *    card set when small — no history shuffle);
+    *  - the SAME window derivation runs over increment ∪ context, and
+    *    only increment rows are kept. Trailing range frames only look
+    *    backward, so context rows beyond the lookback cannot change the
+    *    result: equality with the full-batch computation is exact
+    *    (asserted in FeaturePipelineSpec).
+    *
+    * Contract: `history` must not already contain `newTxns` (rows would
+    * double-count in the window frames). `lookbackSec` must cover the
+    * widest window frame (1 h here). */
+  def incrementalFeatures(newTxns: DataFrame, history: DataFrame,
+      lookbackSec: Long = 3600L): DataFrame = {
+    val b = newTxns
+      .agg(min(col("trans_date_trans_time")), max(col("trans_date_trans_time"))).head()
+    if (b.isNullAt(0)) return features(newTxns) // empty increment
+    val lo = new java.sql.Timestamp(b.getTimestamp(0).getTime - lookbackSec * 1000)
+    val hi = b.getTimestamp(1)
+    val cards = newTxns.select(col("cc_num")).distinct()
+    val context = history
+      .filter(col("trans_date_trans_time").between(lit(lo), lit(hi)))
+      .join(cards, Seq("cc_num"), "left_semi")
+    val tagged = context.withColumn("__is_new", lit(false))
+      .unionByName(newTxns.withColumn("__is_new", lit(true)))
+    derived(tagged).filter(col("__is_new")).select(outputCols: _*)
   }
 
   /** Full reference job shape: scan CSV → derive → write CSV part files

@@ -154,13 +154,19 @@ object Dedup {
   def simhashWide(docs: DataFrame, idCol: String, textCol: String,
       nBits: Int): DataFrame = {
     require(nBits >= 1 && nBits <= 62, s"nBits must be in [1,62], got $nBits")
+    val nDigits = (nBits + 3) / 4
+    // Project each needed hex digit's VALUE once (nDigits exprs), then
+    // derive the 4 bit votes per digit by shifts — not nBits separate
+    // substring+instr evaluations per token (aggregate inputs don't get
+    // common-subexpression elimination across aggregate functions).
     val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id") +: (0 until nDigits).map(d =>
+        (instr(lit("0123456789abcdef"), substring(col("h"), d + 1, 1)) - 1)
+          .as(s"d$d")): _*)
     val votes = (0 until nBits).map { b =>
-      val digitBit = shiftright(
-        instr(lit("0123456789abcdef"), substring(col("h"), b / 4 + 1, 1)) - 1,
-        b % 4) % 2
+      val digitBit = shiftright(col(s"d${b / 4}"), b % 4) % 2
       sum(when(digitBit === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)

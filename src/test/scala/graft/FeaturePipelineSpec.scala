@@ -83,6 +83,39 @@ class FeaturePipelineSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(age - 34.0) < 0.05, s"got $age")
   }
 
+  test("incremental recompute equals the full batch restricted to the increment") {
+    // history: first 3 rows; increment: the 11:30 txn (card 1) + a brand-new card
+    val hist = fixture.filter($"trans_date_trans_time" < lit(ts("2024-01-01 11:00:00")))
+    val incr = fixture.filter($"trans_date_trans_time" >= lit(ts("2024-01-01 11:00:00")))
+      .union(Seq(Txn(ts("2024-01-01 11:31:00"), 3L, "misc", 7.0, "M", 34.0, -118.0,
+        5, ts("1980-01-01 00:00:00"), 34.1, -118.1, 0)).toDS().toDF())
+    val full = FeaturePipeline.features(hist.union(incr))
+      .filter($"feature_timestamp" >= lit(ts("2024-01-01 11:00:00")))
+    val inc = FeaturePipeline.incrementalFeatures(incr, hist)
+    assert(inc.count() == 2)
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0,
+      s"incremental != full:\nfull=${full.collect().toSeq}\ninc=${inc.collect().toSeq}")
+    // a context row INSIDE the lookback must influence the increment:
+    // card-1 @11:30 has only itself in 1h (10:12 is 78 min back) — now
+    // shift history so 10:45 exists and verify the avg includes it
+    val hist2 = hist.union(Seq(Txn(ts("2024-01-01 10:45:00"), 1L, "misc", 100.0, "F",
+      40.0, -74.0, 1000, ts("1990-06-15 00:00:00"), 40.1, -74.1, 0)).toDS().toDF())
+    val inc2 = FeaturePipeline.incrementalFeatures(incr, hist2)
+      .filter($"cc_num" === 1L).head()
+    assert(inc2.getAs[Double]("avg_amt_last_1_hour") == 70.0) // (100 + 40) / 2
+  }
+
+  test("incremental lookback bound pushes to the history parquet scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fpinc_").toString
+    fixture.write.parquet(tmp + "/hist")
+    val hist = spark.read.parquet(tmp + "/hist")
+    val incr = fixture.filter($"cc_num" === 1L).limit(1)
+    val plan = FeaturePipeline.incrementalFeatures(incr, hist)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(trans_date_trans_time), GreaterThanOrEqual(trans_date_trans_time"),
+      s"lookback bound not pushed:\n$plan")
+  }
+
   test("csv round trip preserves the feature rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fp_").toString
     fixture.write.mode("overwrite").option("header", "true").csv(tmp + "/in")

@@ -24,6 +24,20 @@ object Tables {
     else df
   }
 
+  /** All testdata table names. */
+  val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view plus graft's native SQL
+    * functions (`haversine_miles`, `array_dot`) — the `spark.sql(...)`
+    * face of the engine: after this, any query in the inventory is
+    * writable as plain SQL against the named tables. */
+  def createViews(spark: SparkSession, dir: String): Unit = {
+    AllTables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    graft.expr.HaversineMiles.register(spark)
+    graft.expr.ArrayDotProduct.register(spark)
+  }
+
   /** Standard session config every entry point (Verify/Bench/tests) applies. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")

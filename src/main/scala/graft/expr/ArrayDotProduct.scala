@@ -1,7 +1,6 @@
 package graft.expr
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -25,18 +24,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * unchanged.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with Serializable {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+  with Serializable {
 
   override def dataType: DataType = DoubleType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case other =>
-        TypeCheckResult.TypeCheckFailure(
-          s"array_dot expects two array<double> arguments, got $other")
-    }
+  // ImplicitCastInputTypes: array<float> (the embeddings' storage type)
+  // coerces to array<double> at analysis instead of failing
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   // nullable even when children aren't: length mismatch / null element
   override def nullable: Boolean = true

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class HaversineMiles(lat1: Expression, lon1: Expression,
     lat2: Expression, lon2: Expression)
-  extends QuaternaryExpression with Serializable {
+  extends QuaternaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+  with Serializable {
 
   override def first: Expression = lat1
   override def second: Expression = lon1
@@ -28,13 +30,10 @@ case class HaversineMiles(lat1: Expression, lon1: Expression,
   override def fourth: Expression = lon2
 
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (children.forall(_.dataType == DoubleType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"haversine_miles expects 4 double arguments, got ${children.map(_.dataType)}")
-  }
+  // ImplicitCastInputTypes: SQL literals (decimals) / ints coerce to
+  // double instead of failing analysis
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
   override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "haversine_miles"
 

@@ -22,4 +22,21 @@ class InventorySpec extends AnyFunSuite with SparkSuite {
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
+
+  test("spark.sql surface: views + native functions answer plain SQL") {
+    Tables.createViews(spark, sf0001)
+    val agg = spark.sql(
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(agg.count() > 0)
+    val geo = spark.sql(
+      """SELECT e.event_id, haversine_miles(40.7, -74.0, 34.05, -118.24) AS d
+        |FROM events e LIMIT 1""".stripMargin).head()
+    assert(math.abs(geo.getDouble(1) - 2445) < 15, s"got ${geo.getDouble(1)}")
+    val dot = spark.sql(
+      """SELECT a.vec_id,
+        |  array_dot(CAST(a.embedding AS array<double>), CAST(a.embedding AS array<double>)) AS sq
+        |FROM embeddings a WHERE a.vec_id = 0""".stripMargin).head()
+    assert(dot.getDouble(1) > 0.0)
+  }
 }

@@ -369,6 +369,43 @@ object Relational {
       .orderBy($"user_id", $"win_start")
   }
 
+  // A16 pivot — wide per-category counts (the reshape step of every
+  // feature/report pipeline); values pinned so the output schema is
+  // static (no extra distinct pass, required for a deterministic plan)
+  val a16Pivot: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"o_orderpriority")
+  }
+
+  // A17 ordered string aggregation (listagg) — deterministic via
+  // sorted distinct set
+  val a17StringAgg: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(concat_ws(",", array_sort(collect_set($"l_linestatus"))).as("modes"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_orderkey")
+  }
+
+  // W7 ntile + percent_rank (distribution bucketing; unique total order
+  // via key tiebreaks so both engines agree exactly)
+  val w7Ntile: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber")
+  }
+
   // ====================== O: sorts / limits / top-k ======================
 
   // O1 multi-key sort (baseline_flow.py:41)
@@ -455,6 +492,9 @@ object Relational {
     "a12_max_by" -> a12MaxBy,
     "a14_session_window" -> a14SessionWindow,
     "a15_tumbling_window" -> a15TumblingWindow,
+    "a16_pivot" -> a16Pivot,
+    "a17_string_agg" -> a17StringAgg,
+    "w7_ntile" -> w7Ntile,
     "w2_range_avg_1h" -> w2RangeAvg,
     "w3_topk_per_key" -> w3TopkPerKey,
     "w4_latest_per_key" -> w4LatestPerKey,
@@ -583,6 +623,22 @@ object Relational {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM (SELECT user_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events)
         |GROUP BY user_id, 2 ORDER BY user_id, win_start""".sm,
+    "a16_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".sm,
+    "a17_string_agg" ->
+      """SELECT l_orderkey,
+        | array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS modes,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".sm,
+    "w7_ntile" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        | CAST(NTILE(4) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INTEGER) AS quartile,
+        | ROUND(PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber), 6) AS pr
+        |FROM lineitem ORDER BY l_returnflag, l_orderkey, l_linenumber""".sm,
     "w2_range_avg_1h" ->
       """SELECT event_id, user_id, ts_sec,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_1h

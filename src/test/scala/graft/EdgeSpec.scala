@@ -53,6 +53,21 @@ class EdgeSpec extends AnyFunSuite with SparkSuite {
     assert(Dedup.connectedGroups(empty).count() == 0)
   }
 
+  test("round-2 operators tolerate empty and degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(empty, "doc_id", "text").count() == 0)
+    assert(TextStats.winnowFingerprint(empty, "doc_id", "text").count() == 0)
+    assert(TextStats.tfidfTerms(empty, "doc_id", "text", 5).count() == 0)
+    // text shorter than k+w-1 chars has no full winnow window → absent
+    val short = Seq((1L, "abc")).toDF("doc_id", "text")
+    assert(TextStats.winnowFingerprint(short, "doc_id", "text").count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.quantizeInt8(noVecs, "vec_id", "embedding").count() == 0)
+    // empty increment short-circuits; empty history still derives features
+    val incr = FeaturePipeline.incrementalFeatures(emptyTxns, emptyTxns)
+    assert(incr.count() == 0 && incr.columns.length == 13)
+  }
+
   test("window queries on a single-row table") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L, 1.0))
       .toDF("event_id", "ts", "user_id", "value")

@@ -340,7 +340,12 @@ object Relational {
     t(s, dir, "lineitem")
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
         sum($"l_quantity".cast(DecimalType(18, 2))).over(w).cast("double").as("running_qty"))
-      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+      // running_qty in the ORDER BY: lineitem contains duplicate
+      // (suppkey, orderkey, linenumber) keys whose two rows carry
+      // DIFFERENT running sums (they sit at different l_shipdate
+      // positions) — without it the presentation order of those ties is
+      // engine-dependent and the row-wise compare flaps at sf0.1
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
   }
 
   // A14 session windows (gap-based; SURVEY §2.9 completeness). Gap 300 s
@@ -612,7 +617,7 @@ object Relational {
       """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
         |m AS (SELECT user_id, t,
         |  CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
-        |    OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 300 THEN 1 ELSE 0 END AS brk
+        |    OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > 300 THEN 1 ELSE 0 END AS brk
         | FROM e),
         |g AS (SELECT user_id, t,
         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
@@ -668,7 +673,7 @@ object Relational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".sm,
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".sm,
     "o1_multi_sort" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_quantity
         |FROM lineitem ORDER BY l_returnflag, ship_date DESC, l_orderkey, l_linenumber""".sm,

@@ -52,6 +52,59 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     assert(twice.count() == once.count())
   }
 
+  test("winnowing guarantee: any shared substring of length >= k+w-1 yields a shared hash") {
+    import graft.llm.TextStats
+    // random word-soup docs, each pair sharing a planted 3-word passage
+    val words = Gen.listOfN(6, Gen.oneOf("alpha", "bravo", "charlie", "delta",
+      "echo", "foxtrot", "golf", "hotel", "india", "juliet"))
+    val passage = "shared passage content here"
+    val docs = (1 to 8).map { i =>
+      val filler = words.sample.get.mkString(" ")
+      // even ids carry the passage, odd ids don't
+      (i.toLong, if (i % 2 == 0) s"$filler $passage" else filler)
+    }.toDF("doc_id", "text")
+    val h = TextStats.winnowHashes(docs, "doc_id", "text").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val carriers = (1 to 8).filter(_ % 2 == 0).map(_.toLong)
+    for (a <- carriers; b <- carriers if a < b)
+      assert((h(a) & h(b)).nonEmpty,
+        s"docs $a and $b share a ${passage.length}-char passage but no winnow hash")
+  }
+
+  test("simhash banding is exact at radius 3 on random near-dup corpora") {
+    // random docs + mutated copies (one token changed) — banding must
+    // find EXACTLY the brute-force hamming<=3 pairs, never a subset
+    val vocab = Vector("data", "spark", "query", "engine", "shuffle",
+      "join", "scan", "filter", "window", "agg", "stream", "batch")
+    val base = Gen.listOfN(12, Gen.oneOf(vocab))
+    val docs = (0 until 6).flatMap { i =>
+      val toks = base.sample.get
+      val mutated = toks.updated(5, "MUTANT")
+      Seq((i * 2L, toks.mkString(" ")), (i * 2L + 1, mutated.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val sig = Dedup.simhashWide(docs, "doc_id", "text", 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sig; (b, sb) <- sig if a < b
+      hm = java.lang.Long.bitCount(sa ^ sb) if hm <= 3
+    } yield (a, b, hm)).toSet
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+  }
+
+  test("int8 quantization bounds: codes in [-127,127], max-abs element saturates") {
+    import graft.llm.Similarity
+    val vals = Gen.listOfN(16, Gen.choose(-50.0, 50.0))
+    val rows = (1 to 10).map(i => (i.toLong, vals.sample.get.map(_.toFloat).toArray))
+    val q = Similarity.quantizeInt8(rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toInt))
+    q.foreach { case (id, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id out of range")
+      assert(codes.exists(c => math.abs(c) == 127), s"vec $id never saturates")
+    }
+  }
+
   test("MLlib MinHashLSH candidates cover the exact high-jaccard pairs") {
     val docs = Tables.load(spark, sf0001, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)

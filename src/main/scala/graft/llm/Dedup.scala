@@ -85,7 +85,20 @@ object Dedup {
     * with band size 1 — so cost scales with bucket sizes, not corpus².
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minMatches: Int): DataFrame = {
+      n: Int, minMatches: Int): DataFrame =
+    minhashCandidatePairs(docs, idCol, textCol, n, minMatches, Int.MaxValue)
+
+  /** [[minhashCandidatePairs]] with a band-bucket cap: buckets larger
+    * than `maxBucket` docs are dropped before the pair expansion. A
+    * bucket of m docs expands to m² pairs — a mass-duplicate clique
+    * (the 10×-scale probe: 10 copies of every doc → 250 k pairs from
+    * 50 k docs) makes the OUTPUT quadratic in clique size, which no
+    * join strategy fixes. Web-scale recipe: collapse exact duplicates
+    * with [[exactGroups]] first, then cap the residual buckets; capped
+    * drops can only lose pairs whose docs agree on a mass-shared hash,
+    * i.e. members of cliques that exact-dedup should have handled. */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minMatches: Int, maxBucket: Int): DataFrame = {
     // Explode-first formulation: one (doc, shingle) row per distinct
     // shingle, then the hash family per row and a (doc, i) min-aggregate.
     // The array-lambda form (minhashSignatureMd5) is semantically
@@ -114,9 +127,19 @@ object Dedup {
         md5(concat(lit(j.toString), lit("|"), col("sh"))).as(s"h$j")): _*)
     val minCols = (0 until n).map(i =>
       min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m$i"))
-    val sigs = withH.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val sigsAll = withH.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         posexplode(array((0 until n).map(i => col(s"m$i")): _*)).as(Seq("i", "mh")))
+    val sigs =
+      if (maxBucket == Int.MaxValue) sigsAll
+      else {
+        // one window count on the join key — same shuffle the join
+        // needs anyway, so the cap is near-free
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("i"), col("mh"))
+        sigsAll.withColumn("__bc", count(lit(1)).over(w))
+          .filter(col("__bc") <= maxBucket).drop("__bc")
+      }
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
@@ -187,15 +210,27 @@ object Dedup {
     * cardinality = 2^(nBits/4) bounds bucket sizes) before resorting to
     * more permutations. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, nBits: Int = 32): DataFrame = {
+      maxHamming: Int = 3, nBits: Int = 32,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4-band LSH is only exact for maxHamming <= 3")
     require(nBits % 4 == 0, s"nBits must be divisible by 4 bands, got $nBits")
     val bandBits = nBits / 4
     val sig = simhashWide(docs, idCol, textCol, nBits)
-    val bands = sig.select(col("doc_id"), col("simhash"),
+    val bandsAll = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as(Seq("band_i", "band_v")))
+    // Optional bucket cap (see minhashCandidatePairs overload): capping
+    // trades the hamming≤3 EXACTNESS guarantee for bounded expansion on
+    // mass-duplicate cliques — collapse exact dups first, then cap.
+    val bands =
+      if (maxBucket == Int.MaxValue) bandsAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_i"), col("band_v"))
+        bandsAll.withColumn("__bc", count(lit(1)).over(w))
+          .filter(col("__bc") <= maxBucket).drop("__bc")
+      }
     bands.as("a").join(bands.as("b"),
         col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
           col("a.doc_id") < col("b.doc_id"))

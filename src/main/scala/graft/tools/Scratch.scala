@@ -14,8 +14,18 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables.load(spark, dir, "documents").cache()
-    docs.count()
+    // SPARK_GRAFT_SCALE_X=10 unions the documents table N× with offset
+    // ids — a cheap 10×-scale probe for nonlinear blowups in the dedup
+    // family (duplicate groups grow N×, so pair outputs grow too).
+    val scaleX = sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "1").toInt
+    val base = Tables.load(spark, dir, "documents")
+    val docs = (if (scaleX == 1) base
+      else (0 until scaleX).map(i =>
+        base.select((org.apache.spark.sql.functions.col("doc_id") +
+          org.apache.spark.sql.functions.lit(i * 1000000L)).as("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+        .reduce(_ union _)).cache()
+    println(s"docs: ${docs.count()} (scaleX=$scaleX)")
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

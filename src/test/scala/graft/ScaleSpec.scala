@@ -68,6 +68,31 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(secs < 60, s"capped ngram jaccard took $secs s")
   }
 
+  test("band-bucket cap bounds mass-duplicate cliques, keeps distinct near-dup pairs") {
+    import graft.llm.Dedup
+    // 2000 identical docs (one clique) + one genuine near-dup pair with
+    // unique text — at web scale the clique's pair output is quadratic;
+    // the cap must drop it while the distinct pair survives
+    val clique = (1L to 2000L).map(i => (i, "the same mass duplicated text body across the corpus every time"))
+    // the surviving pair: identical distinct-from-clique text (simhash
+    // hamming 0 — a one-word edit flips ~10 of 32 bits on short docs,
+    // so radius-3 simhash only pairs (near-)identical short texts)
+    val pair = Seq(
+      (9001L, "a genuinely distinct document about spark shuffle internals today"),
+      (9002L, "a genuinely distinct document about spark shuffle internals today"))
+    val docs = (clique ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        n = 8, minMatches = 6, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((9001L, 9002L)), s"distinct near-dup pair lost: $capped")
+    assert(!capped.exists(p => p._1 <= 2000L), s"mass clique leaked into pairs: ${capped.size}")
+    val simCapped = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, nBits = 32, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simCapped.contains((9001L, 9002L)), s"distinct pair lost by simhash cap: $simCapped")
+    assert(!simCapped.exists(p => p._1 <= 2000L), "mass clique leaked through simhash cap")
+  }
+
   test("tf-idf produces sparse features and down-weights ubiquitous tokens") {
     val docs = Tables.load(spark, sf0001, "documents").limit(100)
     val out = TextStats.tfidf(docs, "text")

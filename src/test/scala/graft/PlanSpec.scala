@@ -97,6 +97,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in tfidf:\n$plan")
   }
 
+  test("pivot scans once and partial-aggregates before any exchange") {
+    val plan = executed(graft.queries.Relational.a16Pivot(spark, sf0001))
+    assert("Scan parquet".r.findAllIn(plan).length == 1, s"multiple scans:\n$plan")
+    // Spark's two-phase pivot (count → pivotfirst) exchanges twice, but
+    // both exchanges carry only group rows: the raw scan must feed a
+    // partial aggregate, never an exchange directly
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(!plan.matches("(?s).*Exchange[^\\n]*\\n[^\\n]*FileScan.*"),
+      s"raw rows shuffled before aggregation:\n$plan")
+  }
+
+  test("ntile/percent_rank share one window sort") {
+    val plan = executed(graft.queries.Relational.w7Ntile(spark, sf0001))
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 shared Window node, got $windows:\n$plan")
+  }
+
   test("online-store TTL prunes ingest_date partitions at the scan") {
     import graft.schema.CardStats
     import graft.stream.OnlineStore

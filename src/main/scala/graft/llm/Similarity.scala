@@ -64,15 +64,24 @@ object Similarity {
   }
 
   /** Deterministic sign-random-projection bucket id with `nBits` bits.
-    * Projection b uses fixed ±1 coefficients: +1 iff (i*31 + b*17) is
-    * even, where i is the 1-based element index — reproducible in plain
-    * SQL, no stored projection matrix. Elements are rounded to 6 dp so
-    * the vote sums are exact decimals (order-independent). */
+    * Projection b uses fixed ±1 coefficients from a SQUARED hash —
+    * +1 iff ((i·7919 + b·104729 + 17)² ÷ 1024) is even (1-based element
+    * index i) — reproducible in plain SQL, no stored projection matrix.
+    * The square makes i and b interact nonlinearly: a LINEAR parity
+    * like (i·31 + b·17) % 2 reduces to (i+b) % 2, whose projection
+    * vectors are all ±each other — every vector lands in one of TWO
+    * buckets and the "LSH" degenerates to one hyperplane (caught by the
+    * multi-probe witness spec; empirically this formula fills 46-60 of
+    * 64 buckets on random data at dim 8-64 and |w_a·w_b| stays ≤ dim/4
+    * — near-orthogonal hyperplanes). No i64 overflow through dim 4096.
+    * Elements are rounded to 6 dp so the vote sums are exact decimals
+    * (order-independent). */
   def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
     val dv = asDouble(vec)
     val projections = (0 until nBits).map { b =>
       val terms = (1 to dim).map { i =>
-        val coef = if ((i * 31 + b * 17) % 2 == 0) 1.0 else -1.0
+        val h = i.toLong * 7919L + b.toLong * 104729L + 17L
+        val coef = if ((h * h / 1024L) % 2L == 0L) 1.0 else -1.0
         round(element_at(dv, i), 6) * lit(coef)
       }
       terms.reduce(_ + _)
@@ -93,6 +102,37 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
       lshBucket(col(vecCol), dim, nBits).as("bucket"))
       .withColumn("cn", norm(col("cv")))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(safeDiv(dot(col("qv"), col("cv")), col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Multi-probe LSH top-k: probe the query's bucket AND every bucket
+    * at hamming distance 1 (flip each of the nBits sign bits) — the
+    * standard recall repair for sign-projection LSH, where a near
+    * neighbor on the far side of ONE hyperplane lands in an adjacent
+    * bucket and single-probe misses it. Scores (nBits+1) buckets ≈
+    * (nBits+1)/2^nBits of the corpus; the corpus is still bucketed
+    * once and never shuffled per query (probe list explodes on the
+    * broadcast query side). */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      lshBucket(col(vecCol), dim, nBits).as("bucket0"))
+      .withColumn("qn", norm(col("qv")))
+    val probes = array(col("bucket0") +: (0 until nBits).map(b =>
+      col("bucket0").bitwiseXOR(lit(1L << b))): _*)
+    val q = q0.withColumn("bucket", explode(probes)).drop("bucket0")
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+      .withColumn("cn", norm(col("cv")))
+    // each corpus row lives in exactly ONE bucket and probe buckets are
+    // distinct, so the join emits no duplicate (query, neighbor) pairs
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(safeDiv(dot(col("qv"), col("cv")), col("qn") * col("cn")), 6))

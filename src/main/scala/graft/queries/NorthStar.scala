@@ -203,7 +203,8 @@ object NorthStar {
   }.mkString(" + ")
 
   private val lshProjs = (0 until 8).map { b =>
-    s"SUM(CASE WHEN (i*31 + $b*17) % 2 = 0 THEN ROUND(v[i], 6) ELSE -ROUND(v[i], 6) END) AS p$b"
+    val c = b.toLong * 104729L + 17L
+    s"SUM(CASE WHEN ((i*7919 + $c) * (i*7919 + $c) // 1024) % 2 = 0 THEN ROUND(v[i], 6) ELSE -ROUND(v[i], 6) END) AS p$b"
   }.mkString(", ")
   private val lshBits = (0 until 8).map { b =>
     s"CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END"

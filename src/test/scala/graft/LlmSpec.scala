@@ -121,6 +121,43 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(byId(3L)._3.split(",").head == "-127")
   }
 
+  test("multi-probe LSH finds adjacent-bucket neighbors single-probe misses") {
+    // spread pseudo-random corpus (hash-based components, no near-dup
+    // clusters); witnesses = (query, brute-force neighbor) pairs whose
+    // buckets differ in EXACTLY one bit — single-probe must miss them,
+    // multi-probe must find them
+    val n = 200
+    val dim = 8
+    val nBits = 6
+    val corpus = spark.range(n).select($"id".as("vec_id"),
+      array((1 to dim).map(j =>
+        ((pmod(xxhash64($"id", lit(j)), lit(1000L)) - 500L) / 100.0).cast("float")): _*)
+        .as("embedding"))
+    val qs = corpus.filter($"vec_id" < 20)
+    val bucket = corpus
+      .select($"vec_id", Similarity.lshBucket($"embedding", dim, nBits).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = Similarity.cosineTopK(qs, corpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val witnesses = brute.filter { case (q, nb) =>
+      java.lang.Long.bitCount(bucket(q) ^ bucket(nb)) == 1
+    }.toSet
+    assert(witnesses.nonEmpty, "no adjacent-bucket witness pairs in this corpus")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // k = corpus size so rank truncation can't hide a found neighbor
+    val single = hits(Similarity.lshTopK(qs, corpus, "vec_id", "embedding", dim, nBits, n))
+    val multi = hits(Similarity.lshTopKMultiProbe(qs, corpus, "vec_id", "embedding", dim, nBits, n))
+    assert(witnesses.forall(w => !single.contains(w)),
+      s"single-probe claims an adjacent-bucket pair: ${witnesses & single}")
+    assert(witnesses.forall(multi.contains),
+      s"multi-probe missed witnesses: ${witnesses -- multi}")
+    // no duplicate (query, neighbor) pairs from the probe explosion
+    val m = Similarity.lshTopKMultiProbe(qs, corpus, "vec_id", "embedding", dim, nBits, n)
+      .groupBy($"query_id", $"neighbor_id").count().filter($"count" > 1).count()
+    assert(m == 0, "duplicate pairs from multi-probe join")
+  }
+
   test("connected groups collapse chained near-dup pairs transitively") {
     // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")

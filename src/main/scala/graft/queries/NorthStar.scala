@@ -109,6 +109,16 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  // Approximate top-k through the LSH buckets (probe = own bucket) —
+  // the oracle replays bucket assignment + in-bucket cosine ranking.
+  val lshTopk: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e.filter($"vec_id" < 5), e, "vec_id", "embedding",
+        dim = 64, nBits = 8, k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
   val cosinePairs: Q = (s, dir) => {
     import s.implicits._
     Similarity.cosinePairsWithin(
@@ -169,6 +179,7 @@ object NorthStar {
     "ns_ngram_jaccard" -> ngramJaccard,
     "ns_ann_topk" -> annTopk,
     "ns_lsh_buckets" -> lshBuckets,
+    "ns_lsh_topk" -> lshTopk,
     "ns_cosine_pairs" -> cosinePairs,
     "ns_text_stats" -> textStats,
     "ns_winnow" -> winnow,
@@ -337,6 +348,28 @@ object NorthStar {
         | SELECT vec_id, $lshProjs FROM e, pos GROUP BY vec_id
         |)
         |SELECT vec_id, $lshBits AS bucket FROM proj ORDER BY vec_id""").sm,
+    "ns_lsh_topk" ->
+      (s"""WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |proj AS (
+        | SELECT vec_id, $lshProjs FROM e, pos GROUP BY vec_id
+        |), bk AS (
+        | SELECT vec_id, $lshBits AS bucket FROM proj
+        |), ev AS (
+        | SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)
+        |), dots AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  SUM(q.v[i] * c.v[i]) AS dp, SUM(q.v[i] * q.v[i]) AS qq, SUM(c.v[i] * c.v[i]) AS cc
+        | FROM ev q JOIN ev c ON q.bucket = c.bucket AND c.vec_id != q.vec_id, pos
+        | WHERE q.vec_id < 5 GROUP BY 1, 2
+        |), scored AS (
+        | SELECT query_id, neighbor_id, ROUND(dp / (SQRT(qq) * SQRT(cc)), 6) AS cos FROM dots
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        | SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""").sm,
     "ns_cosine_pairs" ->
       """WITH e AS (
         | SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -334,8 +334,13 @@ object Relational {
   // W6 rows-frame running sum (frame-spec completeness)
   val w6RunningSum: Q = (s, dir) => {
     import s.implicits._
+    // l_quantity as the last window sort key: the synthetic lineitem
+    // carries duplicate rows that tie on (shipdate, orderkey, linenumber)
+    // with DIFFERENT quantities — under a ROWS frame the mid-tie running
+    // sum is order-dependent, so the order must be total over the value
+    // being summed (ties of equal quantity remain harmless)
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
@@ -671,7 +676,7 @@ object Relational {
     "w6_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-        |  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".sm,
     "o1_multi_sort" ->

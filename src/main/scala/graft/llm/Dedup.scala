@@ -339,6 +339,31 @@ object Dedup {
     stream.withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Benchmark decontamination: for every training doc, the number of
+    * distinct word-3-grams it shares with ANY benchmark doc — the
+    * standard n-gram-overlap contamination test run before training so
+    * eval sets don't leak into the corpus. Docs with
+    * `n_hits ≥ minOverlap` are flagged.
+    *
+    * Scale shape: the benchmark shingle set is DISTINCT'd and joined on
+    * the shingle string — benchmarks are small relative to the corpus,
+    * so the join broadcasts (AQE) and the corpus is never shuffled;
+    * counting matches is a doc-keyed map-side-collapsing aggregate.
+    * Returns every corpus doc with (n_shingles, n_hits, contaminated).
+    */
+  def contaminationFlags(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, minOverlap: Int): DataFrame = {
+    val corpusSh = shingleRows(docs, idCol, textCol)
+    val benchSh = shingleRows(benchmark, idCol, textCol)
+      .select(col("sh")).distinct()
+    corpusSh
+      .join(benchSh.withColumn("__hit", lit(1)), Seq("sh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+
   /** Shingles whose document frequency exceeds `maxDf` — the
     * "stop-shingles" [[ngramJaccardPairs]] drops. Exposed so callers can
     * count/log what a df cap discards before trusting capped output. */

@@ -165,6 +165,27 @@ object TextStats {
         col("tfidf"))
   }
 
+  /** Email regex shared with the oracle contract (kept to syntax that
+    * means the same thing in Java regex and RE2). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-number regex: 3-3-4 groups with -, ., or space separators. */
+  val PhonePattern = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII scan — the redaction pass every training-corpus pipeline runs
+    * before release: per-row counts of email/phone matches plus the
+    * text with both redacted. Pure codegen'd regex column ops, zero
+    * shuffle. */
+  def piiScan(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(EmailPattern), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhonePattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, EmailPattern, "[EMAIL]"),
+          PhonePattern, "[PHONE]"))
+  }
+
   /** Convenience: attach the full stats column set. */
   def withStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

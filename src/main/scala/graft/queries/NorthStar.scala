@@ -139,6 +139,25 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // PII scan: email/phone counts + redacted text (codegen'd regex,
+  // zero shuffle).
+  val piiScan: Q = (s, dir) => {
+    import s.implicits._
+    TextStats.piiScan(t(s, dir, "documents"), "text")
+      .select($"doc_id", $"n_emails", $"n_phones", md5($"redacted").as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  // Benchmark decontamination: docs sharing >= 8 distinct 3-grams with
+  // the "benchmark" slice (every 50th doc) get flagged.
+  val contamination: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationFlags(docs, docs.filter($"doc_id" % 50 === 0),
+        "doc_id", "text", minOverlap = 8)
+      .orderBy($"doc_id")
+  }
+
   // Winnowing (MOSS rolling-hash) fingerprint — char-5-gram hashes,
   // window 4, per-doc distinct-minima digest; oracle reproduces the
   // rolling min with a ROWS frame.
@@ -183,6 +202,8 @@ object NorthStar {
     "ns_cosine_pairs" -> cosinePairs,
     "ns_text_stats" -> textStats,
     "ns_winnow" -> winnow,
+    "ns_pii_scan" -> piiScan,
+    "ns_contamination" -> contamination,
     "ns_multimodal_meta" -> multimodalMeta
   )
 
@@ -398,6 +419,22 @@ object NorthStar {
         |      ELSE 'und' END AS lang_pred,
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".sm,
+    "ns_pii_scan" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS INTEGER) AS n_phones,
+        | md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".sm,
+    "ns_contamination" ->
+      (shinglesCte + """, corpus AS (
+        | SELECT doc_id, UNNEST(shs) AS sh FROM d
+        |), bench AS (
+        | SELECT DISTINCT UNNEST(shs) AS sh FROM d WHERE doc_id % 50 = 0
+        |)
+        |SELECT c.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS n_hits,
+        | COUNT(b.sh) >= 8 AS contaminated
+        |FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+        |GROUP BY c.doc_id ORDER BY c.doc_id""").sm,
     "ns_winnow" ->
       """WITH n AS (
         | SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents

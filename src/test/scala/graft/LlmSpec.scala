@@ -217,6 +217,39 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(r(2L) == 0.0)
   }
 
+  test("pii scan counts and redacts emails and phone numbers") {
+    val d = Seq(
+      (1L, "contact alice@example.com or bob.smith@mail.co today"),
+      (2L, "call 555-123-4567 or 555 987 6543 now"),
+      (3L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = TextStats.piiScan(d, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"), r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 0)
+    assert(out(1L)._3 == "contact [EMAIL] or [EMAIL] today")
+    assert(out(2L)._1 == 0 && out(2L)._2 == 2)
+    assert(out(2L)._3 == "call [PHONE] or [PHONE] now")
+    assert(out(3L) == ((0, 0, "clean text with no pii at all")))
+  }
+
+  test("contamination flags docs sharing n-grams with the benchmark set") {
+    val benchmark = Seq(
+      (100L, "the capital of france is paris and the capital of italy is rome"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "trivia dump the capital of france is paris and the capital of italy is rome end"),
+      (2L, "a completely original essay about distributed query execution engines"),
+      (3L, "the capital of france gets mentioned once only here")
+    ).toDF("doc_id", "text")
+    val f = Dedup.contaminationFlags(corpus, benchmark, "doc_id", "text", minOverlap = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(f(1L)._2, s"benchmark-quoting doc not flagged: $f")
+    assert(!f(2L)._2 && f(2L)._1 == 0, "clean doc flagged")
+    assert(!f(3L)._2 && f(3L)._1 > 0, "partial overlap should count hits but stay unflagged")
+  }
+
   test("multimodal decode is deterministic with stable checksums") {
     val meta1 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()
     val meta2 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()

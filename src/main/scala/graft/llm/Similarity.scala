@@ -77,14 +77,18 @@ object Similarity {
     * Elements are rounded to 6 dp so the vote sums are exact decimals
     * (order-independent). */
   def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
-    val dv = asDouble(vec)
+    // One rounded copy of the vector, then nBits native dot products
+    // against LITERAL ±1 coefficient arrays — the naive expansion is
+    // nBits × dim expression nodes (512 at 64-dim/8-bit), whose codegen
+    // alone dominated the query. ArrayDotProduct folds in index order,
+    // so values are bit-identical to the expanded sum-of-terms form.
+    val rv = transform(asDouble(vec), x => round(x, 6))
     val projections = (0 until nBits).map { b =>
-      val terms = (1 to dim).map { i =>
+      val coefs = (1 to dim).map { i =>
         val h = i.toLong * 7919L + b.toLong * 104729L + 17L
-        val coef = if ((h * h / 1024L) % 2L == 0L) 1.0 else -1.0
-        round(element_at(dv, i), 6) * lit(coef)
+        if ((h * h / 1024L) % 2L == 0L) 1.0 else -1.0
       }
-      terms.reduce(_ + _)
+      graft.expr.ArrayDotProduct.native(rv, array(coefs.map(lit): _*))
     }
     projections.zipWithIndex.map { case (p, b) =>
       when(p > 0, lit(1L << b)).otherwise(0L)

@@ -432,7 +432,10 @@ object Relational {
     import s.implicits._
     t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      // quantity in the sort: lineitem's duplicate (orderkey, linenumber)
+      // rows can differ in quantity — a LIMIT boundary straddling such a
+      // tie would otherwise pick an engine-dependent row
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
       .limit(100)
   }
 
@@ -684,7 +687,7 @@ object Relational {
         |FROM lineitem ORDER BY l_returnflag, ship_date DESC, l_orderkey, l_linenumber""".sm,
     "o2_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".sm,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".sm,
     "o3_global_topk" ->
       "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 10",
     "u1_union_all" ->

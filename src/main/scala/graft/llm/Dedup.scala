@@ -259,8 +259,14 @@ object Dedup {
     * a partial labeling is silently wrong, never returned. */
   def connectedGroups(pairs: DataFrame, maxIter: Int = 10,
       broadcastNodeLimit: Long = 1000000L): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // Both edge directions from ONE pass over `pairs`: a union of two
+    // selections evaluates the (possibly expensive) pairs pipeline
+    // twice — exploding a 2-element struct array emits (a,b) and (b,a)
+    // per input row in a single evaluation.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("a"), col("doc_b").as("b")),
+        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().cache()
     // Init with the first hop already applied: grp0 = min(self ∪ direct
     // neighbors). Same single shuffle as a distinct-nodes init (groupBy

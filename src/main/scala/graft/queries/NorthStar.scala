@@ -139,6 +139,18 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // Token-count histogram — the corpus length-distribution profile
+  // (bucket width 16): one derived-key hash aggregate.
+  val tokenHistogram: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select((TextStats.tokenCount($"text") / 16).cast("int").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(($"bucket" * 16).as("bucket_lo"), $"n_docs")
+      .orderBy($"bucket_lo")
+  }
+
   // PII scan: email/phone counts + redacted text (codegen'd regex,
   // zero shuffle).
   val piiScan: Q = (s, dir) => {
@@ -203,6 +215,7 @@ object NorthStar {
     "ns_text_stats" -> textStats,
     "ns_winnow" -> winnow,
     "ns_pii_scan" -> piiScan,
+    "ns_token_histogram" -> tokenHistogram,
     "ns_contamination" -> contamination,
     "ns_multimodal_meta" -> multimodalMeta
   )
@@ -419,6 +432,10 @@ object NorthStar {
         |      ELSE 'und' END AS lang_pred,
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".sm,
+    "ns_token_histogram" ->
+      """SELECT bucket * 16 AS bucket_lo, COUNT(*) AS n_docs FROM (
+        | SELECT CAST(len(string_split(text, ' ')) // 16 AS INTEGER) AS bucket FROM documents)
+        |GROUP BY bucket ORDER BY bucket_lo""".sm,
     "ns_pii_scan" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,

@@ -40,16 +40,25 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def qJson(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"pass":"steady_state_after_warmup","sf":"$sfDir"}"""
-    println(line)
+    def line(qs: String, omitted: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"failures":$fs,"n_failed":${failures.size},"pass":"steady_state_after_warmup","sf":"$sfDir"}"""
+    // Full per-query map → bench_out.json (machine-readable round artifact).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (line(qJson(results.toSeq.sortBy(-_._2)), 0) + "\n").getBytes("UTF-8"))
+    // Stdout copy must fit the driver's ~2.9 KB stdout-tail buffer or the
+    // line's HEAD gets truncated and the round's bench parse fails
+    // (BENCH_r02 "parsed": null). Keep the slowest queries until ~2 KB.
+    val bySlow = results.toSeq.sortBy(-_._2)
+    var kept = bySlow.length
+    while (kept > 1 && line(qJson(bySlow.take(kept)), bySlow.length - kept).length > 2000)
+      kept -= 1
+    println(line(qJson(bySlow.take(kept)), bySlow.length - kept))
     spark.stop()
   }
 }

@@ -35,14 +35,20 @@ object Functions {
   def factorize(df: DataFrame, keyCol: String, outCol: String,
       broadcastCodes: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    val keys = df.select(col(keyCol)).distinct().orderBy(col(keyCol))
+    // NULL keys get no code row: pandas factorize codes NaN as -1
+    // (load_data.py:20), and an inner/using join on a null key would
+    // silently DROP the row (null never equals null). Left-join the
+    // code table and map unmatched (i.e. null-key) rows to -1.
+    val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct().orderBy(col(keyCol))
     val schema = org.apache.spark.sql.types.StructType(
       keys.schema.fields :+
         org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.LongType, nullable = false))
     val codes = spark.createDataFrame(
       keys.rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
       schema)
-    df.join(if (broadcastCodes) broadcast(codes) else codes, Seq(keyCol))
+    df.join(if (broadcastCodes) broadcast(codes) else codes, Seq(keyCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(-1L)))
   }
 
   /** Dynamic try_cast chain mirroring the serving edge's float-if-dot /

@@ -76,11 +76,13 @@ class FeatureStore(spark: SparkSession, backend: OfflineBackend) {
   }
 
   /** The one-pass plan behind [[sync]], exposed for plan assertions:
-    * a single scan of the offline table, one broadcast join, one
-    * aggregate producing both counts. */
+    * a single scan of the offline table, one join, one aggregate
+    * producing both counts. No forced broadcast hint — a large online
+    * keyspace would OOM the driver; the planner/AQE picks broadcast
+    * when the distinct key set is actually small. */
   def syncFrame(onlineKeys: DataFrame): DataFrame = {
-    val keys = broadcast(
-      onlineKeys.select(col("cc_num")).distinct().withColumn("__matched", lit(1)))
+    val keys =
+      onlineKeys.select(col("cc_num")).distinct().withColumn("__matched", lit(1))
     offline.join(keys, Seq("cc_num"), "left_outer")
       .agg(count(when(col("__matched").isNotNull, 1)).as("synced"),
         count(when(col("__matched").isNull, 1)).as("skipped"))

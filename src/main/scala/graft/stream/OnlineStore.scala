@@ -91,14 +91,29 @@ class OnlineStore(spark: SparkSession, path: String, ttlSeconds: Long = 86400L) 
     * so a crash leaves either the old log in place, or the old log at
     * `.bak` with the complete compacted copy ready; never a
     * half-overwritten directory (the previous overwrite-in-place could
-    * die between delete and write). Leftovers from a previous crash are
-    * cleaned up on entry. */
+    * die between delete and write). On entry, RECOVER before cleaning:
+    * if the main log is missing (a previous compact died between its
+    * two renames), `.bak` holds the only full copy and `.compact` the
+    * only compacted copy — promote `.bak` (conservative: full data,
+    * compaction redone) or, failing that, the complete `.compact`.
+    * Only once main exists are leftovers safe to delete. */
   def compact(asOfEpochSec: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val main = new Path(path)
     val tmp = new Path(path + ".compact")
     val bak = new Path(path + ".bak")
+    if (!fs.exists(main)) {
+      if (fs.exists(bak)) {
+        if (!fs.rename(bak, main))
+          throw new java.io.IOException(s"compact: recovery rename $bak -> $main failed")
+      } else if (fs.exists(tmp)) {
+        // tmp was fully written before the first rename — it is complete
+        if (!fs.rename(tmp, main))
+          throw new java.io.IOException(s"compact: recovery rename $tmp -> $main failed")
+      } else
+        throw new java.io.FileNotFoundException(s"compact: no log at $main and no recovery copy")
+    }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(bak)) fs.delete(bak, true)
     retained(asOfEpochSec)

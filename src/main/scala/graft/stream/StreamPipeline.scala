@@ -148,8 +148,13 @@ object StreamPipeline {
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
               state.setTimeoutDuration(stateTtlMs)
             else if (timeout == GroupStateTimeout.EventTimeTimeout && maxTsMs != Long.MinValue)
-              // expire when the WATERMARK passes last-event-time + TTL
-              state.setTimeoutTimestamp(maxTsMs + stateTtlMs)
+              // Expire when the WATERMARK passes last-event-time + TTL.
+              // Clamp to just past the current watermark: a group whose
+              // newest event is already > TTL behind the watermark (mixed
+              // old/new backfill) would otherwise make setTimeoutTimestamp
+              // throw (timeout must exceed the watermark) and kill the query.
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, maxTsMs + stateTtlMs))
             out.iterator
           }
       }

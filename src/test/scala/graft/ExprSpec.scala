@@ -106,6 +106,16 @@ class ExprSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("factorize: null keys keep their rows and code as -1 (pandas NaN semantics)") {
+    import graft.expr.Functions
+    val df = Seq(Some("b"), None, Some("a"), None, Some("b")).toDF("k")
+    val out = Functions.factorize(df, "k", "code")
+    assert(out.count() == 5, "null-key rows must not be dropped")
+    val byKey = out.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byKey(Some("a")) == 0L && byKey(Some("b")) == 1L)
+    assert(byKey(None) == -1L, "null key must code as -1, not vanish")
+  }
+
   test("nulls propagate") {
     val r = Seq((Some(1.0), 2.0), (None, 2.0)).toDF("a", "b")
       .select(HaversineMiles.native($"a", $"b", lit(3.0), lit(4.0)).as("d"))

@@ -209,6 +209,30 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(!new java.io.File(tmp + ".bak").exists())
   }
 
+  test("compact recovers the log when a previous compact died between renames") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ocr_").toString + "/log"
+    val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)
+    def stats(id: String, cc: Long, at: String) = CardStats(cc, id, 1.0, 1.0, 1L, 1.0, ts(at))
+    store.upsertBatch(Seq(stats("keep", 1L, "2024-01-01 11:30:00"),
+      stats("drop", 1L, "2024-01-01 09:00:00")).toDS(), 0L)
+    // simulate the exact crash window: compacted copy fully written to
+    // .compact, old log renamed to .bak, promotion rename never ran —
+    // main is GONE; .bak holds the only full copy
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = ts("2024-01-01 12:00:00").getTime / 1000
+    spark.read.parquet(tmp).filter($"txn_id" === "keep")
+      .write.partitionBy("ingest_date").parquet(tmp + ".compact")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(tmp + ".bak")))
+    // a retried compact must NOT delete the only copies; it recovers + compacts
+    store.compact(now)
+    val left = spark.read.parquet(tmp).select("txn_id").collect().map(_.getString(0))
+    assert(left.toSeq == Seq("keep"), s"lost data after crash recovery: ${left.toSeq}")
+    assert(!new java.io.File(tmp + ".compact").exists())
+    assert(!new java.io.File(tmp + ".bak").exists())
+  }
+
   test("retained keeps the LATEST row per txn_id, not an arbitrary one") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lw_").toString + "/log"
     val store = new OnlineStore(spark, tmp, ttlSeconds = 86400)

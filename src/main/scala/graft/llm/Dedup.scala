@@ -370,6 +370,42 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") >= minOverlap)
   }
 
+  /** [[contaminationFlags]] with a Bloom-filter prefilter — the 100 TB
+    * decontamination shape. A Bloom filter of the benchmark's distinct
+    * shingles (built by a distributed [[graft.expr.Bloom]] aggregate,
+    * ~1.2 MB per million shingles at 1 % fpp) rides the corpus scan as a
+    * codegen'd predicate, so only the tiny might-match fraction of
+    * corpus shingles reaches the exact confirm join. The result is
+    * EXACT — blooms have no false negatives, and the join removes the
+    * false positives — which is what keeps this oracle-checkable.
+    *
+    * Why it matters at scale: the broadcast-join form
+    * ([[contaminationFlags]]) already avoids shuffling the corpus, but
+    * every corpus shingle still probes the hash relation and per-doc
+    * hit counting aggregates every row. Here non-matching shingles
+    * (virtually all of them) die at the scan, and when the benchmark
+    * set outgrows broadcast range the bloom still spares the corpus
+    * from the shuffle join — only candidates shuffle. */
+  def bloomDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, minOverlap: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val corpusSh = shingleRows(docs, idCol, textCol)
+    val benchSh = shingleRows(benchmark, idCol, textCol)
+      .select(col("sh")).distinct()
+    // Sizing count + build are two small jobs over the SMALL side only.
+    val nBench = benchSh.count()
+    val bloom = graft.expr.Bloom.build(benchSh, "sh", nBench, fpp)
+    val candidates = corpusSh
+      .filter(graft.expr.Bloom.mightContain(bloom, col("sh")))
+      .join(benchSh.withColumn("__hit", lit(1)), Seq("sh"), "left_outer")
+      .filter(col("__hit").isNotNull) // drop bloom false positives
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(candidates, Seq("doc_id"), "left_outer")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+
   /** Shingles whose document frequency exceeds `maxDf` — the
     * "stop-shingles" [[ngramJaccardPairs]] drops. Exposed so callers can
     * count/log what a df cap discards before trusting capped output. */

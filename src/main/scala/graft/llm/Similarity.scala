@@ -222,4 +222,24 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
+
+  /** Embedding-cosine near-duplicate DEDUP within a blocking key: every
+    * row of `df` comes back with `is_dup` (an earlier-id row in the same
+    * block has cosine ≥ threshold) and `dup_of` (the smallest such id,
+    * NULL for keepers). Keep-first-by-id is the standard deterministic
+    * survivor rule; filtering `!is_dup` yields the deduplicated corpus.
+    *
+    * Scale shape: pairs come from [[cosinePairsWithin]] — block-keyed
+    * self-join, never corpus² — and the flag join back is on the id key
+    * the pair aggregate already produced. At full scale the block key is
+    * an LSH bucket ([[lshBucket]]) or shard id, which is exactly how
+    * production near-dup passes bound the pair space (shard-local dedup
+    * after a global exact pass). */
+  def embeddingDedupWithin(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val dupOf = cosinePairsWithin(df, idCol, vecCol, blockCol, threshold)
+      .groupBy(col("id_b").as("__id")).agg(min(col("id_a")).as("dup_of"))
+    df.join(dupOf, col(idCol) === col("__id"), "left").drop("__id")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
 }

@@ -186,6 +186,20 @@ object TextStats {
           PhonePattern, "[PHONE]"))
   }
 
+  /** Exact corpus-wide heavy hitters: the `k` most frequent whitespace
+    * tokens with counts. Two-level hash aggregate (partial map-side
+    * combine collapses each partition's token counts before the single
+    * shuffle on token) + `TakeOrdered` for the global top-k — no global
+    * sort, no driver-side counting. Token keys are near-uniform after
+    * the partial agg (one row per distinct token per partition), so no
+    * salting is needed even though token FREQUENCIES are Zipfian.
+    * Ties break lexicographically for a deterministic result. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Convenience: attach the full stats column set. */
   def withStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Similarity, TextStats}
+import graft.llm.{Dedup, Shards, Similarity, TextStats}
 
 /** North-star LLM-data-pipeline inventory (SURVEY.md §2.12): dedup,
   * similarity search, text analysis, multimodal plumbing — each an
@@ -179,6 +179,49 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // Exact corpus heavy hitters: top-20 tokens by frequency (vocabulary
+  // head profile — the thing you eyeball before choosing stopword /
+  // tokenizer policy). Partial-agg + TakeOrdered, no global sort.
+  val heavyHitters: Q = (s, dir) => {
+    import s.implicits._
+    TextStats.heavyHitters(t(s, dir, "documents"), "text", k = 20)
+  }
+
+  // Bloom-prefiltered decontamination — same exact semantics as
+  // ns_contamination but through the runtime-filter-style bloom path
+  // (different benchmark slice + threshold so the two queries don't
+  // alias each other).
+  val bloomDecontaminate: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    Dedup.bloomDecontaminate(docs, docs.filter($"doc_id" % 37 === 0),
+        "doc_id", "text", minOverlap = 6)
+      .orderBy($"doc_id")
+  }
+
+  // Embedding-cosine near-dup dedup flags over the same block-keyed
+  // sample as ns_cosine_pairs: keep-first-by-id survivor rule.
+  val dedupEmbedding: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.embeddingDedupWithin(
+        t(s, dir, "embeddings").filter($"vec_id" % 5 === 0),
+        "vec_id", "embedding", "label", threshold = 0.3)
+      .select($"vec_id", $"dup_of", $"is_dup")
+      .orderBy($"vec_id")
+  }
+
+  // Deterministic training-shard assignment profile: 16 md5-derived
+  // shards, per-shard row counts + id range (the writer itself is
+  // exercised in ScalaTest; this checks the portable assignment).
+  val shardAssign: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(Shards.shardId($"doc_id", 16).as("shard"), $"doc_id")
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"shard")
+  }
+
   // ---- multimodal plumbing (llm.Multimodal has the typed pipeline) ----
   // Opaque binary payload + deterministic metadata "decode" — the SQL-able
   // contract of the binary column design (decode itself is the stubbed
@@ -217,6 +260,10 @@ object NorthStar {
     "ns_pii_scan" -> piiScan,
     "ns_token_histogram" -> tokenHistogram,
     "ns_contamination" -> contamination,
+    "ns_heavy_hitters" -> heavyHitters,
+    "ns_bloom_decontaminate" -> bloomDecontaminate,
+    "ns_dedup_embedding" -> dedupEmbedding,
+    "ns_shard_assign" -> shardAssign,
     "ns_multimodal_meta" -> multimodalMeta
   )
 
@@ -469,6 +516,45 @@ object NorthStar {
         |SELECT doc_id, COUNT(*) AS n_fp,
         | md5(array_to_string(list_sort(list(wm)), ',')) AS fp_digest
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".sm,
+    "ns_heavy_hitters" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        | SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".sm,
+    "ns_bloom_decontaminate" ->
+      (shinglesCte + """, corpus AS (
+        | SELECT doc_id, UNNEST(shs) AS sh FROM d
+        |), bench AS (
+        | SELECT DISTINCT UNNEST(shs) AS sh FROM d WHERE doc_id % 37 = 0
+        |)
+        |SELECT c.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS n_hits,
+        | COUNT(b.sh) >= 6 AS contaminated
+        |FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+        |GROUP BY c.doc_id ORDER BY c.doc_id""").sm,
+    "ns_dedup_embedding" ->
+      """WITH e AS (
+        | SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id % 5 = 0
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |dots AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  SUM(a.v[i] * b.v[i]) AS dp, SUM(a.v[i] * a.v[i]) AS aa, SUM(b.v[i] * b.v[i]) AS bb
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id, pos GROUP BY 1, 2
+        |), dup AS (
+        | SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM dots
+        | WHERE ROUND(dp / (SQRT(aa) * SQRT(bb)), 6) >= 0.3 GROUP BY id_b
+        |)
+        |SELECT e.vec_id, dup.dup_of, dup.dup_of IS NOT NULL AS is_dup
+        |FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id ORDER BY e.vec_id""".sm,
+    "ns_shard_assign" ->
+      """SELECT shard, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id FROM (
+        | SELECT doc_id, CAST((
+        |   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 16
+        |  AS INTEGER) AS shard
+        | FROM documents)
+        |GROUP BY shard ORDER BY shard""".sm,
     "ns_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

@@ -250,6 +250,80 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(!f(3L)._2 && f(3L)._1 > 0, "partial overlap should count hits but stay unflagged")
   }
 
+  test("bloom decontamination is exact: identical to the broadcast-join form") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val bench = corpus.filter($"doc_id" % 11 === 0)
+    val exact = Dedup.contaminationFlags(corpus, bench, "doc_id", "text", minOverlap = 4)
+      .select("doc_id", "n_shingles", "n_hits", "contaminated")
+      .orderBy("doc_id").collect()
+    val bloomed = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text", minOverlap = 4)
+      .select("doc_id", "n_shingles", "n_hits", "contaminated")
+      .orderBy("doc_id").collect()
+    assert(bloomed.sameElements(exact),
+      "bloom prefilter changed the result — false negatives or unremoved false positives")
+  }
+
+  test("bloom probe: no false negatives, plausible false-positive rate") {
+    import graft.expr.Bloom
+    val members = spark.range(0, 1000).select(concat(lit("in-"), $"id").as("k"))
+    val bloom = Bloom.build(members, "k", expectedItems = 1000, fpp = 0.01)
+    assert(members.filter(!Bloom.mightContain(bloom, $"k")).count() == 0,
+      "bloom returned a false negative")
+    val outside = spark.range(0, 10000).select(concat(lit("out-"), $"id").as("k"))
+    val fp = outside.filter(Bloom.mightContain(bloom, $"k")).count()
+    assert(fp < 300, s"false-positive rate way above build fpp: $fp / 10000")
+  }
+
+  test("heavy hitters: exact counts, frequency-then-token order") {
+    val hh = TextStats.heavyHitters(docs, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.head._1 == "the", s"most frequent token wrong: ${hh.toSeq}")
+    val counts = hh.map(_._2)
+    assert(counts.sorted.reverse.sameElements(counts), "not frequency-ordered")
+  }
+
+  test("embedding dedup flags later near-identical vectors, keeps the first") {
+    val vecs = Seq(
+      (0L, "a", Array(1.0f, 0.0f, 0.0f)),
+      (1L, "a", Array(0.99f, 0.01f, 0.0f)), // near-dup of 0
+      (2L, "a", Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (3L, "b", Array(1.0f, 0.0f, 0.0f))    // same direction, other block
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingDedupWithin(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (Option(r.getAs[Any]("dup_of")), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(0L) == (None, false), "keeper flagged")
+    assert(out(1L) == (Some(0L), true), s"near-dup not flagged: $out")
+    assert(out(2L) == (None, false), "orthogonal vector flagged")
+    assert(out(3L) == (None, false), "blocking key ignored — cross-block pair matched")
+  }
+
+  test("shard writer: deterministic assignment, bounded files, ordered rows") {
+    import graft.llm.Shards
+    val docs01 = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString + "/out"
+    Shards.write(docs01, dir, "doc_id", nShards = 8, maxRecordsPerFile = 25,
+      orderCols = Seq("doc_id"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs01.count(), "row loss through the shard writer")
+    // every row sits in the shard its key hashes to
+    val misplaced = back
+      .filter(Shards.shardId($"doc_id", 8) =!= $"shard").count()
+    assert(misplaced == 0, s"$misplaced rows in the wrong shard")
+    // maxRecordsPerFile honored
+    val files = new java.io.File(dir).listFiles.filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 25, s"file ${f.getName} has $n rows > maxRecordsPerFile")
+    }
+    // re-running assigns identically (pure function of the key)
+    val again = docs01.select($"doc_id", Shards.shardId($"doc_id", 8).as("s2"))
+    val joined = back.join(again, "doc_id").filter($"shard" =!= $"s2").count()
+    assert(joined == 0, "shard assignment not reproducible")
+  }
+
   test("multimodal decode is deterministic with stable checksums") {
     val meta1 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()
     val meta2 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()

@@ -200,6 +200,19 @@ object TextStats {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Approximate token-frequency sketch (Count-Min) for when the
+    * vocabulary is too large to hash-aggregate exactly (web-scale
+    * n-gram counting): fixed O(1/eps · log 1/confidence) memory however
+    * many distinct tokens exist, partial sketches merged across
+    * partitions, errors are OVERESTIMATES bounded by eps·N with the
+    * given confidence — so a heavy-hitter screen via the sketch never
+    * misses a true heavy hitter. Pair with [[heavyHitters]]: sketch to
+    * screen candidates cheaply, exact-count only the survivors. */
+  def tokenSketch(docs: DataFrame, textCol: String, eps: Double = 1e-4,
+      confidence: Double = 0.99, seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .stat.countMinSketch("token", eps, confidence, seed)
+
   /** Convenience: attach the full stats column set. */
   def withStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

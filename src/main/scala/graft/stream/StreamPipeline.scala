@@ -160,6 +160,21 @@ object StreamPipeline {
       }
   }
 
+  /** Event-time sessionization (the streaming form of A14): per-card
+    * session windows that close after `gap` of event-time silence.
+    * `session_window` is Spark's native merging-window state operator —
+    * state per open session, merged on overlap, emitted and dropped
+    * when the watermark passes session end + gap. Bounded state at any
+    * input rate; sessions shuffle on (cc_num) once. */
+  def sessionCounts(txns: Dataset[StreamTxn], gap: String = "10 seconds",
+      watermarkDelay: String = "5 seconds"): DataFrame =
+    txns.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("cc_num"))
+      .agg(count(lit(1)).as("n_txns"), sum(col("amount")).as("total_amount"))
+      .select(col("cc_num"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_txns"), col("total_amount"))
+
   /** Stream-stream interval join (the streaming J-family form): each
     * left event pairs with same-card right events whose event time lies
     * in [l.ts − `before`, l.ts] — "prior transactions of this card in

@@ -282,6 +282,20 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(counts.sorted.reverse.sameElements(counts), "not frequency-ordered")
   }
 
+  test("count-min token sketch never underestimates; bound holds on the head") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val exact = TextStats.heavyHitters(corpus, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val sketch = TextStats.tokenSketch(corpus, "text", eps = 0.001)
+    val total = sketch.totalCount()
+    for ((tok, n) <- exact) {
+      val est = sketch.estimateCount(tok)
+      assert(est >= n, s"CMS underestimated '$tok': $est < $n")
+      assert(est <= n + (0.001 * total).toLong + 1,
+        s"CMS estimate for '$tok' above the eps*N bound: $est vs $n (N=$total)")
+    }
+  }
+
   test("embedding dedup flags later near-identical vectors, keeps the first") {
     val vecs = Seq(
       (0L, "a", Array(1.0f, 0.0f, 0.0f)),

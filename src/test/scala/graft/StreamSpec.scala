@@ -233,6 +233,33 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(!new java.io.File(tmp + ".bak").exists())
   }
 
+  test("streaming session windows split on event-time gaps and close by watermark") {
+    val mem = MemoryStream[StreamTxn](spark)
+    val sessions = StreamPipeline.sessionCounts(mem.toDS(), gap = "10 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    // card 7: two events 5 s apart (one session), then one 30 s later
+    mem.addData(
+      txn("s1", 7L, 10.0, "2024-01-01 10:00:00"),
+      txn("s2", 7L, 20.0, "2024-01-01 10:00:05"),
+      txn("s3", 7L, 40.0, "2024-01-01 10:00:35"))
+    q.processAllAvailable()
+    // push the watermark far past all sessions so they emit
+    mem.addData(txn("adv", 9L, 1.0, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    mem.addData(txn("adv2", 9L, 1.0, "2024-01-01 12:30:00"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_t")
+      .filter($"cc_num" === 7L)
+      .orderBy($"session_start")
+      .collect()
+    assert(rows.length == 2, s"expected 2 sessions, got ${rows.toSeq}")
+    assert(rows(0).getAs[Long]("n_txns") == 2 && rows(0).getAs[Double]("total_amount") == 30.0)
+    assert(rows(1).getAs[Long]("n_txns") == 1 && rows(1).getAs[Double]("total_amount") == 40.0)
+    // session end = last event + gap
+    assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:00:15"))
+  }
+
   test("retained keeps the LATEST row per txn_id, not an arbitrary one") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lw_").toString + "/log"
     val store = new OnlineStore(spark, tmp, ttlSeconds = 86400)

@@ -333,6 +333,21 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
   }
 
+  /** End-to-end near-dup DEDUP: the corpus with every near-dup group
+    * collapsed to its representative (smallest id — the same keep rule
+    * as [[exactGroups]]). Composes the full-scale path: MinHash
+    * signatures → band-bucket candidate pairs → connected components →
+    * anti-join the non-representatives out. The drop set is one row per
+    * removed doc — tiny next to the corpus — so the anti-join
+    * broadcasts and the corpus is never shuffled. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minMatches: Int = 6): DataFrame = {
+    val drops = connectedGroups(minhashCandidatePairs(docs, idCol, textCol, n, minMatches))
+      .filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen
     * within the watermark horizon (Spark's state-store-backed
     * `dropDuplicatesWithinWatermark`). This is the continuous-ingest

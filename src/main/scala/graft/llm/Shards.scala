@@ -31,6 +31,75 @@ object Shards {
     (v % nShards).cast("int")
   }
 
+  /** Deterministic per-group mixture sampling — the data-mixing step
+    * that downweights overrepresented sources: keep each row iff its
+    * key's hash falls under the group's rate. The "coin flip" is the
+    * same 16-bit md5 value as [[shardId]] (hash/65536 < rate), so the
+    * sample is reproducible, engine-portable (oracle-checkable), and —
+    * unlike rank-based quotas — needs NO shuffle and NO per-group sort:
+    * it is a pure filter riding the scan, the only mixture-sampling
+    * shape that works when one source has 10¹² rows. Rates quantize to
+    * 1/65536 steps. Unlisted groups default to `defaultRate`. */
+  def mixtureSampleByRate(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val hex = md5(col(keyCol).cast("string"))
+    val v = (0 until 4).map { d =>
+      (instr(lit("0123456789abcdef"), substring(hex, d + 1, 1)) - 1) *
+        lit(1 << (4 * (3 - d)))
+    }.reduce(_ + _)
+    val cut = rates.foldLeft(lit((defaultRate * 65536).toInt)) {
+      case (acc, (g, r)) => when(col(groupCol) === g, (r * 65536).toInt).otherwise(acc)
+    }
+    df.filter(v < cut)
+  }
+
+  /** Exact per-group quotas (rank-based): keep the first `quota(g)`
+    * rows of each group in deterministic md5-of-key order. Needs one
+    * shuffle + per-group sort — use for bounded group counts (label
+    * balancing); [[mixtureSampleByRate]] is the unbounded-scale path. */
+  def quotaSample(df: DataFrame, keyCol: String, groupCol: String,
+      quotas: Map[String, Int], defaultQuota: Int = Int.MaxValue): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val cut = quotas.foldLeft(lit(defaultQuota)) {
+      case (acc, (g, q)) => when(col(groupCol) === g, q).otherwise(acc)
+    }
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= cut).drop("__rk")
+  }
+
+  /** Greedy sequence packing — fill training sequences of at most
+    * `maxTokens` tokens with whole documents, the standard step between
+    * a tokenized corpus and an LLM data loader. Packing is inherently
+    * sequential, so it runs per partition (`mapPartitions`): rows are
+    * taken in partition order and cut into a new pack when the budget
+    * would overflow; an oversized single doc gets a pack of its own.
+    * Pack ids are (partitionId << 32 | localSeq) — unique, and
+    * deterministic iff the input's partitioning+order is (pair with
+    * [[shardId]] repartition + sortWithinPartitions, as [[write]] does).
+    * Per-partition packing never shuffles and wastes at most one
+    * partial pack per partition — the accepted trade against a global
+    * (unparallelizable) first-fit. */
+  def packGreedy(df: DataFrame, idCol: String, tokensCol: String,
+      maxTokens: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(maxTokens > 0)
+    df.select(col(idCol).cast("long"), col(tokensCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var seq = -1L
+        var used = 0L
+        var pos = 0
+        it.map { case (id, n) =>
+          if (seq < 0 || used + n > maxTokens) { seq += 1; used = 0L; pos = 0 }
+          used += n; pos += 1
+          (pid << 32 | seq, pos, id, n)
+        }
+      }
+      .toDF("pack_id", "pack_pos", "doc_id", "n_tokens")
+  }
+
   /** Write `df` as training shards under `path`: one directory per
     * shard (`shard=N/`), each holding files of at most
     * `maxRecordsPerFile` rows, rows ordered by `orderCols` inside each

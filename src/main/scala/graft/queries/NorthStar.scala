@@ -222,6 +222,26 @@ object NorthStar {
       .orderBy($"shard")
   }
 
+  // Deterministic mixture sampling by source (data mixing): hash-rate
+  // filter, zero shuffle — src0 kept at 25 %, src1 at 75 %, rest 50 %.
+  val mixtureSample: Q = (s, dir) => {
+    import s.implicits._
+    Shards.mixtureSampleByRate(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.25, "src1" -> 0.75), defaultRate = 0.5)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  // End-to-end near-dup dedup: corpus minus non-representative group
+  // members (keep = min doc_id per connected component).
+  val dedupKeepers: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minMatches = 6)
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
   // ---- multimodal plumbing (llm.Multimodal has the typed pipeline) ----
   // Opaque binary payload + deterministic metadata "decode" — the SQL-able
   // contract of the binary column design (decode itself is the stubbed
@@ -264,6 +284,8 @@ object NorthStar {
     "ns_bloom_decontaminate" -> bloomDecontaminate,
     "ns_dedup_embedding" -> dedupEmbedding,
     "ns_shard_assign" -> shardAssign,
+    "ns_mixture_sample" -> mixtureSample,
+    "ns_dedup_keepers" -> dedupKeepers,
     "ns_multimodal_meta" -> multimodalMeta
   )
 
@@ -555,6 +577,39 @@ object NorthStar {
         |  AS INTEGER) AS shard
         | FROM documents)
         |GROUP BY shard ORDER BY shard""".sm,
+    "ns_mixture_sample" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source,
+        |   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h
+        | FROM documents)
+        |WHERE h < CASE WHEN source = 'src0' THEN 16384
+        |              WHEN source = 'src1' THEN 49152 ELSE 32768 END
+        |ORDER BY doc_id""".sm,
+    "ns_dedup_keepers" ->
+      (shinglesCte.replace("WITH toks", "WITH RECURSIVE toks") + """, sh AS (
+        | SELECT doc_id, UNNEST(shs) AS sh FROM d
+        |), sig AS (
+        | SELECT doc_id, i, MIN(substr(md5(CAST(i // 4 AS VARCHAR) || '|' || sh), CAST(i % 4 AS INTEGER) * 8 + 1, 8)) AS mh
+        | FROM sh CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) GROUP BY doc_id, i
+        |), pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 6
+        |), edges AS (
+        | SELECT doc_a AS a, doc_b AS b FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs
+        |), reach(id, grp) AS (
+        | SELECT DISTINCT a, a FROM edges
+        | UNION
+        | SELECT e.a, r.grp FROM edges e JOIN reach r ON e.b = r.id
+        |), drops AS (
+        | SELECT id FROM reach GROUP BY id HAVING id != MIN(grp)
+        |)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM drops)
+        |ORDER BY doc_id""").sm,
     "ns_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

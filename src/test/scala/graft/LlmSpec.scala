@@ -338,6 +338,69 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(joined == 0, "shard assignment not reproducible")
   }
 
+  test("mixture sampling: deterministic, zero-shuffle, rates in the ballpark") {
+    import graft.llm.Shards
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val s1 = Shards.mixtureSampleByRate(corpus, "doc_id", "source",
+      Map("src0" -> 0.0, "src1" -> 1.0), defaultRate = 0.5)
+    val s2 = Shards.mixtureSampleByRate(corpus, "doc_id", "source",
+      Map("src0" -> 0.0, "src1" -> 1.0), defaultRate = 0.5)
+    assert(s1.collect().map(_.getLong(0)).toSeq == s2.collect().map(_.getLong(0)).toSeq)
+    val by = s1.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = corpus.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!by.contains("src0"), "rate-0 group sampled")
+    assert(by("src1") == tot("src1"), "rate-1 group must keep everything")
+    val restKept = by.filterKeys(k => k != "src0" && k != "src1").values.sum.toDouble
+    val restTot = tot.filterKeys(k => k != "src0" && k != "src1").values.sum.toDouble
+    assert(math.abs(restKept / restTot - 0.5) < 0.1, s"default 0.5 rate off: $restKept/$restTot")
+    // zero shuffle: the sample is a pure filter over the scan
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"),
+      "mixture sample must not shuffle")
+  }
+
+  test("quota sampling: exact per-group counts, deterministic membership") {
+    import graft.llm.Shards
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val q = Shards.quotaSample(corpus, "doc_id", "source", Map("src0" -> 3), defaultQuota = 5)
+    val by = q.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("src0") == 3)
+    assert(by.filterKeys(_ != "src0").values.forall(_ <= 5))
+    val again = Shards.quotaSample(corpus, "doc_id", "source", Map("src0" -> 3), defaultQuota = 5)
+    assert(q.select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(
+      again.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("greedy packing: budget respected, every doc packed once, deterministic") {
+    import graft.llm.Shards
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", graft.llm.TextStats.tokenCount($"text").cast("long").as("n_tokens"))
+      .repartition(4, Shards.shardId($"doc_id", 4))
+      .sortWithinPartitions($"doc_id")
+    val packed = Shards.packGreedy(corpus, "doc_id", "n_tokens", maxTokens = 256).cache()
+    // every doc exactly once
+    assert(packed.count() == corpus.count())
+    assert(packed.select("doc_id").distinct().count() == corpus.count())
+    // no pack exceeds the budget unless it is a single oversized doc
+    val over = packed.groupBy("pack_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .filter($"t" > 256 && $"n" > 1).count()
+    assert(over == 0, s"$over multi-doc packs exceed the budget")
+    // deterministic under the same partitioning
+    val again = Shards.packGreedy(corpus, "doc_id", "n_tokens", maxTokens = 256)
+    assert(packed.orderBy("pack_id", "pack_pos").collect()
+      .sameElements(again.orderBy("pack_id", "pack_pos").collect()))
+    packed.unpersist()
+  }
+
+  test("dedupCorpus keeps exactly one representative per near-dup clique") {
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", n = 8, minMatches = 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 0,1,3 are a near/exact-dup clique -> keep 0; 2 and 4 stand alone
+    assert(out.contains(0L) && out.contains(2L) && out.contains(4L))
+    assert(!out.contains(3L), "exact dup survived")
+    assert(!out.contains(1L), "near dup survived")
+  }
+
   test("multimodal decode is deterministic with stable checksums") {
     val meta1 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()
     val meta2 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()

@@ -270,6 +270,48 @@ object Relational {
       .orderBy($"gid", $"rf", $"ls")
   }
 
+  // A18 cube — the full grouping-set lattice (rollup's sibling; both
+  // compile to ONE Expand + hash-agg, no per-set re-scan)
+  val a18Cube: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"sum_qty", $"n", $"gid")
+      .orderBy($"gid", $"rf", $"ls")
+  }
+
+  // A19 statistical moments — corr/covariance/stddev/variance in ONE
+  // aggregation pass (the profiling sweep before feature selection)
+  val a19StatMoments: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem").agg(
+      round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+      round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("covs_qp"),
+      round(covar_pop($"l_quantity", $"l_extendedprice"), 2).as("covp_qp"),
+      round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
+      round(stddev_pop($"l_extendedprice"), 4).as("sdp_price"),
+      round(var_samp($"l_quantity"), 4).as("var_qty"),
+      round(var_pop($"l_quantity"), 4).as("varp_qty"))
+  }
+
+  // W8 first/last/nth value over an unbounded rows frame (window value
+  // functions beyond lag/lead)
+  val w8FirstNth: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        first($"o_totalprice").over(w).as("first_price"),
+        last($"o_totalprice").over(w).as("last_price"),
+        nth_value($"o_totalprice", 2).over(w).as("second_price"))
+      .orderBy($"o_orderkey")
+  }
+
   // A12 max_by / argmax — latest txn via timeline (feature.py:126-128)
   val a12MaxBy: Q = (s, dir) => {
     import s.implicits._
@@ -502,6 +544,9 @@ object Relational {
     "a9_monotonic" -> a9Monotonic,
     "a10_distinct_count" -> a10Distinct,
     "a11_rollup" -> a11Rollup,
+    "a18_cube" -> a18Cube,
+    "a19_stat_moments" -> a19StatMoments,
+    "w8_first_nth" -> w8FirstNth,
     "a12_max_by" -> a12MaxBy,
     "a14_session_window" -> a14SessionWindow,
     "a15_tumbling_window" -> a15TumblingWindow,
@@ -616,6 +661,29 @@ object Relational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | COUNT(*) AS n, GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY gid, rf, ls""".sm,
+    "a18_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n, GROUPING_ID(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY gid, rf, ls""".sm,
+    "a19_stat_moments" ->
+      """SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        | ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qp,
+        | ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qp,
+        | ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | ROUND(stddev_pop(l_extendedprice), 4) AS sdp_price,
+        | ROUND(var_samp(l_quantity), 4) AS var_qty,
+        | ROUND(var_pop(l_quantity), 4) AS varp_qty
+        |FROM lineitem""".sm,
+    "w8_first_nth" ->
+      """SELECT o_orderkey, o_custkey,
+        | FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        | LAST_VALUE(o_totalprice) OVER w AS last_price,
+        | NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".sm,
     "a12_max_by" ->
       """SELECT user_id,
         | MAX_BY(event_id, (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) * 10000000000 + event_id) AS latest_event,

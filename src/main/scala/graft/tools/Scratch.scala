@@ -45,6 +45,18 @@ object Scratch {
     time("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
     time("winnowFingerprint")(
       TextStats.winnowFingerprint(docs, "doc_id", "text").count())
+    time("dedupCorpus")(
+      Dedup.dedupCorpus(docs, "doc_id", "text", 8, 6).count())
+    time("bloomDecontaminate")(
+      Dedup.bloomDecontaminate(docs,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 0),
+        "doc_id", "text", 6).count())
+    time("heavyHitters")(TextStats.heavyHitters(docs, "text", 20).count())
+    time("packGreedy")(graft.llm.Shards.packGreedy(
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        TextStats.tokenCount(org.apache.spark.sql.functions.col("text"))
+          .cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 4096).count())
     spark.stop()
   }
 }

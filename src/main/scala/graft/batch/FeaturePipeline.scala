@@ -68,6 +68,22 @@ object FeaturePipeline {
   def features(txns: DataFrame): DataFrame =
     derived(txns).select(outputCols: _*)
 
+  /** [[features]] with observed data-quality metrics riding the SAME
+    * job: `observe()` attaches aggregates to the plan that accumulate
+    * DURING the action (no second scan — the production alternative to
+    * a separate validation pass over 100 TB). Read the metrics from
+    * `df.queryExecution.observedMetrics("feature_quality")` after any
+    * action, or via a `QueryExecutionListener`/
+    * `StreamingQueryListener` in long-running jobs. */
+  def featuresObserved(txns: DataFrame): DataFrame =
+    features(txns).observe("feature_quality",
+      count(lit(1)).as("n_rows"),
+      count(when(col("distance_to_merchant").isNull, 1)).as("null_distance"),
+      count(when(col("age_at_txn") < 0, 1)).as("negative_age"),
+      sum(col("is_fraud").cast("long")).as("n_fraud"),
+      min(col("feature_timestamp")).as("min_ts"),
+      max(col("feature_timestamp")).as("max_ts"))
+
   /** Incremental recompute: features for ONLY `newTxns`, reading just
     * the lookback horizon of `history` for the affected cards — the
     * operating mode that keeps a daily 100 TB corpus from being fully

@@ -38,6 +38,23 @@ object NonSql {
       .orderBy($"l_returnflag")
   }
 
+  // S13: ORC sink → scan round-trip — the second columnar format the
+  // engine serves natively (same aggregate contract as S1's CSV path;
+  // ORC scans get the same predicate-pushdown + column pruning as
+  // parquet through the built-in v2 source)
+  val s13OrcRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_orc_").toString
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   // S11: synthetic producer distributions (producer.py:14-30) — batch
   // analog of the rate source: exponential amounts, normal coordinates.
   val s11Synthetic: Q = (s, dir) => {
@@ -167,6 +184,7 @@ object NonSql {
 
   val queries: Map[String, Q] = Map(
     "s1_csv_roundtrip" -> s1CsvRoundtrip,
+    "s13_orc_roundtrip" -> s13OrcRoundtrip,
     "s11_synthetic_producer" -> s11Synthetic,
     "u2_sample_frac" -> u2SampleFrac,
     "u3_sample_n" -> u3SampleN,
@@ -187,6 +205,10 @@ object NonSql {
     * belongs to the 6 epoch-aligned 20 s slide starts within 120 s). */
   val oracle: Map[String, String] = Map(
     "s1_csv_roundtrip" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "s13_orc_roundtrip" ->
       ("SELECT l_returnflag, COUNT(*) AS n, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),

@@ -160,6 +160,65 @@ object StreamPipeline {
       }
   }
 
+  /** [[mergeStats]] re-expressed on Spark 4's `transformWithState` —
+    * the arbitrary-state API succeeding `flatMapGroupsWithState`:
+    * typed per-key `ValueState` with NATIVE TTL (the state store evicts
+    * expired keys itself — no user-side timeout bookkeeping, the thing
+    * [[mergeStats]] spends its timeout-clamping logic on), backed by
+    * RocksDB so the keyspace spills past executor heap — the 100 TB
+    * card-state path. Same latest-wins slot-merge semantics and
+    * emission rule; StreamSpec asserts output parity.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`). */
+  def mergeStatsTws(slots: Dataset[Slot],
+      stateTtl: Option[java.time.Duration] = Some(java.time.Duration.ofDays(1))): Dataset[CardStats] = {
+    val spark = slots.sparkSession
+    import spark.implicits._
+    // NOTE: TTL needs TimeMode.ProcessingTime, which (like the old
+    // API's ProcessingTimeTimeout) schedules continuous no-data
+    // micro-batches — so processAllAvailable()-driven tests pass
+    // stateTtl=None (TimeMode.None); production triggers keep the TTL.
+    val timeMode =
+      if (stateTtl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    slots.groupByKey(_.cc_num)
+      .transformWithState(new CardMergeProcessor(stateTtl), timeMode,
+        OutputMode.Append())
+  }
+
+  /** The [[mergeStatsTws]] stateful processor: one `ValueState` holding
+    * all three slots per card, TTL delegated to the state store. */
+  class CardMergeProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Slot, CardStats] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var slots: ValueState[CardState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      slots = getHandle.getValueState[CardState]("cardSlots",
+        org.apache.spark.sql.Encoders.product[CardState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(cc: Long, in: Iterator[Slot],
+        tv: TimerValues): Iterator[CardStats] = {
+      var st = if (slots.exists()) slots.get() else CardState(None, None, None)
+      val out = in.flatMap { s =>
+        st = CardState(
+          s.txn.orElse(st.lastTxn),
+          s.txnCount.orElse(st.txnCount),
+          s.avgAmt.orElse(st.avgAmt))
+        for {
+          t <- st.lastTxn; n <- st.txnCount; a <- st.avgAmt
+        } yield CardStats(cc, t.txn_id, t.amount,
+          haversineMiles(t.lat, t.lon, t.merch_lat, t.merch_long),
+          n, a, s.ts)
+      }.toVector
+      slots.update(st)
+      out.iterator
+    }
+  }
+
   /** Event-time sessionization (the streaming form of A14): per-card
     * session windows that close after `gap` of event-time silence.
     * `session_window` is Spark's native merging-window state operator —

@@ -83,6 +83,20 @@ class FeaturePipelineSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(age - 34.0) < 0.05, s"got $age")
   }
 
+  test("observed metrics accumulate during the action, no second scan") {
+    val out = FeaturePipeline.featuresObserved(fixture)
+    // collect() executes THIS dataset's plan (count() would derive a new
+    // one whose metrics land on a different QueryExecution)
+    out.collect()
+    val m = out.queryExecution.observedMetrics("feature_quality")
+    assert(m.getAs[Long]("n_rows") == 5)
+    assert(m.getAs[Long]("null_distance") == 0)
+    assert(m.getAs[Long]("negative_age") == 0)
+    assert(m.getAs[Long]("n_fraud") == 1)
+    assert(m.getAs[Timestamp]("min_ts") == ts("2024-01-01 10:00:00"))
+    assert(m.getAs[Timestamp]("max_ts") == ts("2024-01-01 11:30:00"))
+  }
+
   test("incremental recompute equals the full batch restricted to the increment") {
     // history: first 3 rows; increment: the 11:30 txn (card 1) + a brand-new card
     val hist = fixture.filter($"trans_date_trans_time" < lit(ts("2024-01-01 11:00:00")))

@@ -233,6 +233,45 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(!new java.io.File(tmp + ".bak").exists())
   }
 
+  test("transformWithState merge matches flatMapGroupsWithState semantics (RocksDB)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamPipeline.Slot
+      val mem = MemoryStream[Slot](spark)
+      // stateTtl=None: TimeMode.None so processAllAvailable() terminates
+      // (TTL's ProcessingTime mode schedules continuous no-data batches)
+      val merged = StreamPipeline.mergeStatsTws(mem.toDS(), stateTtl = None)
+      val q = merged.writeStream.format("memory").queryName("tws_t")
+        .outputMode("append").start()
+      val t1 = txn("t1", 5L, 100.0, "2024-01-01 10:00:00")
+      // txn slot alone: no emission (not all slots present)
+      mem.addData(Slot(5L, Some(t1), None, None, t1.ts))
+      q.processAllAvailable()
+      assert(spark.table("tws_t").count() == 0, "emitted before all slots present")
+      // count + avg slots arrive across separate batches: state persists
+      mem.addData(Slot(5L, None, Some(3L), None, t1.ts))
+      q.processAllAvailable()
+      mem.addData(Slot(5L, None, None, Some(55.5), t1.ts))
+      q.processAllAvailable()
+      val rows = spark.table("tws_t").as[CardStats].collect()
+      assert(rows.length == 1, s"expected one emission, got ${rows.toSeq}")
+      assert(rows(0).txn_id == "t1" && rows(0).txn_count_last_10_min == 3L
+        && rows(0).avg_amt_last_1_hour == 55.5)
+      // latest-wins: a fresher count slot re-emits with updated count
+      mem.addData(Slot(5L, None, Some(7L), None, t1.ts))
+      q.processAllAvailable(); q.stop()
+      val all = spark.table("tws_t").as[CardStats].collect().sortBy(_.txn_count_last_10_min)
+      assert(all.length == 2 && all(1).txn_count_last_10_min == 7L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming session windows split on event-time gaps and close by watermark") {
     val mem = MemoryStream[StreamTxn](spark)
     val sessions = StreamPipeline.sessionCounts(mem.toDS(), gap = "10 seconds")

@@ -105,6 +105,34 @@ object FraudModel {
       m("fMeasureByLabel"), auc("areaUnderROC"), auc("areaUnderPR"))
   }
 
+  /** Validation-based model selection — the distributed analog of the
+    * reference's keep-best-checkpoint training loop (training.py:75-112
+    * tracks val loss per epoch and reloads the best): fit a small
+    * regularization grid under `TrainValidationSplit` and keep the
+    * model with the best validation PR-AUC (the ranking metric that
+    * stays informative at fraud-level class skew, unlike accuracy).
+    * Candidate fits run concurrently (`setParallelism`) — model
+    * selection parallelizes across the cluster instead of epochs
+    * running serially on one GPU. */
+  def trainSelected(features: DataFrame, regGrid: Seq[Double] = Seq(0.0, 0.01, 0.1),
+      maxIter: Int = 50, testFraction: Double = 0.2,
+      seed: Long = 42L): (org.apache.spark.ml.tuning.TrainValidationSplitModel, Metrics) = {
+    import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+    val Array(tr, te) = balance(features, seed = seed)
+      .randomSplit(Array(1 - testFraction, testFraction), seed)
+    val pipe = pipeline(useMlp = false, maxIter = maxIter)
+    val lr = pipe.getStages.last.asInstanceOf[LogisticRegression]
+    val tvs = new TrainValidationSplit()
+      .setEstimator(pipe)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol("is_fraud").setMetricName("areaUnderPR"))
+      .setEstimatorParamMaps(
+        new ParamGridBuilder().addGrid(lr.regParam, regGrid).build())
+      .setTrainRatio(0.8).setParallelism(2).setSeed(seed)
+    val model = tvs.fit(tr)
+    (model, metricsFrom(model.transform(te)))
+  }
+
   /** Best-checkpoint persistence mirroring the reference's save/reload
     * (model/training.py:102-112): the fitted PipelineModel (indexers,
     * scaler stats, classifier weights) round-trips through a directory.

@@ -130,6 +130,35 @@ class ServeMlSpec extends AnyFunSuite with SparkSuite {
     assert(metrics.accuracy > 0.8, s"acc ${metrics.accuracy}")
   }
 
+  test("model selection picks the best validation PR-AUC over the reg grid") {
+    val n = 2000
+    val data = spark.range(n).select(
+      ($"id" % 100).as("cc_num"),
+      when($"id" % 10 === 0, rand(1) * 500 + 300).otherwise(rand(2) * 80).as("amt"),
+      ($"id" % 24).cast("int").as("hour_of_day"),
+      ($"id" % 7 + 1).cast("int").as("day_of_week"),
+      (rand(3) * 50 + 20).as("age_at_txn"),
+      when($"id" % 10 === 0, rand(4) * 900 + 100).otherwise(rand(5) * 30).as("distance_to_merchant"),
+      lit(1).as("txn_count_last_10_min"),
+      (rand(6) * 100).as("avg_amt_last_1_hour"),
+      when($"id" % 3 === 0, "grocery").when($"id" % 3 === 1, "gas").otherwise("travel").as("category"),
+      when($"id" % 2 === 0, "F").otherwise("M").as("gender"),
+      lit(5000).as("city_pop"),
+      when($"id" % 10 === 0, 1).otherwise(0).as("is_fraud"))
+    val (model, metrics) = FraudModel.trainSelected(data,
+      regGrid = Seq(0.0, 10.0), maxIter = 20)
+    // one validation metric per grid point; the kept model is the argmax
+    assert(model.validationMetrics.length == 2)
+    assert(model.validationMetrics.max ==
+      model.validationMetrics(model.validationMetrics.indexOf(model.validationMetrics.max)))
+    // reg=10 cripples LR on this signal; selection must not pick it
+    val bestReg = model.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      .stages.last.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+      .getRegParam
+    assert(bestReg == 0.0, s"selection picked regParam=$bestReg")
+    assert(metrics.rocAuc > 0.8, s"AUC ${metrics.rocAuc}")
+  }
+
   test("balancing caps the non-fraud:fraud ratio near 5:1") {
     val df = spark.range(10000).select(
       when($"id" % 100 === 0, 1).otherwise(0).as("is_fraud"), $"id")

@@ -67,4 +67,29 @@ object Multimodal {
   def sampleFrames(meta: Dataset[MediaMeta], everyN: Int): DataFrame =
     meta.toDF().withColumn("sampled_frames",
       greatest(lit(1), (col("n_frames") / everyN).cast("int")))
+
+  /** Payload → embedding feature extraction (STUB model: a deterministic
+    * `dim`-bin byte histogram, L2-normalized — stands in for a vision/
+    * audio encoder). Same mapPartitions shape as [[decodeMeta]]: one
+    * model context per partition, batched rows through it. The output
+    * `Array[Float]` column drops straight into [[Similarity]]'s ANN
+    * path — the multimodal half of the embedding pipeline. */
+  def embed(media: Dataset[MediaRecord], dim: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real impl: load the encoder once per partition here
+      it.map { r =>
+        val h = new Array[Float](dim)
+        var i = 0
+        while (i < r.payload.length) { h((r.payload(i) & 0xff) % dim) += 1f; i += 1 }
+        var ss = 0.0
+        var j = 0
+        while (j < dim) { ss += h(j) * h(j); j += 1 }
+        val n = math.sqrt(ss).toFloat
+        if (n > 0) { j = 0; while (j < dim) { h(j) /= n; j += 1 } }
+        (r.media_id, h)
+      }
+    }.toDF("media_id", "embedding")
+  }
 }

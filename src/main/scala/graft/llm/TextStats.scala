@@ -213,6 +213,26 @@ object TextStats {
     docs.select(explode(split(col(textCol), " ")).as("token"))
       .stat.countMinSketch("token", eps, confidence, seed)
 
+  /** Per-group vocabulary sketches: an HLL (Apache DataSketches) per
+    * `groupCol` estimating its distinct-token count. The sketch is a
+    * BINARY COLUMN — mergeable aggregate state, which is the whole
+    * point at 100 TB: per-shard/per-day sketches persist beside the
+    * data and roll up with [[unionVocabSketches]] in milliseconds,
+    * instead of re-scanning the corpus for every distinct-count over a
+    * new grouping. (~2 % standard error at lgK=12, 4 KB per sketch.) */
+  def vocabSketch(docs: DataFrame, groupCol: String, textCol: String,
+      lgK: Int = 12): DataFrame =
+    docs.select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col("token"), lit(lgK)).as("vocab_sketch"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Roll sketches up across groups: the merged estimate of distinct
+    * tokens over ALL groups — no rescan, pure sketch union. */
+  def unionVocabSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("vocab_sketch"))).as("est_distinct_tokens"))
+
   /** Convenience: attach the full stats column set. */
   def withStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

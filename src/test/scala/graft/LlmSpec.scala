@@ -401,6 +401,45 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(!out.contains(1L), "near dup survived")
   }
 
+  test("HLL vocab sketches: group estimates near exact, union rolls up without rescan") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val sk = TextStats.vocabSketch(corpus, "source", "text").cache()
+    val est = sk.select($"source",
+      hll_sketch_estimate($"vocab_sketch").as("est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = corpus.select($"source", explode(split($"text", " ")).as("t"))
+      .groupBy("source").agg(countDistinct($"t").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- exact)
+      assert(math.abs(est(src) - n) / n < 0.05, s"$src: est ${est(src)} vs exact $n")
+    // union of per-group sketches ≈ global distinct count — no rescan
+    val union = TextStats.unionVocabSketches(sk).head().getLong(0).toDouble
+    val globalExact = corpus.select(explode(split($"text", " ")).as("t"))
+      .agg(countDistinct($"t")).head().getLong(0)
+    assert(math.abs(union - globalExact) / globalExact < 0.05,
+      s"union est $union vs exact $globalExact")
+    sk.unpersist()
+  }
+
+  test("multimodal embeddings feed the ANN path end-to-end") {
+    val media = Multimodal.asMedia(Tables.load(spark, sf0001, "documents"), "doc_id", "text")
+    val emb = Multimodal.embed(media).cache()
+    // deterministic across runs
+    val e2 = Multimodal.embed(media)
+    assert(emb.orderBy("media_id").collect().map(_.getSeq[Float](1)).toSeq ==
+      e2.orderBy("media_id").collect().map(_.getSeq[Float](1)).toSeq)
+    // unit-norm vectors
+    val norms = emb.select(sqrt(aggregate(transform($"embedding",
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))).collect()
+    assert(norms.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-5))
+    // a doc's nearest neighbor by payload-histogram cosine is its exact dup
+    val q = emb.filter($"media_id" === 0L)
+    val top = Similarity.cosineTopK(q, emb, "media_id", "embedding", k = 1).collect()
+    // docs 0 and 3 in sf0.001 need not be dups; assert shape + self-exclusion
+    assert(top.length == 1 && top(0).getAs[Long]("neighbor_id") != 0L)
+    emb.unpersist()
+  }
+
   test("multimodal decode is deterministic with stable checksums") {
     val meta1 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()
     val meta2 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()

@@ -242,4 +242,34 @@ object Similarity {
     df.join(dupOf, col(idCol) === col("__id"), "left").drop("__id")
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = KMeans-cluster the embeddings, then drop
+    * near-cosine-duplicates WITHIN each cluster (keep the lowest id of
+    * each duplicate pair's group). The cluster id is the blocking key —
+    * pairwise scoring never crosses clusters, so the comparison count
+    * is Σ|cluster|² instead of corpus², and each cluster's pair join is
+    * an independent shuffle partition.
+    *
+    * At 100 TB: fit the quantizer on a sample (`fitSampleRows` caps the
+    * driver-side KMeans input), assignment is a broadcast-centroid map
+    * pass, and the within-cluster join inherits [[cosinePairsWithin]]'s
+    * block-keyed shape. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, threshold: Double = 0.97, seed: Long = 42L,
+      fitSampleRows: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = org.apache.spark.sql.functions.udf { (a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray)
+    }
+    val feat = df.withColumn("__features", toVec(col(vecCol)))
+    val km = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__cluster")
+      .fit(feat.limit(fitSampleRows))
+    val assigned = km.transform(feat)
+    embeddingDedupWithin(assigned, idCol, vecCol, "__cluster", threshold)
+      .withColumnRenamed("__cluster", "cluster")
+      .drop("__features")
+  }
 }

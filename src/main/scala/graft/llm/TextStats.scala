@@ -233,6 +233,46 @@ object TextStats {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("vocab_sketch"))).as("est_distinct_tokens"))
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1: "repetition" filters) per document:
+    * duplicate-word fraction (1 − distinct/total tokens) and the
+    * fraction of all 2-grams taken by the single most frequent 2-gram.
+    * High values flag boilerplate/spam for corpus filtering.
+    *
+    * Shape: the bigram rows come from the same explode(sequence) +
+    * element_at formulation as [[graft.llm.Dedup.shingleRowsRaw]] —
+    * fully codegen'd, zero shuffle to generate; then TWO hash
+    * aggregates keyed by (doc_id, bigram) → doc_id (both map-side
+    * combining) and one doc-keyed join against the token-level
+    * aggregate. Nothing is ever corpus-wide: every key is doc-scoped,
+    * so the op scales linearly and skew-free. Docs with < 2 tokens get
+    * NULL top_bigram_frac (no bigrams exist). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+    val tokStats = tk
+      .select(col("doc_id"), explode(col("tk")).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"))
+      .withColumn("dup_word_frac",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6))
+    val bigramStats = tk
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("tk"), col("i")),
+        element_at(col("tk"), col("i") + 1)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_bg"), sum(col("c")).as("total_bg"))
+      .select(col("doc_id").as("__bid"),
+        round(col("max_bg").cast("double") / col("total_bg"), 6).as("top_bigram_frac"))
+    tokStats.join(bigramStats, col("doc_id") === col("__bid"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("dup_word_frac"), col("top_bigram_frac"))
+  }
+
   /** Convenience: attach the full stats column set. */
   def withStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

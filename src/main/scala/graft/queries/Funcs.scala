@@ -125,6 +125,19 @@ object Funcs {
       .orderBy($"event_id")
   }
 
+  // F20: regex surface — group extract, extract-all count, mask-replace
+  // (Spark regexp_replace is global by default; DuckDB needs the 'g'
+  // flag). All three are per-row codegen'd string ops, zero shuffle.
+  val f20Regexp: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id",
+        regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("long").as("k_val"),
+        size(regexp_extract_all($"props", lit("[0-9]+"), lit(0))).cast("long").as("n_nums"),
+        regexp_replace($"props", "[0-9]", "#").as("masked"))
+      .orderBy($"event_id")
+  }
+
   // F15: conditional / threshold label (training.py:114)
   val f15Conditional: Q = (s, dir) => {
     import s.implicits._
@@ -177,6 +190,7 @@ object Funcs {
     "f12_cast" -> f12Cast,
     "f13_try_cast" -> f13TryCast,
     "f15_conditional" -> f15Conditional,
+    "f20_regexp" -> f20Regexp,
     "replica_batch_features" -> replicaBatchFeatures
   )
 
@@ -237,6 +251,12 @@ object Funcs {
       """SELECT CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY label""".sm,
+    "f20_regexp" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val,
+        | CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
+        | regexp_replace(props, '[0-9]', '#', 'g') AS masked
+        |FROM events ORDER BY event_id""".sm,
     "replica_batch_features" ->
       s"""SELECT event_id, user_id, value AS amt,
         | CAST(hour(ts) AS INTEGER) AS hour_of_day,

@@ -167,7 +167,13 @@ object NonSql {
         lit(1.0).as("distance_to_merchant"), lit(1).as("txn_count_last_10_min"),
         $"value".as("avg_amt_last_1_hour"), lit(1000).as("city_pop"),
         when($"value" > 150, 1).otherwise(0).as("is_fraud"))
-    val model = FraudModel.pipeline(useMlp = false, maxIter = 10).fit(feats)
+    // Fit on a deterministic ~20% hash sample, transform the FULL set:
+    // the estimator passes (indexer scans, scaler stats, LR iterations)
+    // are the expensive part and converge on a sample; the transform is
+    // the thing this query demonstrates. At 100 TB you never refit on
+    // the whole corpus inside a feature-transform job.
+    val fitSample = feats.where(pmod(xxhash64($"event_id"), lit(5)) === 0)
+    val model = FraudModel.pipeline(useMlp = false, maxIter = 10).fit(fitSample)
     model.transform(feats)
       .select($"event_id", $"is_fraud", $"prediction")
       .orderBy($"event_id")

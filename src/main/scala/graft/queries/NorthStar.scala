@@ -129,6 +129,12 @@ object NorthStar {
 
   // ---- text-analysis family (llm.TextStats) ----
 
+  val repetition: Q = (s, dir) => {
+    import s.implicits._
+    TextStats.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   val textStats: Q = (s, dir) => {
     import s.implicits._
     TextStats.withStats(t(s, dir, "documents"), "text")
@@ -276,6 +282,7 @@ object NorthStar {
     "ns_lsh_topk" -> lshTopk,
     "ns_cosine_pairs" -> cosinePairs,
     "ns_text_stats" -> textStats,
+    "ns_repetition" -> repetition,
     "ns_winnow" -> winnow,
     "ns_pii_scan" -> piiScan,
     "ns_token_histogram" -> tokenHistogram,
@@ -501,6 +508,20 @@ object NorthStar {
         |      ELSE 'und' END AS lang_pred,
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".sm,
+    "ns_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, i, toks[i + 1] AS tk
+        | FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(toks)),
+        |tstats AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tk) AS n_distinct
+        | FROM tok GROUP BY 1),
+        |bg AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS b
+        | FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(toks) - 1),
+        |bstats AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+        | FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+        |SELECT t.doc_id, t.n_tokens, t.n_distinct,
+        | ROUND(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6) AS dup_word_frac,
+        | ROUND(CAST(b.mx AS DOUBLE) / b.tot, 6) AS top_bigram_frac
+        |FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id ORDER BY t.doc_id""".sm,
     "ns_token_histogram" ->
       """SELECT bucket * 16 AS bucket_lo, COUNT(*) AS n_docs FROM (
         | SELECT CAST(len(string_split(text, ' ')) // 16 AS INTEGER) AS bucket FROM documents)

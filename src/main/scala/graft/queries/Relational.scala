@@ -298,6 +298,109 @@ object Relational {
       round(var_pop($"l_quantity"), 4).as("varp_qty"))
   }
 
+  // A20 explicit grouping sets — the general lattice API (rollup and
+  // cube are special cases; sets ((rf),(ls),()) is NEITHER): one
+  // Expand + one hash-agg, no per-set rescan
+  val a20GroupingSets: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupingSets(Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"sum_qty", $"n", $"gid")
+      .orderBy($"gid", $"rf", $"ls")
+  }
+
+  // A21 unpivot/melt — wide metrics to long (id, metric, val) rows; the
+  // inverse of A16 pivot. One Expand, no shuffle, no join.
+  val a21Unpivot: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .unpivot(Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_discount", $"l_tax"), "metric", "val")
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+  }
+
+  // A22 time-series resample + gap fill: daily activity per user over
+  // each user's own [min,max] day span — missing days materialize with
+  // n=0 and carry the last observed daily value forward (the
+  // feature-store "as of day D" backfill shape). The grid explodes from
+  // per-user bounds (sequence), so grid size is Σ user-spans, never
+  // users × global-span; the forward fill is one user-keyed window.
+  val a22GapFill: Q = (s, dir) => {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"), $"value")
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("day_value"))
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+        coalesce($"n", lit(0L)).as("n"),
+        last($"day_value", ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy($"user_id", $"day")
+  }
+
+  // J11 point-in-time join WITH TOLERANCE: each purchase sees the most
+  // recent click ≤ 10 min before it, else NULL — the training-set
+  // feature-freshness rule (a stale feature must NOT leak in). Same
+  // single-window shape as J8: sort once per user, no self-join.
+  val j11PitTolerance: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events").withColumn("ts_sec", tsSec($"ts"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when($"event_type" === "click", $"ts_sec"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_sec",
+        when($"ts_sec" - $"click_ts" <= 600, $"click_id").as("click_within_10m"),
+        when($"ts_sec" - $"click_ts" <= 600, $"ts_sec" - $"click_ts").as("lag_sec"))
+      .orderBy($"event_id")
+  }
+
+  // W9 rolling median — an order-statistic over a rows frame (the
+  // robust-center alternative to W2's rolling mean; outlier-immune
+  // feature smoothing). Spark's `median`/`percentile` aggregates
+  // reject ORDER BY + frame window specs, so the order statistic is
+  // computed from the frame's collected values: a 10-element array
+  // sort per row is O(1) work, and the window itself is the same
+  // single user-keyed sort every other W query pays.
+  val w9RollingMedian: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      .rowsBetween(-9, Window.currentRow)
+    val arr = array_sort(collect_list($"value").over(w))
+    val n = size(arr)
+    val med = when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(arr, (n / 2).cast("int")) +
+        element_at(arr, (n / 2).cast("int") + 1)) / 2)
+    t(s, dir, "events")
+      .withColumn("ts_sec", tsSec($"ts"))
+      .select($"event_id", $"user_id", $"ts_sec",
+        round(med, 4).as("med_10"))
+      .orderBy($"event_id")
+  }
+
+  // P10 lateral explode — one row per (doc, position, token); the
+  // tokenization fan-out every text pipeline starts with. Generate
+  // fuses into the scan's codegen stage: zero shuffle.
+  val p10ExplodeTokens: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+      .orderBy($"doc_id", $"pos")
+  }
+
   // W8 first/last/nth value over an unbounded rows frame (window value
   // functions beyond lag/lead)
   val w8FirstNth: Q = (s, dir) => {
@@ -546,6 +649,12 @@ object Relational {
     "a11_rollup" -> a11Rollup,
     "a18_cube" -> a18Cube,
     "a19_stat_moments" -> a19StatMoments,
+    "a20_grouping_sets" -> a20GroupingSets,
+    "a21_unpivot" -> a21Unpivot,
+    "a22_gap_fill" -> a22GapFill,
+    "j11_pit_tolerance" -> j11PitTolerance,
+    "w9_rolling_median" -> w9RollingMedian,
+    "p10_explode_tokens" -> p10ExplodeTokens,
     "w8_first_nth" -> w8FirstNth,
     "a12_max_by" -> a12MaxBy,
     "a14_session_window" -> a14SessionWindow,
@@ -675,6 +784,58 @@ object Relational {
         | ROUND(var_samp(l_quantity), 4) AS var_qty,
         | ROUND(var_pop(l_quantity), 4) AS varp_qty
         |FROM lineitem""".sm,
+    "a20_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n, GROUPING_ID(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, rf, ls""".sm,
+    "a21_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".sm,
+    "a22_gap_fill" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        | FROM events GROUP BY 1, 2),
+        |grid AS (
+        | SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1))
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day, COALESCE(d.n, 0) AS n,
+        | LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+        |  PARTITION BY g.user_id ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS filled_value
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, day""".sm,
+    "j11_pit_tolerance" ->
+      """SELECT event_id, user_id, ts_sec,
+        | CASE WHEN ts_sec - click_ts <= 600 THEN click_id END AS click_within_10m,
+        | CASE WHEN ts_sec - click_ts <= 600 THEN ts_sec - click_ts END AS lag_sec
+        |FROM (
+        | SELECT event_id, user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |   OVER w AS click_id,
+        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+        |   OVER w AS click_ts
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".sm,
+    "w9_rolling_median" ->
+      """SELECT event_id, user_id, ts_sec,
+        | ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med_10
+        |FROM (SELECT event_id, user_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        |ORDER BY event_id""".sm,
+    "p10_explode_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, i AS pos, toks[i + 1] AS token
+        |FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i)
+        |WHERE i < len(toks) ORDER BY doc_id, pos""".sm,
     "w8_first_nth" ->
       """SELECT o_orderkey, o_custkey,
         | FIRST_VALUE(o_totalprice) OVER w AS first_price,

@@ -312,6 +312,29 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(out(3L) == (None, false), "blocking key ignored — cross-block pair matched")
   }
 
+  test("semantic dedup: clusters then dedups within each cluster only") {
+    // two well-separated directions; near-dups exist inside each
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.995f, 0.005f, 0.0f)),  // near-dup of 0 (same cluster)
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.005f, 0.995f, 0.0f)),  // near-dup of 2 (other cluster)
+      (4L, Array(0.0f, 0.0f, 1.0f))       // unique direction
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nClusters = 2, threshold = 0.97)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (Option(r.getAs[Any]("dup_of")), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(0L)._2 == false && out(2L)._2 == false, "keepers flagged")
+    assert(out(1L) == (Some(0L), true), s"in-cluster near-dup of 0 missed: $out")
+    assert(out(3L) == (Some(2L), true), s"in-cluster near-dup of 2 missed: $out")
+    assert(out(4L)._2 == false, "unique vector flagged")
+    // output keeps every input row and exposes the cluster assignment
+    assert(out.size == 5)
+    val cols = Similarity.semanticDedup(vecs, "vec_id", "embedding", nClusters = 2).columns
+    assert(cols.contains("cluster") && !cols.contains("__features"), cols.mkString(","))
+  }
+
   test("shard writer: deterministic assignment, bounded files, ordered rows") {
     import graft.llm.Shards
     val docs01 = Tables.load(spark, sf0001, "documents").select("doc_id", "text")

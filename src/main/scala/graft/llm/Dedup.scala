@@ -421,6 +421,73 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") >= minOverlap)
   }
 
+  /** Cross-document repeated-chunk statistics — the fixed-width analog
+    * of C4's line dedup / exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * text is cut into non-overlapping `k`-token chunks, each chunk is
+    * fingerprinted, and a chunk counts as duplicated when it appears in
+    * MORE THAN ONE document. Returns one row per doc:
+    * (doc_id, n_chunks, n_dup_chunks, dup_ratio) — the per-doc signal a
+    * pipeline thresholds on to drop boilerplate-heavy documents.
+    *
+    * Scale shape: chunking is a fused explode (index sequence +
+    * `slice` into the tokenized array — zero shuffle, scan partitioning
+    * carries through); the chunk-frequency table is ONE hash-aggregate
+    * keyed by the chunk hash (uniform, skew-free); the flag join back is
+    * hash-keyed on the same fingerprint; per-doc stats collapse
+    * map-side because chunk rows leave the generator doc-contiguous. No
+    * step ever holds a whole document's pair set in one task. */
+  def chunkDedupStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"chunk width must be >= 1, got $k")
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), ((size(col("tk")) - 1) / k).cast("int"))).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("tk"), col("i") * k + 1, lit(k)), " ")).as("h"))
+    val docFreq = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df_docs"))
+    chunks.join(docFreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("df_docs") > 1, 1)).as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
+  /** Near-duplicate pairs by EDIT DISTANCE (Levenshtein) on a prefix,
+    * within blocking buckets — the fuzzy-match complement to the
+    * set-based families above (n-gram Jaccard is insertion-order-blind;
+    * edit distance catches small in-place mutations such as OCR noise
+    * or template fills). `blockCol` is the blocking key (standard
+    * record-linkage practice: only same-block docs are compared, so the
+    * comparison count is Σ|block|², never corpus²); `prefixLen` bounds
+    * the DP cost per pair at prefixLen² independent of document length.
+    * Emits (doc_a, doc_b, dist) for pairs with dist ≤ `maxDist`.
+    *
+    * At 100 TB the blocking key does the heavy lifting — block on
+    * something duplicates preserve (language + length bucket, a SimHash
+    * band, a MinHash bucket) and the self-join shuffles each side once
+    * on that key. Levenshtein is codegen'd (built-in expression), so
+    * the filter runs inside the join stage. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: Column, prefixLen: Int, maxDist: Int): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, prefixLen).as("pfx"), blockCol.as("blk"))
+    // Thresholded levenshtein: the DP abandons early once every cell
+    // exceeds maxDist (returns -1), so the per-pair cost is
+    // O(prefixLen × maxDist), not O(prefixLen²) — the candidate pairs
+    // are overwhelmingly non-matches, which is exactly where the
+    // early-exit pays.
+    d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.pfx"), col("b.pfx"), maxDist).as("dist"))
+      .filter(col("dist").between(0, maxDist))
+  }
+
   /** Shingles whose document frequency exceeds `maxDf` — the
     * "stop-shingles" [[ngramJaccardPairs]] drops. Exposed so callers can
     * count/log what a df cap discards before trusting capped output. */

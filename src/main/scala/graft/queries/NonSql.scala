@@ -55,6 +55,25 @@ object NonSql {
       .orderBy($"l_returnflag")
   }
 
+  // S14: JSON-lines sink → scan round-trip — the reference's streaming
+  // wire format (pipeline.py:44 json.loads per record) as a batch
+  // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
+  // inference over JSON costs an extra full scan and can drift types.
+  val s14JsonRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_json_").toString
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite").json(tmp)
+    s.read
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .json(tmp)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   // S11: synthetic producer distributions (producer.py:14-30) — batch
   // analog of the rate source: exponential amounts, normal coordinates.
   val s11Synthetic: Q = (s, dir) => {
@@ -191,6 +210,7 @@ object NonSql {
   val queries: Map[String, Q] = Map(
     "s1_csv_roundtrip" -> s1CsvRoundtrip,
     "s13_orc_roundtrip" -> s13OrcRoundtrip,
+    "s14_json_roundtrip" -> s14JsonRoundtrip,
     "s11_synthetic_producer" -> s11Synthetic,
     "u2_sample_frac" -> u2SampleFrac,
     "u3_sample_n" -> u3SampleN,
@@ -218,6 +238,10 @@ object NonSql {
       ("SELECT l_returnflag, COUNT(*) AS n, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "s14_json_roundtrip" ->
+      ("SELECT o_orderstatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "a3_sliding_window_batch" ->
       ("WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events) " +
         "SELECT (t // 20) * 20 - 20 * i AS win_start, user_id, COUNT(*) AS txn_count " +

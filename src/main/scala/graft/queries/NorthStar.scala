@@ -248,6 +248,37 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // Cross-doc repeated-chunk stats (C4-line-dedup / substring-dedup
+  // analog): 5-token chunks, duplicated = present in >1 doc.
+  val chunkDedup: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.chunkDedupStats(t(s, dir, "documents"), "doc_id", "text", k = 5)
+      .orderBy($"doc_id")
+  }
+
+  // Edit-distance near-dup pairs, blocked on (lang, length bucket) —
+  // duplicates preserve both, so blocking loses no true near-dups here
+  // while keeping the comparison count at Σ|block|².
+  val editPairs: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCol = concat_ws("|", $"lang", ($"n_chars" / 16).cast("long")),
+        prefixLen = 48, maxDist = 8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // SemDeDup (KMeans blocking → within-cluster cosine dedup). The
+  // quantizer is seeded but KMeans is not ANSI-SQL-expressible — driver
+  // records the rows-only check; exactness of the within-cluster pass
+  // is pinned by LlmSpec against brute force.
+  val semDedup: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 8, threshold = 0.97)
+      .select($"vec_id", $"cluster", $"is_dup", $"dup_of")
+      .orderBy($"vec_id")
+  }
+
   // ---- multimodal plumbing (llm.Multimodal has the typed pipeline) ----
   // Opaque binary payload + deterministic metadata "decode" — the SQL-able
   // contract of the binary column design (decode itself is the stubbed
@@ -293,6 +324,9 @@ object NorthStar {
     "ns_shard_assign" -> shardAssign,
     "ns_mixture_sample" -> mixtureSample,
     "ns_dedup_keepers" -> dedupKeepers,
+    "ns_chunk_dedup" -> chunkDedup,
+    "ns_edit_pairs" -> editPairs,
+    "ns_semdedup" -> semDedup,
     "ns_multimodal_meta" -> multimodalMeta
   )
 
@@ -631,6 +665,27 @@ object NorthStar {
         |)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM drops)
         |ORDER BY doc_id""").sm,
+    "ns_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |chunks AS (
+        | SELECT doc_id, md5(array_to_string(tk[i*5+1 : i*5+5], ' ')) AS h
+        | FROM toks CROSS JOIN (SELECT UNNEST(range(0, 256)) AS i)
+        | WHERE i*5 < len(tk)
+        |), dfh AS (SELECT h, COUNT(DISTINCT doc_id) AS df_docs FROM chunks GROUP BY h)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        | COUNT(CASE WHEN df_docs > 1 THEN 1 END) AS n_dup_chunks,
+        | ROUND(CAST(COUNT(CASE WHEN df_docs > 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+        |FROM chunks JOIN dfh USING (h) GROUP BY doc_id ORDER BY doc_id""".sm,
+    "ns_edit_pairs" ->
+      """WITH d AS (
+        | SELECT doc_id, lang || '|' || CAST(n_chars // 16 AS VARCHAR) AS blk,
+        |   substr(text, 1, 48) AS pfx
+        | FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 8
+        |ORDER BY doc_a, doc_b""".sm,
     "ns_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

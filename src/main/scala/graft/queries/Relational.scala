@@ -298,6 +298,21 @@ object Relational {
       round(var_pop($"l_quantity"), 4).as("varp_qty"))
   }
 
+  // A23 order-statistic + predicate aggregates — exact grouped median
+  // (one sort-based aggregate per group, no global sort), conditional
+  // count, and boolean aggregates in a single grouped pass
+  val a23MedianPack: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(median($"l_extendedprice"), 4).as("med_price"),
+        count_if($"l_discount" > 0.05).as("n_high_disc"),
+        bool_or($"l_tax" > 0.07).as("any_high_tax"),
+        bool_and($"l_quantity" >= 1).as("all_qty_pos"))
+      .orderBy($"l_returnflag")
+  }
+
   // A20 explicit grouping sets — the general lattice API (rollup and
   // cube are special cases; sets ((rf),(ls),()) is NEITHER): one
   // Expand + one hash-agg, no per-set rescan
@@ -650,6 +665,7 @@ object Relational {
     "a18_cube" -> a18Cube,
     "a19_stat_moments" -> a19StatMoments,
     "a20_grouping_sets" -> a20GroupingSets,
+    "a23_median_pack" -> a23MedianPack,
     "a21_unpivot" -> a21Unpivot,
     "a22_gap_fill" -> a22GapFill,
     "j11_pit_tolerance" -> j11PitTolerance,
@@ -775,6 +791,13 @@ object Relational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | COUNT(*) AS n, GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY gid, rf, ls""".sm,
+    "a23_median_pack" ->
+      """SELECT l_returnflag,
+        | ROUND(median(l_extendedprice), 4) AS med_price,
+        | COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_disc,
+        | bool_or(l_tax > 0.07) AS any_high_tax,
+        | bool_and(l_quantity >= 1) AS all_qty_pos
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".sm,
     "a19_stat_moments" ->
       """SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
         | ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qp,

@@ -53,6 +53,64 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     (4L, Array(0.8f, 0.2f, 0.0f, 0.0f), 1)
   ).toDF("vec_id", "embedding", "label")
 
+  test("chunk dedup stats: shared chunks counted, unique docs at ratio 0") {
+    // 5-token chunks: docs 10 and 11 share their first chunk exactly;
+    // doc 12 shares nothing.
+    val d = Seq(
+      (10L, "a b c d e f g h i j"),         // chunks: [a b c d e], [f g h i j]
+      (11L, "a b c d e x y z w v"),         // shares chunk 1 with doc 10
+      (12L, "q r s t u")                    // unique single chunk
+    ).toDF("doc_id", "text")
+    val m = Dedup.chunkDedupStats(d, "doc_id", "text", k = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(10L) == ((2L, 1L)), s"doc 10: ${m(10L)}")
+    assert(m(11L) == ((2L, 1L)), s"doc 11: ${m(11L)}")
+    assert(m(12L) == ((1L, 0L)), s"doc 12: ${m(12L)}")
+  }
+
+  test("chunk dedup stats: partial tail chunk compares exactly") {
+    val d = Seq(
+      (0L, "a b c d e f g"),  // tail chunk [f g]
+      (1L, "z z z z z f g")   // same tail chunk content at same offset
+    ).toDF("doc_id", "text")
+    val m = Dedup.chunkDedupStats(d, "doc_id", "text", k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(0L) == 1L && m(1L) == 1L, s"tail chunk not shared: $m")
+  }
+
+  test("edit distance pairs find in-block mutations, skip cross-block") {
+    val d = Seq(
+      (0L, "the quick brown fox", "en"),
+      (1L, "the quick brown fax", "en"),  // 1 substitution from 0
+      (2L, "the quick brown fox", "de"),  // same text, different block
+      (3L, "entirely unrelated text", "en")
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.editDistancePairs(d, "doc_id", "text",
+        blockCol = col("lang"), prefixLen = 48, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 1L)) == 1, s"pairs: $pairs")
+    assert(!pairs.contains((0L, 2L)), "cross-block pair leaked")
+    assert(!pairs.contains((0L, 3L)), "distant pair above maxDist kept")
+  }
+
+  test("semantic dedup flags within-cluster near-dups, keeps lowest id") {
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // exact dup of 0
+      (2L, Array(0.999f, 0.04f, 0.0f, 0.0f)), // cosine ~0.999 to 0
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(d, "vec_id", "embedding",
+        nClusters = 2, threshold = 0.99)
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(x.fieldIndex("is_dup")))).toMap
+    assert(!r(0L), "survivor flagged as dup")
+    assert(r(1L), "exact dup not flagged")
+    assert(r(2L), "near dup not flagged")
+    assert(!r(3L) && !r(4L), "unrelated vectors flagged")
+  }
+
   test("brute-force cosine top-k ranks by true cosine") {
     val top = Similarity.cosineTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 4)
       .collect().map(r => (r.getInt(1), r.getLong(2)))

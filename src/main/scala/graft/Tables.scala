@@ -36,6 +36,7 @@ object Tables {
     AllTables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
     graft.expr.HaversineMiles.register(spark)
     graft.expr.ArrayDotProduct.register(spark)
+    graft.expr.Aggregators.register(spark)
   }
 
   /** Standard session config every entry point (Verify/Bench/tests) applies. */

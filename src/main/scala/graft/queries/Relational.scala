@@ -313,6 +313,69 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // A24 custom typed-Aggregator UDAFs (§2.10): deterministic mode
+  // (smallest value among max-count ties — Spark's built-in `mode` is
+  // tie-nondeterministic, which an oracle contract can't accept) and a
+  // bounded distinct sample (k smallest distinct values per group).
+  // Both are algebraic, so they partial-aggregate map-side like a sum.
+  val a24UdafPack: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        graft.expr.Aggregators.modeDet($"l_quantity".cast("long")).as("mode_qty"),
+        concat_ws(",", graft.expr.Aggregators
+          .distinctTopK($"l_suppkey".cast("long"), 8).cast("array<string>"))
+          .as("sample_keys"))
+      .orderBy($"l_returnflag")
+  }
+
+  // A25 linear-regression aggregates — slope/intercept/r²/count in one
+  // grouped pass (the feature-vs-target screen before model fitting)
+  val a25Regression: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+        round(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("intercept"),
+        round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+        regr_count($"l_extendedprice", $"l_quantity").as("n_pairs"))
+      .orderBy($"l_returnflag")
+  }
+
+  // A26 equi-width histogram via width_bucket — the one-pass value
+  // profile (underflow bucket 0, overflow bucket nBuckets+1)
+  val a26Histogram: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select(width_bucket($"l_extendedprice", lit(0.0), lit(120000.0), lit(24))
+        .as("bucket"), $"l_extendedprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min($"l_extendedprice"), 2).as("lo"),
+        round(max($"l_extendedprice"), 2).as("hi"))
+      .orderBy($"bucket")
+  }
+
+  // U9 multiset set-ops — EXCEPT ALL / INTERSECT ALL keep duplicate
+  // cardinalities (U6's EXCEPT/INTERSECT collapse them)
+  val u9ExceptAll: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders").select($"o_custkey")
+      .exceptAll(t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        .select($"o_custkey"))
+      .orderBy($"o_custkey")
+  }
+
+  val u9IntersectAll: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders").filter($"o_totalprice" > 1000.0).select($"o_custkey")
+      .intersectAll(t(s, dir, "orders").filter($"o_orderstatus" =!= "F")
+        .select($"o_custkey"))
+      .orderBy($"o_custkey")
+  }
+
   // A20 explicit grouping sets — the general lattice API (rollup and
   // cube are special cases; sets ((rf),(ls),()) is NEITHER): one
   // Expand + one hash-agg, no per-set rescan
@@ -666,6 +729,11 @@ object Relational {
     "a19_stat_moments" -> a19StatMoments,
     "a20_grouping_sets" -> a20GroupingSets,
     "a23_median_pack" -> a23MedianPack,
+    "a24_udaf_pack" -> a24UdafPack,
+    "a25_regression" -> a25Regression,
+    "a26_histogram" -> a26Histogram,
+    "u9_except_all" -> u9ExceptAll,
+    "u9_intersect_all" -> u9IntersectAll,
     "a21_unpivot" -> a21Unpivot,
     "a22_gap_fill" -> a22GapFill,
     "j11_pit_tolerance" -> j11PitTolerance,
@@ -798,6 +866,44 @@ object Relational {
         | bool_or(l_tax > 0.07) AS any_high_tax,
         | bool_and(l_quantity >= 1) AS all_qty_pos
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".sm,
+    "a24_udaf_pack" ->
+      """WITH c AS (
+        | SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n
+        | FROM lineitem GROUP BY 1, 2
+        |), m AS (
+        | SELECT l_returnflag, q,
+        |   ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rn
+        | FROM c
+        |), s AS (
+        | SELECT l_returnflag,
+        |   array_to_string(list_sort(list_distinct(list(CAST(l_suppkey AS BIGINT))))[1:8], ',') AS sample_keys
+        | FROM lineitem GROUP BY 1
+        |)
+        |SELECT m.l_returnflag, m.q AS mode_qty, s.sample_keys
+        |FROM m JOIN s USING (l_returnflag) WHERE rn = 1 ORDER BY l_returnflag""".sm,
+    "a25_regression" ->
+      """SELECT l_returnflag,
+        | ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        | ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | regr_count(l_extendedprice, l_quantity) AS n_pairs
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".sm,
+    "a26_histogram" ->
+      """SELECT CASE WHEN l_extendedprice < 0 THEN 0
+        |            WHEN l_extendedprice >= 120000 THEN 25
+        |            ELSE CAST(FLOOR(l_extendedprice / 120000.0 * 24) AS BIGINT) + 1 END AS bucket,
+        | COUNT(*) AS n, ROUND(MIN(l_extendedprice), 2) AS lo, ROUND(MAX(l_extendedprice), 2) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".sm,
+    "u9_except_all" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".sm,
+    "u9_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 1000.0
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus != 'F'
+        |ORDER BY o_custkey""".sm,
     "a19_stat_moments" ->
       """SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
         | ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qp,

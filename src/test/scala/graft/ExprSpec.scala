@@ -130,4 +130,32 @@ class ExprSpec extends AnyFunSuite with SparkSuite {
       .head().getDouble(0)
     assert(math.abs(d - 347.4) < 1.0, s"got $d")
   }
+
+  test("mode_det UDAF: exact mode, smallest value wins ties, survives repartition") {
+    import graft.expr.Aggregators
+    // values 7 and 3 both appear twice: deterministic mode must pick 3
+    val df = Seq(7L, 3L, 7L, 3L, 9L).toDF("v").repartition(8)
+    val m = df.agg(Aggregators.modeDet($"v").as("m")).head().getLong(0)
+    assert(m == 3L, s"tie must break to the smallest value, got $m")
+  }
+
+  test("distinct_topk UDAF: k smallest distinct, order- and partition-independent") {
+    import graft.expr.Aggregators
+    val df = Seq(9L, 1L, 5L, 1L, 9L, 2L, 8L, 7L).toDF("v")
+    val a = df.repartition(1).agg(Aggregators.distinctTopK($"v", 3)).head().getSeq[Long](0)
+    val b = df.repartition(7).agg(Aggregators.distinctTopK($"v", 3)).head().getSeq[Long](0)
+    assert(a == Seq(1L, 2L, 5L) && b == a, s"got $a / $b")
+  }
+
+  test("UDAFs are SQL-registered and group-aware") {
+    graft.expr.Aggregators.register(spark)
+    Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L)).toDF("g", "v")
+      .createOrReplaceTempView("udaf_t")
+    val rows = spark.sql(
+      "SELECT g, mode_det(v) AS m, distinct_top8(v) AS s FROM udaf_t GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows(0).getLong(1) == 1L)
+    assert(rows(0).getSeq[Long](2) == Seq(1L, 2L))
+    assert(rows(1).getLong(1) == 5L)
+  }
 }

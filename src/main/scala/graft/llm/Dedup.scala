@@ -473,9 +473,25 @@ object Dedup {
     * on that key. Levenshtein is codegen'd (built-in expression), so
     * the filter runs inside the join stage. */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: Column, prefixLen: Int, maxDist: Int): DataFrame = {
-    val d = docs.select(col(idCol).as("doc_id"),
+      blockCol: Column, prefixLen: Int, maxDist: Int,
+      maxBlock: Int = Int.MaxValue): DataFrame = {
+    val dAll = docs.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("pfx"), blockCol.as("blk"))
+    // Opt-in block cap, symmetric with the other pair operators'
+    // maxBucket: a block of m docs yields m² candidate pairs, so a
+    // too-coarse blocking key (the 10× probe: one language, 35 length
+    // buckets over 50 k docs → 34 M candidates) makes the JOIN OUTPUT
+    // the bottleneck regardless of how cheap each comparison is. The
+    // cap is one window count on blk — the same shuffle key the join
+    // uses. Oversized blocks mean the key isn't discriminating; tighten
+    // it (add a SimHash band or MinHash bucket) rather than raise the cap.
+    val d =
+      if (maxBlock == Int.MaxValue) dAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
+        dAll.withColumn("__bc", count(lit(1)).over(w))
+          .filter(col("__bc") <= maxBlock).drop("__bc")
+      }
     // Thresholded levenshtein: the DP abandons early once every cell
     // exceeds maxDist (returns -1), so the per-pair cost is
     // O(prefixLen × maxDist), not O(prefixLen²) — the candidate pairs

@@ -138,6 +138,25 @@ object Funcs {
       .orderBy($"event_id")
   }
 
+  // F21: array-function surface + lexical diversity — the typed-array
+  // ops every token pipeline leans on (sort/distinct/slice/join/
+  // contains/position) plus type-token ratio and hapax-adjacent stats,
+  // all per-row codegen'd column work, zero shuffle.
+  val f21ArrayOps: Q = (s, dir) => {
+    import s.implicits._
+    val tk = split($"text", " ")
+    val types = array_sort(array_distinct(tk))
+    t(s, dir, "documents")
+      .select($"doc_id",
+        size(tk).cast("long").as("n_tokens"),
+        size(types).cast("long").as("n_types"),
+        round(size(types).cast("double") / size(tk), 6).as("ttr"),
+        array_join(slice(types, 1, 3), ",").as("first_types"),
+        array_contains(tk, "the").as("has_the"),
+        array_position(tk, "spark").as("pos_spark"))
+      .orderBy($"doc_id")
+  }
+
   // F15: conditional / threshold label (training.py:114)
   val f15Conditional: Q = (s, dir) => {
     import s.implicits._
@@ -191,6 +210,7 @@ object Funcs {
     "f13_try_cast" -> f13TryCast,
     "f15_conditional" -> f15Conditional,
     "f20_regexp" -> f20Regexp,
+    "f21_array_ops" -> f21ArrayOps,
     "replica_batch_features" -> replicaBatchFeatures
   )
 
@@ -257,6 +277,17 @@ object Funcs {
         | CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
         | regexp_replace(props, '[0-9]', '#', 'g') AS masked
         |FROM events ORDER BY event_id""".sm,
+    "f21_array_ops" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |t AS (SELECT doc_id, tk, list_sort(list_distinct(tk)) AS types FROM d)
+        |SELECT doc_id,
+        | CAST(len(tk) AS BIGINT) AS n_tokens,
+        | CAST(len(types) AS BIGINT) AS n_types,
+        | ROUND(CAST(len(types) AS DOUBLE) / len(tk), 6) AS ttr,
+        | array_to_string(types[1:3], ',') AS first_types,
+        | list_contains(tk, 'the') AS has_the,
+        | CAST(COALESCE(list_position(tk, 'spark'), 0) AS BIGINT) AS pos_spark
+        |FROM t ORDER BY doc_id""".sm,
     "replica_batch_features" ->
       s"""SELECT event_id, user_id, value AS amt,
         | CAST(hour(ts) AS INTEGER) AS hour_of_day,

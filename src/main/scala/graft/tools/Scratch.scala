@@ -57,6 +57,20 @@ object Scratch {
         TextStats.tokenCount(org.apache.spark.sql.functions.col("text"))
           .cast("long").as("n_tokens")),
       "doc_id", "n_tokens", 4096).count())
+    locally {
+      import org.apache.spark.sql.functions._
+      // Scaled copies keep the ORIGINAL lang/n_chars? The probe union
+      // carries only (doc_id, text) — rebuild the blocking columns from
+      // the text so editDistancePairs sees realistic blocks.
+      val withBlk = docs.withColumn("n_chars", length(col("text")))
+        .withColumn("lang", lit("xx"))
+      time("chunkDedupStats")(
+        Dedup.chunkDedupStats(docs, "doc_id", "text", 5).count())
+      time("editDistancePairs(cap500)")(
+        Dedup.editDistancePairs(withBlk, "doc_id", "text",
+          concat_ws("|", col("lang"), (col("n_chars") / 16).cast("long")),
+          48, 8, maxBlock = 500).count())
+    }
     spark.stop()
   }
 }

@@ -93,6 +93,23 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(!simCapped.exists(p => p._1 <= 2000L), "mass clique leaked through simhash cap")
   }
 
+  test("edit-distance block cap drops oversized blocks, keeps discriminating ones") {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.functions.col
+    // one degenerate block of 2000 docs + one 2-doc block with a true
+    // near-dup: the cap must kill the m² candidate expansion of the big
+    // block while the small block's pair survives
+    val big = (1L to 2000L).map(i => (i, s"padding text number $i", "hot"))
+    val pair = Seq(
+      (9001L, "the quick brown fox", "cold"),
+      (9002L, "the quick brown fax", "cold"))
+    val docs = (big ++ pair).toDF("doc_id", "text", "blk")
+    val capped = Dedup.editDistancePairs(docs, "doc_id", "text",
+        col("blk"), prefixLen = 48, maxDist = 8, maxBlock = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((9001L, 9002L)), s"got $capped")
+  }
+
   test("tf-idf produces sparse features and down-weights ubiquitous tokens") {
     val docs = Tables.load(spark, sf0001, "documents").limit(100)
     val out = TextStats.tfidf(docs, "text")

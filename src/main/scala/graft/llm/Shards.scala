@@ -53,6 +53,22 @@ object Shards {
     df.filter(v < cut)
   }
 
+  /** Temperature-based mixture weights (the multilingual/multi-source
+    * sampling rule of T5/mT5 — Raffel et al. 2020 §3.4.4, p(L) ∝ |L|^α
+    * with α < 1 upweighting low-resource groups): per group, the doc
+    * count and its normalized sampling weight count^alpha / Σ count^alpha.
+    * The output feeds [[mixtureSampleByRate]] as rate = weight·target /
+    * share. One tiny hash-aggregate (rows = #groups) + a broadcast
+    * 1-row total — no window over a single partition, no second scan. */
+  def sourceWeights(docs: DataFrame, groupCol: String, alpha: Double): DataFrame = {
+    val counts = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w", pow(col("n_docs").cast("double"), alpha))
+    counts.crossJoin(broadcast(counts.agg(sum(col("__w")).as("__tot"))))
+      .withColumn("weight", round(col("__w") / col("__tot"), 6))
+      .drop("__w", "__tot")
+  }
+
   /** Exact per-group quotas (rank-based): keep the first `quota(g)`
     * rows of each group in deterministic md5-of-key order. Needs one
     * shuffle + per-group sort — use for bounded group counts (label

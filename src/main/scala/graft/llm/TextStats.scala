@@ -233,6 +233,42 @@ object TextStats {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("vocab_sketch"))).as("est_distinct_tokens"))
 
+  /** Composed Gopher-style document filter (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1): the length / mean-token-length /
+    * stopword / repetition rules evaluated in one pass, each failure
+    * named so the drop is auditable (production corpus filtering keeps
+    * per-rule counters, not just a boolean). Returns every doc with its
+    * signals, `fail_reasons` (comma-joined rule names, "" = clean) and
+    * `keep`. Docs with no bigrams have NULL top_bigram_frac and skip
+    * the repetition rule — same convention as [[repetitionStats]].
+    *
+    * Shape: the column rules are codegen'd projections on the scan; the
+    * repetition signals reuse [[repetitionStats]]'s doc-scoped
+    * aggregates; ONE doc-keyed join stitches them. Nothing corpus-wide,
+    * linear and skew-free at any scale. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 16, maxTokens: Long = 100000,
+      minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
+      minStopwordRatio: Double = 0.02,
+      maxDupWordFrac: Double = 0.7, maxTopBigramFrac: Double = 0.18): DataFrame = {
+    val t = col(textCol)
+    val base = docs.select(col(idCol).as("doc_id"),
+      round(avgTokenLen(t), 6).as("avg_tok_len"),
+      stopwordRatio(t).as("stopword_ratio"))
+    base.join(repetitionStats(docs, idCol, textCol), Seq("doc_id"))
+      .withColumn("fail_reasons", concat_ws(",",
+        when(col("n_tokens") < minTokens, "too_short"),
+        when(col("n_tokens") > maxTokens, "too_long"),
+        when(!col("avg_tok_len").between(minAvgTokLen, maxAvgTokLen), "tok_len"),
+        when(col("stopword_ratio") < minStopwordRatio, "low_stopword"),
+        when(col("dup_word_frac") > maxDupWordFrac, "dup_words"),
+        when(col("top_bigram_frac") > maxTopBigramFrac, "rep_bigram")))
+      .withColumn("keep", col("fail_reasons") === "")
+      .select(col("doc_id"), col("n_tokens"), col("avg_tok_len"),
+        col("stopword_ratio"), col("dup_word_frac"), col("top_bigram_frac"),
+        col("fail_reasons"), col("keep"))
+  }
+
   /** Gopher-style repetition quality signals (Rae et al. 2021,
     * arXiv:2112.11446 §A1.1: "repetition" filters) per document:
     * duplicate-word fraction (1 − distinct/total tokens) and the

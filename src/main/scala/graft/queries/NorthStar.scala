@@ -279,6 +279,23 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  // Composed Gopher-rule document filter: every doc with its quality
+  // signals, named fail reasons, and the keep verdict.
+  val gopherFilter: Q = (s, dir) => {
+    import s.implicits._
+    TextStats.gopherFilter(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  // Temperature mixture weights over the language axis (α=0.7):
+  // the per-group sampling distribution a multilingual pipeline feeds
+  // into mixtureSampleByRate.
+  val mixtureWeights: Q = (s, dir) => {
+    import s.implicits._
+    Shards.sourceWeights(t(s, dir, "documents"), "lang", alpha = 0.7)
+      .orderBy($"grp")
+  }
+
   // ---- multimodal plumbing (llm.Multimodal has the typed pipeline) ----
   // Opaque binary payload + deterministic metadata "decode" — the SQL-able
   // contract of the binary column design (decode itself is the stubbed
@@ -327,6 +344,8 @@ object NorthStar {
     "ns_chunk_dedup" -> chunkDedup,
     "ns_edit_pairs" -> editPairs,
     "ns_semdedup" -> semDedup,
+    "ns_gopher_filter" -> gopherFilter,
+    "ns_mixture_weights" -> mixtureWeights,
     "ns_multimodal_meta" -> multimodalMeta
   )
 
@@ -686,6 +705,38 @@ object NorthStar {
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pfx, b.pfx) <= 8
         |ORDER BY doc_a, doc_b""".sm,
+    "ns_gopher_filter" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, toks[i + 1] AS tk
+        | FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(toks)),
+        |tstats AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tk) AS n_distinct FROM tok GROUP BY 1),
+        |bg AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS b
+        | FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(toks) - 1),
+        |bstats AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+        | FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |cols AS (SELECT doc_id,
+        |  ROUND(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks), 6) AS avg_tok_len,
+        |  ROUND(CAST(len(list_filter(toks, t -> list_contains(['the','a','an','of','and','or','to','in','is','are','was','for','on','with','as','at','by','it','that','this'], t))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        | FROM d),
+        |j AS (SELECT c.doc_id, t.n_tokens, c.avg_tok_len, c.stopword_ratio,
+        |  ROUND(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6) AS dup_word_frac,
+        |  ROUND(CAST(b.mx AS DOUBLE) / b.tot, 6) AS top_bigram_frac
+        | FROM cols c JOIN tstats t USING (doc_id) LEFT JOIN bstats b USING (doc_id)),
+        |f AS (SELECT *, concat_ws(',',
+        |  CASE WHEN n_tokens < 16 THEN 'too_short' END,
+        |  CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+        |  CASE WHEN NOT (avg_tok_len BETWEEN 2.0 AND 12.0) THEN 'tok_len' END,
+        |  CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+        |  CASE WHEN dup_word_frac > 0.7 THEN 'dup_words' END,
+        |  CASE WHEN top_bigram_frac > 0.18 THEN 'rep_bigram' END) AS fail_reasons FROM j)
+        |SELECT doc_id, n_tokens, avg_tok_len, stopword_ratio, dup_word_frac,
+        | top_bigram_frac, fail_reasons, fail_reasons = '' AS keep
+        |FROM f ORDER BY doc_id""".sm,
+    "ns_mixture_weights" ->
+      """WITH c AS (SELECT lang AS grp, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT grp, n_docs, POW(CAST(n_docs AS DOUBLE), 0.7) AS pw FROM c)
+        |SELECT grp, n_docs, ROUND(pw / (SELECT SUM(pw) FROM w), 6) AS weight
+        |FROM w ORDER BY grp""".sm,
     "ns_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

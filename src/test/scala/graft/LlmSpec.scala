@@ -111,6 +111,33 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(!r(3L) && !r(4L), "unrelated vectors flagged")
   }
 
+  test("gopher filter names each failed rule; clean docs keep") {
+    val d = Seq(
+      (0L, "the cat sat on the mat and then the dog sat on the cat while it was raining outside today"), // clean
+      (1L, ("word " * 40).trim),                    // dup_words + rep_bigram + low_stopword
+      (2L, "too short"),                            // too_short
+      (3L, ("a " * 20).trim + " supercalifragilisticexpialidocious")
+    ).toDF("doc_id", "text")
+    val m = TextStats.gopherFilter(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(r.fieldIndex("fail_reasons")), r.getBoolean(r.fieldIndex("keep")))).toMap
+    assert(m(0L)._2, s"clean doc dropped: ${m(0L)}")
+    assert(m(1L)._1.contains("dup_words") && m(1L)._1.contains("low_stopword"), m(1L)._1)
+    assert(!m(1L)._2)
+    assert(m(2L)._1.contains("too_short"))
+  }
+
+  test("mixture weights follow count^alpha and sum to 1") {
+    val d = (1 to 80).map(i => (i.toLong, if (i <= 64) "big" else "small"))
+      .toDF("doc_id", "grp")
+    val w = graft.llm.Shards.sourceWeights(d, "grp", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // sqrt(64)=8, sqrt(16)=4 → weights 8/12 and 4/12
+    assert(w("big")._1 == 64L && w("small")._1 == 16L)
+    assert(math.abs(w("big")._2 - 8.0 / 12) < 1e-6, w.toString)
+    assert(math.abs(w("big")._2 + w("small")._2 - 1.0) < 1e-5)
+  }
+
   test("brute-force cosine top-k ranks by true cosine") {
     val top = Similarity.cosineTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 4)
       .collect().map(r => (r.getInt(1), r.getLong(2)))

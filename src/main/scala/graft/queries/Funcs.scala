@@ -138,6 +138,21 @@ object Funcs {
       .orderBy($"event_id")
   }
 
+  // F22: VARIANT ingestion (Spark 4) — parse_json once into the binary
+  // semi-structured type, then typed variant_get paths. For repeated
+  // multi-path access this beats get_json_object (which re-parses the
+  // string per call); the shredded variant also carries to parquet.
+  val f22Variant: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id", parse_json($"props").as("v"))
+      .select($"event_id",
+        try_variant_get($"v", "$.k", "int").as("k_int"),
+        try_variant_get($"v", "$.missing", "string").as("missing"),
+        is_variant_null($"v").as("is_null"))
+      .orderBy($"event_id")
+  }
+
   // F21: array-function surface + lexical diversity — the typed-array
   // ops every token pipeline leans on (sort/distinct/slice/join/
   // contains/position) plus type-token ratio and hapax-adjacent stats,
@@ -211,6 +226,7 @@ object Funcs {
     "f15_conditional" -> f15Conditional,
     "f20_regexp" -> f20Regexp,
     "f21_array_ops" -> f21ArrayOps,
+    "f22_variant" -> f22Variant,
     "replica_batch_features" -> replicaBatchFeatures
   )
 
@@ -276,6 +292,12 @@ object Funcs {
         | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val,
         | CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
         | regexp_replace(props, '[0-9]', '#', 'g') AS masked
+        |FROM events ORDER BY event_id""".sm,
+    "f22_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+        | CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing,
+        | false AS is_null
         |FROM events ORDER BY event_id""".sm,
     "f21_array_ops" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -68,6 +68,26 @@ class EdgeSpec extends AnyFunSuite with SparkSuite {
     assert(incr.count() == 0 && incr.columns.length == 13)
   }
 
+  test("round-3 operators tolerate empty and degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.chunkDedupStats(empty, "doc_id", "text", 5).count() == 0)
+    assert(Dedup.editDistancePairs(empty, "doc_id", "text",
+      lit("b"), 48, 8).count() == 0)
+    assert(TextStats.gopherFilter(empty, "doc_id", "text").count() == 0)
+    // a single one-token doc: one chunk, zero dup chunks; no pairs
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    val c = Dedup.chunkDedupStats(one, "doc_id", "text", 5).head()
+    assert(c.getLong(1) == 1L && c.getLong(2) == 0L)
+    assert(Dedup.editDistancePairs(one, "doc_id", "text", lit("b"), 48, 8).count() == 0)
+    // gopher filter on a short doc fails too_short but still reports signals
+    val g = TextStats.gopherFilter(one, "doc_id", "text").head()
+    assert(g.getString(g.fieldIndex("fail_reasons")).contains("too_short"))
+    // mixture weights of a single group = 1.0
+    val w = graft.llm.Shards.sourceWeights(one.withColumn("grp", lit("g")), "grp", 0.7)
+      .head()
+    assert(w.getDouble(w.fieldIndex("weight")) == 1.0)
+  }
+
   test("window queries on a single-row table") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L, 1.0))
       .toDF("event_id", "ts", "user_id", "value")

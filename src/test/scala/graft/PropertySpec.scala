@@ -52,6 +52,42 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     assert(twice.count() == once.count())
   }
 
+  test("chunk dedup invariants: exact dup pairs at ratio 1, chunk totals conserved") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val stats = Dedup.chunkDedupStats(docs, "doc_id", "text", 5)
+    // conservation: Σ n_chunks == total chunk instances = Σ ceil(tokens/5)
+    val total = stats.agg(sum($"n_chunks")).head().getLong(0)
+    val expected = docs.select(
+        ceil(size(split($"text", " ")).cast("double") / 5).cast("long").as("c"))
+      .agg(sum($"c")).head().getLong(0)
+    assert(total == expected, s"chunk totals: $total vs $expected")
+    // planting an exact copy drives both copies' dup_ratio to 1.0
+    // (every chunk of each appears in the other)
+    val minId = docs.agg(min($"doc_id")).head().getLong(0)
+    val copy = docs.filter($"doc_id" === minId)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val plantedStats = Dedup.chunkDedupStats(
+      docs.select($"doc_id", $"text").union(copy), "doc_id", "text", 5)
+    val ratios = plantedStats
+      .filter($"doc_id" === minId || $"doc_id" === minId + 1000000L)
+      .collect().map(_.getAs[Double]("dup_ratio"))
+    assert(ratios.length == 2 && ratios.forall(_ == 1.0), ratios.mkString(","))
+  }
+
+  test("edit-distance pairs: zero distance iff identical prefixes, symmetric under id swap") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+      concat_ws("|", $"lang", ($"n_chars" / 16).cast("long")), 48, 8).collect()
+    val texts = docs.select($"doc_id", substring($"text", 1, 48).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.foreach { r =>
+      val (a, b, d) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(a < b, "pair ordering broken")
+      assert((d == 0) == (texts(a) == texts(b)),
+        s"distance $d disagrees with prefix equality for ($a,$b)")
+    }
+  }
+
   test("winnowing guarantee: any shared substring of length >= k+w-1 yields a shared hash") {
     import graft.llm.TextStats
     // random word-soup docs, each pair sharing a planted 3-word passage

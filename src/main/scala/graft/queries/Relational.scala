@@ -446,6 +446,23 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  // J12 correlated LATERAL subquery (SQL surface): top-1 lineitem per
+  // order by price. Catalyst DECORRELATES the per-row subquery into a
+  // set-based plan (rank window / aggregated join) — the correlated
+  // form never executes one-query-per-row, which is what makes lateral
+  // usable at 100 TB. Exercised through spark.sql over the registered
+  // views (the full-SQL entry path).
+  val j12Lateral: Q = (s, dir) => {
+    Tables.createViews(s, dir)
+    s.sql(
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM orders o JOIN LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) l
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
   // W9 rolling median — an order-statistic over a rows frame (the
   // robust-center alternative to W2's rolling mean; outlier-immune
   // feature smoothing). Spark's `median`/`percentile` aggregates
@@ -737,6 +754,7 @@ object Relational {
     "a21_unpivot" -> a21Unpivot,
     "a22_gap_fill" -> a22GapFill,
     "j11_pit_tolerance" -> j11PitTolerance,
+    "j12_lateral" -> j12Lateral,
     "w9_rolling_median" -> w9RollingMedian,
     "p10_explode_tokens" -> p10ExplodeTokens,
     "w8_first_nth" -> w8FirstNth,
@@ -954,6 +972,13 @@ object Relational {
         | WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |WHERE event_type = 'purchase' ORDER BY event_id""".sm,
+    "j12_lateral" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM orders o JOIN LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) l ON true
+        |ORDER BY o.o_orderkey""".sm,
     "w9_rolling_median" ->
       """SELECT event_id, user_id, ts_sec,
         | ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id

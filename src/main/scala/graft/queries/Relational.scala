@@ -463,6 +463,25 @@ object Relational {
         |ORDER BY o.o_orderkey""".stripMargin)
   }
 
+  // P11 subquery surface: correlated scalar subquery (each order vs its
+  // customer's average) + EXISTS probe, both through spark.sql.
+  // Catalyst rewrites the scalar subquery to an aggregate + join
+  // (RewriteCorrelatedScalarSubquery) and EXISTS to a left-semi join —
+  // no per-row execution survives to the physical plan.
+  val p11Subqueries: Q = (s, dir) => {
+    Tables.createViews(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |    SELECT AVG(o2.o_totalprice) FROM orders o2
+        |    WHERE o2.o_custkey = o.o_custkey)
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   // W9 rolling median — an order-statistic over a rows frame (the
   // robust-center alternative to W2's rolling mean; outlier-immune
   // feature smoothing). Spark's `median`/`percentile` aggregates
@@ -755,6 +774,7 @@ object Relational {
     "a22_gap_fill" -> a22GapFill,
     "j11_pit_tolerance" -> j11PitTolerance,
     "j12_lateral" -> j12Lateral,
+    "p11_subqueries" -> p11Subqueries,
     "w9_rolling_median" -> w9RollingMedian,
     "p10_explode_tokens" -> p10ExplodeTokens,
     "w8_first_nth" -> w8FirstNth,
@@ -972,6 +992,16 @@ object Relational {
         | WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |WHERE event_type = 'purchase' ORDER BY event_id""".sm,
+    "p11_subqueries" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |    SELECT AVG(o2.o_totalprice) FROM orders o2
+        |    WHERE o2.o_custkey = o.o_custkey)
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".sm,
     "j12_lateral" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
         |FROM orders o JOIN LATERAL (

@@ -68,6 +68,28 @@ object Multimodal {
     meta.toDF().withColumn("sampled_frames",
       greatest(lit(1), (col("n_frames") / everyN).cast("int")))
 
+  /** Resize stub: the payload-level transform — the one step that must
+    * READ and REWRITE the binary column (decode/meta paths never do).
+    * Deterministic byte decimation stands in for pixel resampling; the
+    * shape is the production one: mapPartitions with one resizer
+    * context, payload in / smaller payload out, downstream metadata
+    * recomputed by [[decodeMeta]] rather than trusted from upstream. */
+  def resize(media: Dataset[MediaRecord], targetWidth: Int): Dataset[MediaRecord] = {
+    require(targetWidth >= 1, s"targetWidth must be >= 1, got $targetWidth")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real impl: init the resampler once per partition here
+      it.map { r =>
+        val srcW = r.payload.length % 64 * 10 + 32 // FakeDecoder geometry
+        val step = math.max(1, srcW / targetWidth)
+        val out = if (step == 1) r.payload
+          else r.payload.grouped(step).map(_.head).toArray
+        MediaRecord(r.media_id, r.modality, out)
+      }
+    }
+  }
+
   /** Payload → embedding feature extraction (STUB model: a deterministic
     * `dim`-bin byte histogram, L2-normalized — stands in for a vision/
     * audio encoder). Same mapPartitions shape as [[decodeMeta]]: one

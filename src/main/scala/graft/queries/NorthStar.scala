@@ -279,6 +279,18 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  // IVF ANN through the query surface (rows-only: the KMeans coarse
+  // quantizer is seeded but not SQL-expressible; recall vs brute force
+  // is pinned in LlmSpec). Probes nProbe of nCells cells — the corpus
+  // fraction scored shrinks as nCells grows, the scale knob.
+  val ivfTopk: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter($"vec_id" < 5), emb, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 2)
+      .orderBy($"query_id", $"rank")
+  }
+
   // Composed Gopher-rule document filter: every doc with its quality
   // signals, named fail reasons, and the keep verdict.
   val gopherFilter: Q = (s, dir) => {
@@ -345,6 +357,7 @@ object NorthStar {
     "ns_edit_pairs" -> editPairs,
     "ns_semdedup" -> semDedup,
     "ns_gopher_filter" -> gopherFilter,
+    "ns_ivf_topk" -> ivfTopk,
     "ns_mixture_weights" -> mixtureWeights,
     "ns_multimodal_meta" -> multimodalMeta
   )

@@ -548,6 +548,21 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     emb.unpersist()
   }
 
+  test("multimodal resize rewrites payloads deterministically; decode survives") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val small = Multimodal.resize(media, targetWidth = 8)
+    val origBytes = media.collect().map(m => m.media_id -> m.payload.length).toMap
+    val first = small.collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(first.forall { case (id, p) => p.nonEmpty && p.length <= origBytes(id) })
+    assert(first.exists { case (id, p) => p.length < origBytes(id) },
+      "nothing actually shrank")
+    val again = Multimodal.resize(media, targetWidth = 8)
+      .collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(first == again, "resize not deterministic")
+    val meta = Multimodal.decodeMeta(small).collect()
+    assert(meta.forall(_.n_bytes > 0))
+  }
+
   test("multimodal decode is deterministic with stable checksums") {
     val meta1 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()
     val meta2 = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()

@@ -244,6 +244,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Incremental near-dup detection — the continuous-ingest complement
+    * to [[minhashCandidatePairs]]: which INCREMENT docs are near-dups
+    * of the EXISTING corpus (or of each other), without re-pairing the
+    * corpus against itself. This is the shape a daily ingest needs: the
+    * corpus signatures are computed once (in practice, read from the
+    * signature table the last run wrote) and only increment×corpus and
+    * increment×increment bucket collisions are expanded — corpus²
+    * never happens again after the initial build.
+    *
+    * Returns (doc_id, dup_of) for increment docs matching ≥ minMatches
+    * of n minhashes against any prior doc (corpus, or an earlier-id
+    * increment doc); survivors are the increment's `left_anti` of it. */
+  def incrementalNearDups(corpus: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, n: Int, minMatches: Int): DataFrame = {
+    val sigsOf = (df: DataFrame) => {
+      val nMd5 = (n + 3) / 4
+      val withH = shingleRowsRaw(df, idCol, textCol).select(
+        col("doc_id") +: (0 until nMd5).map(j =>
+          md5(concat(lit(j.toString), lit("|"), col("sh"))).as(s"h$j")): _*)
+      val minCols = (0 until n).map(i =>
+        min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m$i"))
+      withH.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until n).map(i => col(s"m$i")): _*)).as(Seq("i", "mh")))
+    }
+    // Corpus docs always rank as "prior": any corpus hit wins over an
+    // increment-internal hit, and increment-internal pairs dedup to the
+    // smaller id — the same keep-first rule as the batch path.
+    val prior = sigsOf(corpus).withColumn("__prio", lit(0))
+      .union(sigsOf(increment).withColumn("__prio", lit(1)))
+    val inc = sigsOf(increment)
+    inc.as("a").join(prior.as("b"),
+        col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
+          (col("b.__prio") === 0 || col("b.doc_id") < col("a.doc_id")))
+      .groupBy(col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("cand"), col("b.__prio").as("prio"))
+      .agg(count(lit(1)).as("n_matches"))
+      .filter(col("n_matches") >= minMatches)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("prio"), col("cand"))).as("best"))
+      .select(col("doc_id"), col("best.cand").as("dup_of"))
+  }
+
   /** Collapse near-duplicate PAIRS into GROUPS: connected components,
     * returning (doc_id, group_id = smallest id in the component).
     *
@@ -298,9 +341,14 @@ object Dedup {
     def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // Small graph ⇒ 32-partition scans are pure task-scheduling overhead;
     // run each round's tiny join/agg as single tasks. (coalesce reads the
-    // cached blocks, no shuffle.) The large-graph path keeps full
-    // parallelism.
-    def squeeze(df: DataFrame): DataFrame = if (bcast) df.coalesce(1) else df
+    // cached blocks, no shuffle.) The single-task squeeze has a MUCH
+    // lower ceiling than the broadcast decision: broadcasting 200 k
+    // labels is fine, but pushing that graph's millions of edge rows
+    // through ONE task serialized every round (the 40× probe: 8.6 M
+    // edges, 42 s total). Past the squeeze limit, keep the broadcast
+    // join but with full task parallelism over the cached edges.
+    val squeeze1 = nNodes <= 65536 && edges.count() <= (1L << 20)
+    def squeeze(df: DataFrame): DataFrame = if (bcast && squeeze1) df.coalesce(1) else df
     val e = squeeze(edges)
     var prevSum = sum0
     var converged = false

@@ -111,6 +111,25 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(!r(3L) && !r(4L), "unrelated vectors flagged")
   }
 
+  test("incremental near-dups: corpus hits win, increment dedups to smaller id") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "completely different content about spark query engines and shuffles here")
+    ).toDF("doc_id", "text")
+    val increment = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"), // dup of corpus 0
+      (11L, "a wholly new increment document with original words and phrasing today"),
+      (12L, "a wholly new increment document with original words and phrasing today"), // dup of 11
+      (13L, "another novel increment document sharing nothing with anything else written")
+    ).toDF("doc_id", "text")
+    val dups = Dedup.incrementalNearDups(corpus, increment, "doc_id", "text",
+        n = 8, minMatches = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dups.get(10L).contains(0L), s"corpus dup missed: $dups")
+    assert(dups.get(12L).contains(11L), s"increment-internal dup missed: $dups")
+    assert(!dups.contains(11L) && !dups.contains(13L), s"survivor flagged: $dups")
+  }
+
   test("gopher filter names each failed rule; clean docs keep") {
     val d = Seq(
       (0L, "the cat sat on the mat and then the dog sat on the cat while it was raining outside today"), // clean

@@ -279,6 +279,19 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  // Incremental near-dup detection: docs with id % 10 == 0 play the
+  // daily increment against the rest as the standing corpus — which
+  // increment docs duplicate something prior (corpus first, then
+  // earlier-id increment docs)?
+  val incrementalDedup: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalNearDups(
+        docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+        "doc_id", "text", n = 8, minMatches = 6)
+      .orderBy($"doc_id")
+  }
+
   // IVF ANN through the query surface (rows-only: the KMeans coarse
   // quantizer is seeded but not SQL-expressible; recall vs brute force
   // is pinned in LlmSpec). Probes nProbe of nCells cells — the corpus
@@ -358,6 +371,7 @@ object NorthStar {
     "ns_semdedup" -> semDedup,
     "ns_gopher_filter" -> gopherFilter,
     "ns_ivf_topk" -> ivfTopk,
+    "ns_incremental_dedup" -> incrementalDedup,
     "ns_mixture_weights" -> mixtureWeights,
     "ns_multimodal_meta" -> multimodalMeta
   )
@@ -718,6 +732,25 @@ object NorthStar {
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pfx, b.pfx) <= 8
         |ORDER BY doc_a, doc_b""".sm,
+    "ns_incremental_dedup" ->
+      (shinglesCte + """, sh AS (
+        | SELECT doc_id, UNNEST(shs) AS sh FROM d
+        |), sig AS (
+        | SELECT doc_id, i, MIN(substr(md5(CAST(i // 4 AS VARCHAR) || '|' || sh), CAST(i % 4 AS INTEGER) * 8 + 1, 8)) AS mh
+        | FROM sh CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) GROUP BY doc_id, i
+        |), inc AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
+        |prior AS (
+        | SELECT doc_id, i, mh, 0 AS prio FROM sig WHERE doc_id % 10 != 0
+        | UNION ALL SELECT doc_id, i, mh, 1 AS prio FROM inc
+        |), m AS (
+        | SELECT a.doc_id AS doc_id, b.doc_id AS cand, b.prio AS prio
+        | FROM inc a JOIN prior b ON a.i = b.i AND a.mh = b.mh
+        |  AND (b.prio = 0 OR b.doc_id < a.doc_id)
+        | GROUP BY 1, 2, 3 HAVING COUNT(*) >= 6
+        |)
+        |SELECT doc_id, cand AS dup_of FROM (
+        | SELECT doc_id, cand, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY prio, cand) AS rn FROM m)
+        |WHERE rn = 1 ORDER BY doc_id""").sm,
     "ns_gopher_filter" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |tok AS (SELECT doc_id, toks[i + 1] AS tk

@@ -37,7 +37,18 @@ object Tables {
     graft.expr.HaversineMiles.register(spark)
     graft.expr.ArrayDotProduct.register(spark)
     graft.expr.Aggregators.register(spark)
+    registeredDir.put(spark, dir)
   }
+
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  /** [[createViews]] unless this session already has views for `dir` —
+    * the cheap path for SQL-surface queries called repeatedly (each
+    * registration re-reads ten parquet footers). */
+  def ensureViews(spark: SparkSession, dir: String): Unit =
+    if (registeredDir.get(spark) != dir) createViews(spark, dir)
 
   /** Standard session config every entry point (Verify/Bench/tests) applies. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b

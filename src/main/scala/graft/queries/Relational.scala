@@ -298,6 +298,19 @@ object Relational {
       round(var_pop($"l_quantity"), 4).as("varp_qty"))
   }
 
+  // W10 distribution + look-ahead window functions: cume_dist (the CDF
+  // position of each row in its partition) and lead (next value) — the
+  // remaining ranking/value functions beyond w5/w7/w8.
+  val w10CumeDist: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        round(cume_dist().over(w), 6).as("cd"),
+        lead($"o_totalprice", 1).over(w).as("next_price"))
+      .orderBy($"o_orderkey")
+  }
+
   // A23 order-statistic + predicate aggregates — exact grouped median
   // (one sort-based aggregate per group, no global sort), conditional
   // count, and boolean aggregates in a single grouped pass
@@ -453,7 +466,7 @@ object Relational {
   // usable at 100 TB. Exercised through spark.sql over the registered
   // views (the full-SQL entry path).
   val j12Lateral: Q = (s, dir) => {
-    Tables.createViews(s, dir)
+    Tables.ensureViews(s, dir)
     s.sql(
       """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
         |FROM orders o JOIN LATERAL (
@@ -469,7 +482,7 @@ object Relational {
   // (RewriteCorrelatedScalarSubquery) and EXISTS to a left-semi join —
   // no per-row execution survives to the physical plan.
   val p11Subqueries: Q = (s, dir) => {
-    Tables.createViews(s, dir)
+    Tables.ensureViews(s, dir)
     s.sql(
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
@@ -775,6 +788,7 @@ object Relational {
     "j11_pit_tolerance" -> j11PitTolerance,
     "j12_lateral" -> j12Lateral,
     "p11_subqueries" -> p11Subqueries,
+    "w10_cume_dist" -> w10CumeDist,
     "w9_rolling_median" -> w9RollingMedian,
     "p10_explode_tokens" -> p10ExplodeTokens,
     "w8_first_nth" -> w8FirstNth,
@@ -992,6 +1006,13 @@ object Relational {
         | WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |WHERE event_type = 'purchase' ORDER BY event_id""".sm,
+    "w10_cume_dist" ->
+      """SELECT o_orderkey, o_custkey,
+        | ROUND(CUME_DIST() OVER w, 6) AS cd,
+        | LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".sm,
     "p11_subqueries" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o

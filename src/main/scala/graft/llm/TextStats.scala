@@ -233,6 +233,36 @@ object TextStats {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("vocab_sketch"))).as("est_distinct_tokens"))
 
+  /** Per-document unigram log-probability score — the self-trained
+    * stand-in for the KenLM perplexity filter (CCNet, Wenzek et al.
+    * 2020): fit a unigram LM on the corpus itself (token frequencies),
+    * score each doc by its mean token surprisal −ln p(token). High
+    * scores = improbable token streams (noise, mojibake, keyword spam);
+    * the filter drops the tail. Returns (doc_id, n_tokens, avg_nll).
+    *
+    * Engine-portability: each token's surprisal is quantized to integer
+    * micro-nats and summed as BIGINT — exact and order-independent
+    * (double summation drifts with partitioning; decimal DIVISION
+    * rounds differently across engines). The mean is then one double
+    * division of identical integers on any engine.
+    * Scale shape: ONE token-frequency aggregate (uniform keys) +
+    * broadcast total + a doc-keyed aggregate — the frequency table
+    * broadcasts while vocab fits (AQE decides), and nothing is ever
+    * corpus-wide beyond it. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val scored = tok.join(freq, Seq("token")).crossJoin(broadcast(total))
+      .withColumn("nll6",
+        round(-log(col("cnt").cast("double") / col("total")) * 1e6, 0).cast("long"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll6")).as("sum6"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum6").cast("double") / col("n_tokens") / 1e6, 4).as("avg_nll"))
+  }
+
   /** Composed Gopher-style document filter (Rae et al. 2021,
     * arXiv:2112.11446 Table A1): the length / mean-token-length /
     * stopword / repetition rules evaluated in one pass, each failure

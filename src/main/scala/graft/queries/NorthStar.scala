@@ -304,6 +304,13 @@ object NorthStar {
       .orderBy($"query_id", $"rank")
   }
 
+  // Unigram LM surprisal per doc (perplexity-filter stand-in).
+  val unigramNll: Q = (s, dir) => {
+    import s.implicits._
+    TextStats.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   // Composed Gopher-rule document filter: every doc with its quality
   // signals, named fail reasons, and the keep verdict.
   val gopherFilter: Q = (s, dir) => {
@@ -372,6 +379,7 @@ object NorthStar {
     "ns_gopher_filter" -> gopherFilter,
     "ns_ivf_topk" -> ivfTopk,
     "ns_incremental_dedup" -> incrementalDedup,
+    "ns_unigram_nll" -> unigramNll,
     "ns_mixture_weights" -> mixtureWeights,
     "ns_multimodal_meta" -> multimodalMeta
   )
@@ -751,6 +759,17 @@ object NorthStar {
         |SELECT doc_id, cand AS dup_of FROM (
         | SELECT doc_id, cand, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY prio, cand) AS rn FROM m)
         |WHERE rn = 1 ORDER BY doc_id""").sm,
+    "ns_unigram_nll" ->
+      """WITH tok AS (
+        | SELECT doc_id, toks[i + 1] AS token
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        | CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(toks)
+        |), freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS total FROM freq)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_nll
+        |FROM tok JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".sm,
     "ns_gopher_filter" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |tok AS (SELECT doc_id, toks[i + 1] AS tk

@@ -130,6 +130,18 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(!dups.contains(11L) && !dups.contains(13L), s"survivor flagged: $dups")
   }
 
+  test("unigram surprisal ranks rare-token docs above common-token docs") {
+    val d = Seq(
+      (0L, "common common common common common common common common"),
+      (1L, "common common common common common common common rareword")
+    ).toDF("doc_id", "text")
+    val m = TextStats.unigramLogProb(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) > m(0L), s"rare token did not raise surprisal: $m")
+    // doc 0 is all one token: avg nll = -ln(15/16) exactly
+    assert(math.abs(m(0L) - (-math.log(15.0 / 16))) < 1e-3, m(0L).toString)
+  }
+
   test("gopher filter names each failed rule; clean docs keep") {
     val d = Seq(
       (0L, "the cat sat on the mat and then the dog sat on the cat while it was raining outside today"), // clean

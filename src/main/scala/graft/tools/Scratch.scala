@@ -70,6 +70,14 @@ object Scratch {
         Dedup.editDistancePairs(withBlk, "doc_id", "text",
           concat_ws("|", col("lang"), (col("n_chars") / 16).cast("long")),
           48, 8, maxBlock = 500).count())
+      time("incrementalNearDups")(
+        Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 8, 6).count())
+      time("unigramLogProb")(
+        TextStats.unigramLogProb(docs, "doc_id", "text").count())
+      time("gopherFilter")(
+        TextStats.gopherFilter(docs, "doc_id", "text").count())
     }
     spark.stop()
   }

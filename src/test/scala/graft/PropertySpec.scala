@@ -74,6 +74,28 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     assert(ratios.length == 2 && ratios.forall(_ == 1.0), ratios.mkString(","))
   }
 
+  test("chunk dedup matches in-memory brute force on random corpora") {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo")
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 40L).map { i =>
+      val len = 3 + rnd.nextInt(12)
+      (i, Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val k = 3
+    // brute force: chunk every doc, count distinct docs per chunk string
+    val chunksOf = (t: String) => t.split(" ").grouped(k).map(_.mkString(" ")).toSeq
+    val df = docs.flatMap { case (id, t) => chunksOf(t).map(c => (c, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = docs.map { case (id, t) =>
+      val cs = chunksOf(t)
+      id -> ((cs.size.toLong, cs.count(c => df(c) > 1).toLong))
+    }.toMap
+    val got = graft.llm.Dedup.chunkDedupStats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("edit-distance pairs: zero distance iff identical prefixes, symmetric under id swap") {
     val docs = Tables.load(spark, sf0001, "documents")
     val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",

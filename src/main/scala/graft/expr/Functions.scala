@@ -57,4 +57,34 @@ object Functions {
     when(c.rlike("^-?[0-9]+\\.[0-9]+$"), c.cast("double"))
       .when(c.rlike("^-?[0-9]+$"), c.cast("long").cast("double"))
       .otherwise(lit(null))
+
+  /** Exponentially weighted moving average per key (pandas
+    * `ewm(alpha).mean()` with adjust=True — the smoothing transform the
+    * reference's pandas plane reaches for): for row t,
+    * ewma_t = Σ_{i≤t} (1−α)^{t−i} x_i / Σ_{i≤t} (1−α)^{t−i}.
+    *
+    * Set-based closed form, NOT a sequential fold: with rn the row
+    * number in the frame, both numerator and denominator are running
+    * sums of terms scaled by (1−α)^{−rn}, and the common (1−α)^{rn_t}
+    * factor cancels in the ratio — so the whole transform is two
+    * rows-frame window sums over one per-key sort, the same single
+    * shuffle every other window feature pays. Engine-portable (any SQL
+    * with POW + running sums reproduces it bit-for-bit: running frames
+    * accumulate in frame order on every engine). The 1/(1−α)^rn terms
+    * grow ~e^{0.1·rn}; fine in double for series up to ~300k rows per
+    * key at α=0.1 — chunk longer series by epoch if that ever binds. */
+  def ewma(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, alpha: Double, outCol: String): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val decay = 1.0 - alpha
+    df.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__inv", pow(lit(1.0 / decay), col("__rn")))
+      .withColumn(outCol,
+        sum(col(valueCol) * col("__inv")).over(wRun) / sum(col("__inv")).over(wRun))
+      .drop("__rn", "__inv")
+  }
 }

@@ -311,6 +311,20 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  // W11 exponentially weighted moving average per key — pandas
+  // ewm().mean() as two running window sums (closed form; the common
+  // decay factor cancels in the ratio). One per-key sort, no sequential
+  // fold, no UDF.
+  val w11Ewma: Q = (s, dir) => {
+    import s.implicits._
+    graft.expr.Functions.ewma(
+        t(s, dir, "events").withColumn("ts_sec", tsSec($"ts")),
+        Seq("user_id"), Seq("ts_sec", "event_id"), "value",
+        alpha = 0.1, outCol = "ewma")
+      .select($"event_id", $"user_id", $"ts_sec", round($"ewma", 4).as("ewma"))
+      .orderBy($"event_id")
+  }
+
   // A23 order-statistic + predicate aggregates — exact grouped median
   // (one sort-based aggregate per group, no global sort), conditional
   // count, and boolean aggregates in a single grouped pass
@@ -789,6 +803,7 @@ object Relational {
     "j12_lateral" -> j12Lateral,
     "p11_subqueries" -> p11Subqueries,
     "w10_cume_dist" -> w10CumeDist,
+    "w11_ewma" -> w11Ewma,
     "w9_rolling_median" -> w9RollingMedian,
     "p10_explode_tokens" -> p10ExplodeTokens,
     "w8_first_nth" -> w8FirstNth,
@@ -1006,6 +1021,20 @@ object Relational {
         | WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |WHERE event_type = 'purchase' ORDER BY event_id""".sm,
+    "w11_ewma" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+        | FROM events
+        |), r AS (
+        | SELECT *, POW(1.0 / 0.9, ROW_NUMBER() OVER
+        |   (PARTITION BY user_id ORDER BY ts_sec, event_id)) AS inv
+        | FROM e)
+        |SELECT event_id, user_id, ts_sec,
+        | ROUND(SUM(value * inv) OVER w / SUM(inv) OVER w, 4) AS ewma
+        |FROM r
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".sm,
     "w10_cume_dist" ->
       """SELECT o_orderkey, o_custkey,
         | ROUND(CUME_DIST() OVER w, 6) AS cd,

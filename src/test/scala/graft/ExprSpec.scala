@@ -131,6 +131,24 @@ class ExprSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(d - 347.4) < 1.0, s"got $d")
   }
 
+  test("ewma closed form matches the sequential pandas-ewm recursion") {
+    import graft.expr.Functions
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map(i => (1L + i % 3, i.toLong, rnd.nextDouble() * 100))
+    val df = rows.toDF("k", "t", "v")
+    val got = Functions.ewma(df, Seq("k"), Seq("t"), "v", alpha = 0.1, "ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // reference recursion: adjust=True pandas form
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      var num = 0.0; var den = 0.0
+      rs.sortBy(_._2).foreach { case (_, t, v) =>
+        num = num * 0.9 + v; den = den * 0.9 + 1.0
+        assert(math.abs(got((k, t)) - num / den) < 1e-9,
+          s"k=$k t=$t got ${got((k, t))} want ${num / den}")
+      }
+    }
+  }
+
   test("mode_det UDAF: exact mode, smallest value wins ties, survives repartition") {
     import graft.expr.Aggregators
     // values 7 and 3 both appear twice: deterministic mode must pick 3

@@ -325,6 +325,26 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  // A27 robust statistics — per-group median, MAD (median absolute
+  // deviation), and the 3σ-equivalent outlier count (1.4826·MAD is the
+  // normal-consistent scale). The robust screen survives the heavy
+  // tails that wreck mean/stddev z-scores. Two grouped sort-aggregates
+  // + one count pass, all keyed on the tiny group column.
+  val a27RobustStats: Q = (s, dir) => {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_returnflag".as("rf"), $"l_extendedprice".as("x"))
+    val med = li.groupBy($"rf").agg(median($"x").as("med"))
+    val dev = li.join(broadcast(med), "rf").withColumn("adev", abs($"x" - $"med"))
+    val mad = dev.groupBy($"rf").agg(median($"adev").as("mad"))
+    dev.join(broadcast(mad), "rf")
+      .groupBy($"rf", $"med", $"mad")
+      .agg(count(when($"adev" > lit(3 * 1.4826) * $"mad", 1)).as("n_outliers"))
+      .select($"rf", round($"med", 4).as("med"), round($"mad", 4).as("mad"),
+        $"n_outliers")
+      .orderBy($"rf")
+  }
+
   // A23 order-statistic + predicate aggregates — exact grouped median
   // (one sort-based aggregate per group, no global sort), conditional
   // count, and boolean aggregates in a single grouped pass
@@ -792,6 +812,7 @@ object Relational {
     "a19_stat_moments" -> a19StatMoments,
     "a20_grouping_sets" -> a20GroupingSets,
     "a23_median_pack" -> a23MedianPack,
+    "a27_robust_stats" -> a27RobustStats,
     "a24_udaf_pack" -> a24UdafPack,
     "a25_regression" -> a25Regression,
     "a26_histogram" -> a26Histogram,
@@ -926,6 +947,15 @@ object Relational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | COUNT(*) AS n, GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY gid, rf, ls""".sm,
+    "a27_robust_stats" ->
+      """WITH li AS (SELECT l_returnflag AS rf, l_extendedprice AS x FROM lineitem),
+        |med AS (SELECT rf, median(x) AS med FROM li GROUP BY 1),
+        |dev AS (SELECT li.rf, med.med, ABS(x - med) AS adev FROM li JOIN med USING (rf)),
+        |mad AS (SELECT rf, median(adev) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.rf, ROUND(dev.med, 4) AS med, ROUND(mad.mad, 4) AS mad,
+        | COUNT(CASE WHEN adev > 3 * 1.4826 * mad.mad THEN 1 END) AS n_outliers
+        |FROM dev JOIN mad USING (rf) GROUP BY dev.rf, dev.med, mad.mad
+        |ORDER BY rf""".sm,
     "a23_median_pack" ->
       """SELECT l_returnflag,
         | ROUND(median(l_extendedprice), 4) AS med_price,

@@ -505,6 +505,43 @@ object Dedup {
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
   }
 
+  /** Cross-document repeated-chunk REMOVAL — [[chunkDedupStats]]'s
+    * destructive sibling, C4's actual behavior: every chunk that
+    * appears in more than one document keeps its FIRST occurrence
+    * (smallest doc id) and is stripped everywhere else; each doc's
+    * surviving chunks reassemble in order. Returns
+    * (doc_id, clean_text, n_kept, n_removed). Docs that lose nothing
+    * round-trip to their exact original text.
+    *
+    * Scale shape: same fused-explode chunking and chunk-hash aggregate
+    * as the stats form (the df table additionally carries min(doc_id) —
+    * same single aggregate); reassembly is one doc-keyed
+    * sort_array(collect_list(struct(idx, chunk))) aggregate — per-doc
+    * lists only, never corpus-wide. */
+  def chunkDedupStrip(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"chunk width must be >= 1, got $k")
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), ((size(col("tk")) - 1) / k).cast("int"))).as("i"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("tk"), col("i") * k + 1, lit(k)), " ").as("chunk"))
+    val docFreq = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df_docs"),
+        min(col("doc_id")).as("first_doc"))
+    chunks.join(docFreq, Seq("chunk"))
+      .withColumn("keep", col("df_docs") === 1 || col("doc_id") === col("first_doc"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("i"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("clean_text"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        count(when(!col("keep"), 1)).as("n_removed"))
+  }
+
   /** Near-duplicate pairs by EDIT DISTANCE (Levenshtein) on a prefix,
     * within blocking buckets — the fuzzy-match complement to the
     * set-based families above (n-gram Jaccard is insertion-order-blind;

@@ -256,6 +256,14 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // Destructive chunk dedup: duplicated chunks keep their first
+  // occurrence only; docs reassemble from surviving chunks.
+  val chunkStrip: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.chunkDedupStrip(t(s, dir, "documents"), "doc_id", "text", k = 5)
+      .orderBy($"doc_id")
+  }
+
   // Edit-distance near-dup pairs, blocked on (lang, length bucket) —
   // duplicates preserve both, so blocking loses no true near-dups here
   // while keeping the comparison count at Σ|block|².
@@ -374,6 +382,7 @@ object NorthStar {
     "ns_mixture_sample" -> mixtureSample,
     "ns_dedup_keepers" -> dedupKeepers,
     "ns_chunk_dedup" -> chunkDedup,
+    "ns_chunk_strip" -> chunkStrip,
     "ns_edit_pairs" -> editPairs,
     "ns_semdedup" -> semDedup,
     "ns_gopher_filter" -> gopherFilter,
@@ -730,6 +739,20 @@ object NorthStar {
         | COUNT(CASE WHEN df_docs > 1 THEN 1 END) AS n_dup_chunks,
         | ROUND(CAST(COUNT(CASE WHEN df_docs > 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
         |FROM chunks JOIN dfh USING (h) GROUP BY doc_id ORDER BY doc_id""".sm,
+    "ns_chunk_strip" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |chunks AS (
+        | SELECT doc_id, i, array_to_string(tk[i*5+1 : i*5+5], ' ') AS chunk
+        | FROM toks CROSS JOIN (SELECT UNNEST(range(0, 256)) AS i)
+        | WHERE i*5 < len(tk)
+        |), dfh AS (
+        | SELECT chunk, COUNT(DISTINCT doc_id) AS df_docs, MIN(doc_id) AS first_doc
+        | FROM chunks GROUP BY 1)
+        |SELECT c.doc_id,
+        | COALESCE(string_agg(CASE WHEN df_docs = 1 OR c.doc_id = first_doc THEN chunk END, ' ' ORDER BY i), '') AS clean_text,
+        | COUNT(CASE WHEN df_docs = 1 OR c.doc_id = first_doc THEN 1 END) AS n_kept,
+        | COUNT(CASE WHEN NOT (df_docs = 1 OR c.doc_id = first_doc) THEN 1 END) AS n_removed
+        |FROM chunks c JOIN dfh USING (chunk) GROUP BY c.doc_id ORDER BY doc_id""".sm,
     "ns_edit_pairs" ->
       """WITH d AS (
         | SELECT doc_id, lang || '|' || CAST(n_chars // 16 AS VARCHAR) AS blk,

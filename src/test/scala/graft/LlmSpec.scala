@@ -68,6 +68,19 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(m(12L) == ((1L, 0L)), s"doc 12: ${m(12L)}")
   }
 
+  test("chunk strip keeps first occurrence, reassembles untouched docs exactly") {
+    val d = Seq(
+      (10L, "a b c d e f g h i j"),   // first occurrence of [a b c d e]
+      (11L, "a b c d e x y z w v"),   // loses chunk 1 to doc 10
+      (12L, "q r s t u")              // untouched → exact round-trip
+    ).toDF("doc_id", "text")
+    val m = Dedup.chunkDedupStrip(d, "doc_id", "text", k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(10L) == (("a b c d e f g h i j", 2L, 0L)), m(10L).toString)
+    assert(m(11L) == (("x y z w v", 1L, 1L)), m(11L).toString)
+    assert(m(12L) == (("q r s t u", 1L, 0L)), m(12L).toString)
+  }
+
   test("chunk dedup stats: partial tail chunk compares exactly") {
     val d = Seq(
       (0L, "a b c d e f g"),  // tail chunk [f g]

@@ -77,6 +77,31 @@ object FraudModel {
     (model, evaluate(model, te))
   }
 
+  /** Class-WEIGHTED training — the no-downsampling alternative to
+    * [[balance]]: every row is kept and each class is weighted by its
+    * inverse frequency (w_c = n_total / (2·n_c), the sklearn
+    * "balanced" rule), shifting the loss instead of discarding data.
+    * At 100 TB this is the right default: `balance` throws away most of
+    * the majority class to hit 5:1, while weighting costs one 2-row
+    * class count and keeps every example. Evaluation stays unweighted
+    * (the test distribution is the real one). */
+  def trainWeighted(features: DataFrame, maxIter: Int = 50,
+      testFraction: Double = 0.2, seed: Long = 42L): (PipelineModel, Metrics) = {
+    val Array(tr, te) = features
+      .randomSplit(Array(1 - testFraction, testFraction), seed)
+    val counts = tr.groupBy("is_fraud").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val w0 = total / (2.0 * math.max(1L, counts.getOrElse(0, 0L)))
+    val w1 = total / (2.0 * math.max(1L, counts.getOrElse(1, 0L)))
+    val weighted = tr.withColumn("class_weight",
+      when(col("is_fraud") === 1, w1).otherwise(w0))
+    val stages = pipeline(useMlp = false, maxIter).getStages
+    stages.last.asInstanceOf[LogisticRegression].setWeightCol("class_weight")
+    val model = new Pipeline().setStages(stages).fit(weighted)
+    (model, evaluate(model, te))
+  }
+
   /** Binary metrics for the FRAUD class (pos_label=1), matching the
     * reference's sklearn defaults (training.py:141-144 `f1_score`,
     * `classification_report` row for label 1; :173-192 roc_auc on

@@ -128,6 +128,10 @@ class ServeMlSpec extends AnyFunSuite with SparkSuite {
     val (_, metrics) = FraudModel.train(data)
     assert(metrics.rocAuc > 0.8, s"AUC ${metrics.rocAuc}")
     assert(metrics.accuracy > 0.8, s"acc ${metrics.accuracy}")
+    // class-weighted path (no downsampling) learns the same signal
+    val (_, wMetrics) = FraudModel.trainWeighted(data)
+    assert(wMetrics.rocAuc > 0.8, s"weighted AUC ${wMetrics.rocAuc}")
+    assert(wMetrics.recall > 0.5, s"weighted recall ${wMetrics.recall}")
   }
 
   test("model selection picks the best validation PR-AUC over the reg grid") {

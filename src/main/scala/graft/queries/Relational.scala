@@ -754,6 +754,18 @@ object Relational {
       .limit(10)
   }
 
+  // O5 keyset pagination — ORDER BY … LIMIT k OFFSET m (the serving
+  // plane's page-2+ shape; Spark ≥3.4 plans offset into the same
+  // TakeOrdered path as limit, no global materialization)
+  val o5LimitOffset: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"value".desc, $"event_id")
+      .offset(10)
+      .limit(10)
+  }
+
   // ======================= U: set operations =======================
 
   // U1 union all (training.py:66; insert_offline.py:21)
@@ -842,6 +854,7 @@ object Relational {
     "o1_multi_sort" -> o1MultiSort,
     "o2_limit" -> o2Limit,
     "o3_global_topk" -> o3GlobalTopk,
+    "o5_limit_offset" -> o5LimitOffset,
     "u1_union_all" -> u1Union,
     "u6_intersect" -> u6Intersect,
     "u6_except" -> u6Except
@@ -1183,6 +1196,8 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".sm,
     "o3_global_topk" ->
       "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 10",
+    "o5_limit_offset" ->
+      "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 10 OFFSET 10",
     "u1_union_all" ->
       """SELECT o_orderstatus, COUNT(*) AS n FROM (
         | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'

@@ -63,28 +63,49 @@ object Functions {
     * reference's pandas plane reaches for): for row t,
     * ewma_t = Σ_{i≤t} (1−α)^{t−i} x_i / Σ_{i≤t} (1−α)^{t−i}.
     *
-    * Set-based closed form, NOT a sequential fold: with rn the row
-    * number in the frame, both numerator and denominator are running
-    * sums of terms scaled by (1−α)^{−rn}, and the common (1−α)^{rn_t}
-    * factor cancels in the ratio — so the whole transform is two
-    * rows-frame window sums over one per-key sort, the same single
-    * shuffle every other window feature pays. Engine-portable (any SQL
-    * with POW + running sums reproduces it bit-for-bit: running frames
-    * accumulate in frame order on every engine). The 1/(1−α)^rn terms
-    * grow ~e^{0.1·rn}; fine in double for series up to ~300k rows per
-    * key at α=0.1 — chunk longer series by epoch if that ever binds. */
+    * Set-based closed form, NOT a sequential fold — and SAFE for keys of
+    * any length. The naive trick (scale term i by (1−α)^{−rn_i}, take
+    * two running sums, let the common factor cancel) overflows double at
+    * rn ≈ 700/−ln(1−α) (≈ 6,600 rows/key at α=0.1). So the rows of each
+    * key are cut into EPOCHS of L rows, sized so the within-epoch
+    * exponent never exceeds ~100 nats (L = ⌈100/−ln(1−α)⌉; rescaled
+    * terms stay ≤ e¹⁰⁰ ≈ 2.7e43, far from the e⁷⁰⁹ double ceiling).
+    * With r the row offset inside its epoch and T_e the epoch-e totals,
+    *   ewma_t = (S_e(t) + d^L·T_{e−1}) / (S′_e(t) + d^L·T′_{e−1})
+    * where S/S′ are within-epoch running sums of x·d^{−r} and d^{−r}
+    * (the common d^{r_t} cancels as before). Carries from ≥2 epochs back
+    * are ≤ L·d^{L+1} ≤ L·e⁻¹⁰⁰ relative — below the 2⁻⁵³ double ulp by
+    * construction, so truncating to one epoch of carry is exact at
+    * double precision for every α and every key length.
+    *
+    * Plan shape: one hash shuffle on the key; the three window specs
+    * ((key), (key, epoch), and (key RANGE epoch−1)) all hash-cluster by
+    * the key prefix, so EnsureRequirements adds only local sorts — no
+    * second Exchange. The previous-epoch totals come from a RANGE
+    * (−1,−1) frame over the epoch number, not a join. */
   def ewma(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[String],
       valueCol: String, alpha: Double, outCol: String): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
     import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val decay = 1.0 - alpha
-    df.withColumn("__rn", row_number().over(wOrd))
-      .withColumn("__inv", pow(lit(1.0 / decay), col("__rn")))
+    val epochLen = math.max(1L, math.ceil(100.0 / -math.log(decay)).toLong)
+    val carry = math.pow(decay, epochLen.toDouble) // ∈ [e^-100-ish, decay]
+    val pCols = partitionCols.map(col)
+    val wOrd = Window.partitionBy(pCols: _*).orderBy(orderCols.map(col): _*)
+    val wEpochRun = Window.partitionBy(pCols :+ col("__ep"): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrevEpoch = Window.partitionBy(pCols: _*).orderBy(col("__ep"))
+      .rangeBetween(-1, -1)
+    df.withColumn("__rn0", row_number().over(wOrd).cast("long") - 1L)
+      .withColumn("__ep", expr(s"__rn0 div ${epochLen}L"))
+      .withColumn("__inv", pow(lit(1.0 / decay), (col("__rn0") % epochLen).cast("double")))
+      .withColumn("__tn", col(valueCol) * col("__inv"))
       .withColumn(outCol,
-        sum(col(valueCol) * col("__inv")).over(wRun) / sum(col("__inv")).over(wRun))
-      .drop("__rn", "__inv")
+        (sum(col("__tn")).over(wEpochRun) +
+          lit(carry) * coalesce(sum(col("__tn")).over(wPrevEpoch), lit(0.0))) /
+        (sum(col("__inv")).over(wEpochRun) +
+          lit(carry) * coalesce(sum(col("__inv")).over(wPrevEpoch), lit(0.0))))
+      .drop("__rn0", "__ep", "__inv", "__tn")
   }
 }

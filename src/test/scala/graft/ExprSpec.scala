@@ -149,6 +149,35 @@ class ExprSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ewma epoch rescale: 1e6-row single key matches the sequential fold, no Inf/NaN") {
+    import graft.expr.Functions
+    // The naive (1-α)^{-rn} running-sum form overflows double at
+    // rn ≈ 6,600 for α=0.1; this key is 150× past that bound.
+    val n = 1000000
+    val df = spark.range(n).select(col("id").as("t"))
+      .withColumn("k", lit(1L))
+      .withColumn("v", expr("cast(abs(hash(t)) % 10000 as double) / 100.0"))
+    val got = Functions.ewma(df, Seq("k"), Seq("t"), "v", alpha = 0.1, "ewma")
+      .select("t", "v", "ewma").orderBy("t")
+      .collect()
+    assert(got.length == n)
+    var num = 0.0; var den = 0.0
+    var checked = 0
+    got.foreach { r =>
+      val v = r.getDouble(1); val e = r.getDouble(2)
+      num = num * 0.9 + v; den = den * 0.9 + 1.0
+      assert(!e.isNaN && !e.isInfinite, s"t=${r.getLong(0)} produced $e")
+      // spot-check densely early (epoch boundaries land at 953) and
+      // sparsely late; the fold reference is exact throughout
+      if (r.getLong(0) < 5000 || r.getLong(0) % 997 == 0) {
+        assert(math.abs(e - num / den) < 1e-9,
+          s"t=${r.getLong(0)} got $e want ${num / den}")
+        checked += 1
+      }
+    }
+    assert(checked > 5500)
+  }
+
   test("mode_det UDAF: exact mode, smallest value wins ties, survives repartition") {
     import graft.expr.Aggregators
     // values 7 and 3 both appear twice: deterministic mode must pick 3

@@ -271,13 +271,22 @@ object Dedup {
     }
     // Corpus docs always rank as "prior": any corpus hit wins over an
     // increment-internal hit, and increment-internal pairs dedup to the
-    // smaller id — the same keep-first rule as the batch path.
+    // smaller id — the same keep-first rule as the batch path. The
+    // increment's shingle→md5→min-agg pipeline is the expensive part
+    // and feeds BOTH join sides; localCheckpoint materializes it once
+    // (a daily increment is small by definition) instead of evaluating
+    // the whole pipeline twice.
+    val incSigs = sigsOf(increment).localCheckpoint()
     val prior = sigsOf(corpus).withColumn("__prio", lit(0))
-      .union(sigsOf(increment).withColumn("__prio", lit(1)))
-    val inc = sigsOf(increment)
+      .union(incSigs.withColumn("__prio", lit(1)))
+    val inc = incSigs
+    // A corpus row sharing the increment doc's id must not match it
+    // (it would be flagged as a duplicate of itself): prio-0 hits
+    // require distinct ids, increment-internal hits require a smaller id.
     inc.as("a").join(prior.as("b"),
         col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
-          (col("b.__prio") === 0 || col("b.doc_id") < col("a.doc_id")))
+          ((col("b.__prio") === 0 && col("b.doc_id") =!= col("a.doc_id")) ||
+            (col("b.__prio") === 1 && col("b.doc_id") < col("a.doc_id"))))
       .groupBy(col("a.doc_id").as("doc_id"),
         col("b.doc_id").as("cand"), col("b.__prio").as("prio"))
       .agg(count(lit(1)).as("n_matches"))
@@ -514,8 +523,10 @@ object Dedup {
     * round-trip to their exact original text.
     *
     * Scale shape: same fused-explode chunking and chunk-hash aggregate
-    * as the stats form (the df table additionally carries min(doc_id) —
-    * same single aggregate); reassembly is one doc-keyed
+    * as the stats form — the frequency table groups and joins on
+    * md5(chunk), NOT the raw k-token text, so neither shuffle carries
+    * document text (the text rides only the chunk-rows side into the
+    * reassembly aggregate); reassembly is one doc-keyed
     * sort_array(collect_list(struct(idx, chunk))) aggregate — per-doc
     * lists only, never corpus-wide. */
   def chunkDedupStrip(docs: DataFrame, idCol: String, textCol: String,
@@ -528,10 +539,11 @@ object Dedup {
         explode(sequence(lit(0), ((size(col("tk")) - 1) / k).cast("int"))).as("i"))
       .select(col("doc_id"), col("i"),
         array_join(slice(col("tk"), col("i") * k + 1, lit(k)), " ").as("chunk"))
-    val docFreq = chunks.groupBy(col("chunk"))
+      .withColumn("h", md5(col("chunk")))
+    val docFreq = chunks.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df_docs"),
         min(col("doc_id")).as("first_doc"))
-    chunks.join(docFreq, Seq("chunk"))
+    chunks.join(docFreq, Seq("h"))
       .withColumn("keep", col("df_docs") === 1 || col("doc_id") === col("first_doc"))
       .groupBy(col("doc_id"))
       .agg(

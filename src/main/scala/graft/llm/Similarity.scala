@@ -147,38 +147,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** IVF (inverted-file) approximate top-k: partition the corpus into
-    * `nCells` KMeans cells once, then probe only the `nProbe` cells
-    * whose centroids are nearest each query — the classic
-    * coarse-quantizer ANN layout. At 100 TB the cell assignment is a
-    * one-pass map (centroids broadcast), the probe is a semi-join on
-    * cell id, and only ~nProbe/nCells of the corpus is scored. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
+  /** Deterministic, partition-unbiased sample of up to `n` rows: order
+    * by the md5 of the key and take the global top-n. Unlike
+    * `limit(n)` — which drains partitions IN ORDER and on a
+    * date-partitioned corpus sees only the first day's distribution —
+    * the hash order is uniform over the whole corpus, and unlike
+    * `sample(fraction)` the result is exactly n rows and identical
+    * across runs and partition layouts. Plans as TakeOrderedAndProject:
+    * each scan partition keeps its local top-n, only those reach the
+    * driver-side merge — no global sort. */
+  def hashOrderedSample(df: DataFrame, keyCol: String, n: Int): DataFrame =
+    df.orderBy(md5(col(keyCol).cast("string")), col(keyCol)).limit(n)
+
+  /** Fit the IVF coarse quantizer ONCE, on a bounded sample, and hand
+    * back plain centroid arrays. At 100 TB the KMeans fit must never
+    * see the full corpus (it is an iterative multi-pass algorithm), and
+    * it must not re-run per query — fit here, persist the centroids,
+    * and pass them to [[ivfTopKWith]] for every subsequent query batch.
+    * The sample is [[hashOrderedSample]]-drawn: deterministic and
+    * unbiased w.r.t. partition order. */
+  def fitIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long = 42L,
+      fitSampleRows: Int = 100000): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val toVec = org.apache.spark.sql.functions.udf { (a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray)
     }
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
-      toVec(col(vecCol)).as("features"))
+    val sample = hashOrderedSample(
+        corpus.select(col(idCol), col(vecCol)), idCol, fitSampleRows)
+      .select(toVec(col(vecCol)).as("features"))
     val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cell").fit(c)
-    val assigned = km.transform(c).select(col("neighbor_id"), col("cv"), col("cell"))
-      .withColumn("cn", norm(col("cv")))
-    val centroids = km.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
-    val probeCells = org.apache.spark.sql.functions.udf { (q: Seq[Double]) =>
-      bc.value.map { case (i, cent) =>
-        val d = q.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+      .setPredictionCol("cell").fit(sample)
+    km.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nCells` KMeans cells, then probe only the `nProbe` cells whose
+    * centroids are nearest each query — the classic coarse-quantizer
+    * ANN layout. Convenience form: fits the quantizer on a
+    * `fitSampleRows`-capped sample ([[fitIvfCentroids]]) and delegates
+    * to [[ivfTopKWith]]. For repeated query batches fit once and call
+    * [[ivfTopKWith]] directly so the corpus is never re-clustered. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 2,
+      seed: Long = 42L, fitSampleRows: Int = 100000): DataFrame = {
+    val centroids = fitIvfCentroids(corpus, idCol, vecCol, nCells, seed, fitSampleRows)
+    ivfTopKWith(queries, corpus, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** IVF probe against PRE-FIT centroids — the steady-state query path.
+    * Cell assignment is a one-pass broadcast-centroid map over the
+    * corpus scan (no MLlib model, no shuffle), the probe is a broadcast
+    * join on cell id, and only ~nProbe/nCells of the corpus is scored.
+    * Nothing here depends on corpus size except the single scan. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 2): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids.zipWithIndex)
+    val nearestCells = org.apache.spark.sql.functions.udf { (v: Seq[Double], m: Int) =>
+      bc.value.map { case (cent, i) =>
+        var d = 0.0; var j = 0
+        while (j < cent.length && j < v.length) {
+          val t = v(j) - cent(j); d += t * t; j += 1
+        }
         (i, d)
-      }.sortBy(_._2).take(nProbe).map(_._1)
+      }.sortBy(_._2).take(m).map(_._1)
     }
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", nearestCells(col("cv"), lit(1)).getItem(0))
+      .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("cell", explode(probeCells(col("qv"))))
+      .withColumn("cell", explode(nearestCells(col("qv"), lit(nProbe))))
     val scored = assigned.join(broadcast(q), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(safeDiv(dot(col("qv"), col("cv")), col("qn") * col("cn")), 6))
@@ -252,7 +294,9 @@ object Similarity {
     * an independent shuffle partition.
     *
     * At 100 TB: fit the quantizer on a sample (`fitSampleRows` caps the
-    * driver-side KMeans input), assignment is a broadcast-centroid map
+    * KMeans input; the draw is [[hashOrderedSample]] — `limit(n)` would
+    * drain partitions in order and fit one day's distribution on a
+    * date-partitioned corpus), assignment is a broadcast-centroid map
     * pass, and the within-cluster join inherits [[cosinePairsWithin]]'s
     * block-keyed shape. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
@@ -266,7 +310,8 @@ object Similarity {
     val feat = df.withColumn("__features", toVec(col(vecCol)))
     val km = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("__cluster")
-      .fit(feat.limit(fitSampleRows))
+      .fit(hashOrderedSample(feat.select(col(idCol), col("__features")),
+        idCol, fitSampleRows))
     val assigned = km.transform(feat)
     embeddingDedupWithin(assigned, idCol, vecCol, "__cluster", threshold)
       .withColumnRenamed("__cluster", "cluster")

@@ -303,6 +303,35 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(top.nonEmpty && top.head._2 == 1L, s"got ${top.toSeq}")
   }
 
+  test("ivf pre-fit centroids: steady-state path matches the convenience form") {
+    val centroids = Similarity.fitIvfCentroids(vecs, "vec_id", "embedding",
+      nCells = 2)
+    assert(centroids.length == 2 && centroids.forall(_.length == 4))
+    val q = vecs.filter($"vec_id" === 0)
+    val viaPrefit = Similarity.ivfTopKWith(q, vecs, "vec_id", "embedding",
+      k = 2, centroids, nProbe = 2).collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val viaFit = Similarity.ivfTopK(q, vecs, "vec_id", "embedding",
+      k = 2, nCells = 2, nProbe = 2).collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(viaPrefit == viaFit, s"prefit $viaPrefit vs fit $viaFit")
+  }
+
+  test("hashOrderedSample: exact n, all-partition draw, layout-independent") {
+    // 1,000 ids range-partitioned into 8 ordered partitions: limit(n)
+    // would drain partition 0 first and return only ids < 125; the
+    // hash-ordered sample must draw across the whole range.
+    val df = spark.range(1000).toDF("doc_id")
+      .repartitionByRange(8, col("doc_id"))
+    val s = Similarity.hashOrderedSample(df, "doc_id", 100)
+    val ids = s.collect().map(_.getLong(0)).toSet
+    assert(ids.size == 100, s"expected exactly 100 rows, got ${ids.size}")
+    val octants = ids.map(_ / 125).size
+    assert(octants == 8, s"sample drawn from only $octants of 8 range octants")
+    // deterministic across a different partition layout
+    val ids2 = Similarity.hashOrderedSample(df.repartition(3), "doc_id", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids, "sample changed with partition layout")
+  }
+
   test("text stats: quality bounded, fingerprint whitespace-invariant") {
     val st = TextStats.withStats(docs, "text")
     assert(st.filter($"quality_score" < 0 || $"quality_score" > 1).count() == 0)

@@ -46,9 +46,15 @@ object Tables {
 
   /** [[createViews]] unless this session already has views for `dir` —
     * the cheap path for SQL-surface queries called repeatedly (each
-    * registration re-reads ten parquet footers). */
+    * registration re-reads ten parquet footers). The cache alone can't
+    * see a view dropped or overwritten elsewhere in the session, so the
+    * fast path also probes one sentinel table; a vanished sentinel
+    * forces re-registration. (A view REPLACED with different content
+    * under the same name is indistinguishable from ours by name alone —
+    * callers owning that scenario should call [[createViews]] directly.) */
   def ensureViews(spark: SparkSession, dir: String): Unit =
-    if (registeredDir.get(spark) != dir) createViews(spark, dir)
+    if (registeredDir.get(spark) != dir ||
+        !spark.catalog.tableExists(AllTables.head)) createViews(spark, dir)
 
   /** Standard session config every entry point (Verify/Bench/tests) applies. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b

@@ -66,6 +66,8 @@ object Scratch {
         .withColumn("lang", lit("xx"))
       time("chunkDedupStats")(
         Dedup.chunkDedupStats(docs, "doc_id", "text", 5).count())
+      time("chunkDedupStrip")(
+        Dedup.chunkDedupStrip(docs, "doc_id", "text", 5).count())
       time("editDistancePairs(cap500)")(
         Dedup.editDistancePairs(withBlk, "doc_id", "text",
           concat_ws("|", col("lang"), (col("n_chars") / 16).cast("long")),

@@ -23,6 +23,17 @@ class InventorySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ensureViews re-registers after a view is dropped mid-session") {
+    Tables.ensureViews(spark, sf0001)
+    assert(spark.catalog.tableExists("lineitem"))
+    spark.catalog.dropTempView(Tables.AllTables.head)
+    // cached (session -> dir) entry alone would skip registration and
+    // leave every query against the dropped view failing
+    Tables.ensureViews(spark, sf0001)
+    assert(spark.catalog.tableExists(Tables.AllTables.head))
+    assert(spark.sql(s"SELECT COUNT(*) FROM ${Tables.AllTables.head}").head().getLong(0) > 0)
+  }
+
   test("spark.sql surface: views + native functions answer plain SQL") {
     Tables.createViews(spark, sf0001)
     val agg = spark.sql(

@@ -150,6 +150,38 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(rows(4).ts.getNanos == 999999000)
   }
 
+  test("kafka source (S5): smoke when the connector is present, gap pinned when not") {
+    // The sandbox has no spark-sql-kafka jar (zero egress) — S5 is a
+    // declared partial. On a deployment classpath this test upgrades to
+    // a real construction smoke automatically; here it asserts the
+    // failure mode is EXACTLY the missing connector (not a parse/config
+    // bug hiding behind it) and that the deviation stays documented.
+    val connectorPresent =
+      try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+      catch { case _: ClassNotFoundException => false }
+    if (connectorPresent) {
+      val df = StreamPipeline.kafkaSource(spark, "localhost:0", "txn_topic",
+        startingOffsets = "earliest", maxOffsetsPerTrigger = Some(100L))
+      assert(df.isStreaming, "kafka source must be a streaming DataFrame")
+      assert(df.schema.fieldNames.contains("value"))
+      // the wire-format parse contract composes directly on the source
+      val parsed = StreamPipeline.parse(df)
+      assert(parsed.schema.fieldNames.sameElements(
+        Seq("txn_id", "cc_num", "amount", "lat", "lon", "merch_lat", "merch_long", "ts")))
+    } else {
+      val e = intercept[Exception] {
+        StreamPipeline.kafkaSource(spark, "localhost:0", "txn_topic").schema
+      }
+      val msg = (e.getMessage + " " + e.getClass.getName).toLowerCase
+      assert(msg.contains("kafka"),
+        s"expected a missing-kafka-connector failure, got: $e")
+      val readme = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("README.md")), "UTF-8")
+      assert(readme.toLowerCase.contains("kafka"),
+        "README deviation note for the Kafka connector went missing")
+    }
+  }
+
   test("online store compaction keeps only retained rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_oc_").toString + "/log"
     val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)

@@ -265,6 +265,52 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(!new java.io.File(tmp + ".bak").exists())
   }
 
+  test("streaming near-dup screen flags an arriving near-dup of an in-horizon doc") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.stream.{NearDupFlag, StreamDedup}
+      val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+        "kilo lima mike november oscar papa quebec romeo sierra tango uniform " +
+        "victor whiskey xray yankee zulu one two three four"
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+      val docs = mem.toDF().toDF("doc_id", "text", "ts")
+      val flags = StreamDedup.nearDupScreen(docs, "doc_id", "text", "ts",
+        watermarkDelay = "10 seconds", n = 8, nBands = 4, stateTtl = None)
+      val q = flags.writeStream.format("memory").queryName("sndd_t")
+        .outputMode("append").start()
+      // batch 1: two distinct docs seed the bucket state — no flags
+      mem.addData(
+        (1L, base, ts("2024-01-01 10:00:00")),
+        (2L, "totally different content about spark plans and shuffles " +
+          "exchanged sorted aggregated broadcast joined pruned pushed down", ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      assert(spark.table("sndd_t").count() == 0,
+        "distinct seed docs must not flag each other")
+      // batch 2: doc 3 = near-dup of doc 1 (one trailing word changed,
+      // ~90% shingle overlap), doc 4 = fresh content
+      mem.addData(
+        (3L, base.replace("four", "fourteen"), ts("2024-01-01 10:00:05")),
+        (4L, "fresh unrelated corpus text with merge state ttl eviction " +
+          "watermark horizon rocksdb store provider checkpoint", ts("2024-01-01 10:00:06")))
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("sndd_t").as[NearDupFlag].collect()
+      assert(out.nonEmpty, "near-dup arrival produced no flags")
+      assert(out.forall(_.doc_id == 3L),
+        s"only doc 3 should be flagged, got ${out.toSeq}")
+      assert(out.forall(_.dup_of == 1L),
+        s"doc 3 must be flagged against doc 1, got ${out.toSeq}")
+      // at least one band collided; at most one flag per band
+      assert(out.map(_.band).distinct.length == out.length)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState merge matches flatMapGroupsWithState semantics (RocksDB)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

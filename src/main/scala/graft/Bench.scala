@@ -27,8 +27,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Per-query time = MIN of two timed runs in the same fixed (sorted)
+    // order. Round 3 showed the warmup pass alone doesn't kill all
+    // first-touch noise (p5/p6 jumped 6x from GC/compilation landing on
+    // whoever ran first); the min-of-2 reports the genuinely warm time,
+    // so round-over-round diffs reflect plan changes, not scheduling.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.map { name =>
+    def timedPass(): Map[String, Double] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
@@ -40,6 +45,11 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
+    val p1 = timedPass(); val p2 = timedPass()
+    val results = names.map { n =>
+      val (a, b) = (p1(n), p2(n))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }.toMap
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def qJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -47,7 +57,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     def line(qs: String, omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"failures":$fs,"n_failed":${failures.size},"pass":"steady_state_after_warmup","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"failures":$fs,"n_failed":${failures.size},"pass":"min_of_2_after_warmup","sf":"$sfDir"}"""
     // Full per-query map → bench_out.json (machine-readable round artifact).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line(qJson(results.toSeq.sortBy(-_._2)), 0) + "\n").getBytes("UTF-8"))

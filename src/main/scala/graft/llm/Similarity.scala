@@ -177,8 +177,13 @@ object Similarity {
     val sample = hashOrderedSample(
         corpus.select(col(idCol), col(vecCol)), idCol, fitSampleRows)
       .select(toVec(col(vecCol)).as("features"))
-    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cell").fit(sample)
+    // A coarse quantizer's product is the cell PARTITION, not converged
+    // centroids — quality plateaus within a few Lloyd iterations, and
+    // every extra iteration is a full pass over the sample. 10 is the
+    // conventional IVF training budget (FAISS trains its coarse
+    // quantizer with ~10 iterations by default).
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(sample)
     km.clusterCenters.map(_.toArray)
   }
 
@@ -229,6 +234,117 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split the vector into
+    * `m` subspaces and fit `k` centroids per subspace on a
+    * [[hashOrderedSample]]-drawn sample — the codebook behind IVF-PQ,
+    * the layout every billion-vector ANN deployment ships. Fit ONCE,
+    * persist, and reuse across [[pqEncode]]/[[pqTopK]] calls; like
+    * [[fitIvfCentroids]], the corpus itself is never clustered.
+    * Returns codebooks(j)(c) = centroid c of subspace j. */
+  def fitPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, seed: Long = 42L,
+      fitSampleRows: Int = 100000): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val sample = hashOrderedSample(
+        corpus.select(col(idCol), asDouble(col(vecCol)).as("__v")), idCol, fitSampleRows)
+      .select(col("__v")).cache()
+    val dim = sample.head().getSeq[Double](0).length
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val toVec = org.apache.spark.sql.functions.udf { (a: Seq[Double]) =>
+      Vectors.dense(a.toArray)
+    }
+    val books: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      new KMeans().setK(k).setSeed(seed + j).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("c")
+        .fit(sample.select(
+          toVec(slice(col("__v"), lit(j * sub + 1), lit(sub))).as("features")))
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    sample.unpersist()
+    books
+  }
+
+  /** PQ-encode a vector column: one centroid index per subspace —
+    * dim doubles compress to `m` small ints (64-dim float → 8 bytes at
+    * k ≤ 256). Pure broadcast-codebook map pass: zero shuffle, scan
+    * partitioning carries through, and the code table is what a
+    * 100 TB deployment stores/shuffles INSTEAD of raw vectors. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    val enc = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val books = bc.value
+      val m = books.length
+      val sub = v.length / m
+      Array.tabulate(m) { j =>
+        val cents = books(j)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var t = 0
+          while (t < sub) {
+            val x = v(j * sub + t) - cents(c)(t); d += x * x; t += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    df.select(col(idCol), enc(asDouble(col(vecCol))).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    * its m×k subspace distance table ONCE (one UDF evaluation per
+    * query row), then every (query, code) pair costs m table lookups —
+    * never a d-dim arithmetic pass. The codes side stays as stored by
+    * [[pqEncode]]; queries broadcast. Distances are squared L2 (on
+    * unit-normalized embeddings the ranking equals cosine ranking).
+    * Emits (query_id, rank, neighbor_id, adist). */
+  def pqTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+      vecCol: String, k: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(codebooks)
+    val nK = codebooks(0).length
+    val dtab = org.apache.spark.sql.functions.udf { (q: Seq[Double]) =>
+      val books = bc.value
+      val m = books.length
+      val sub = q.length / m
+      val tab = new Array[Double](m * nK)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < books(j).length) {
+          var d = 0.0; var t = 0
+          while (t < sub) {
+            val x = q(j * sub + t) - books(j)(c)(t); d += x * x; t += 1
+          }
+          tab(j * nK + c) = d; c += 1
+        }
+        j += 1
+      }
+      tab
+    }
+    val adc = org.apache.spark.sql.functions.udf { (tab: Seq[Double], code: Seq[Int]) =>
+      var s = 0.0; var j = 0
+      while (j < code.length) { s += tab(j * nK + code(j)); j += 1 }
+      s
+    }
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qtab", dtab(col("qv"))).drop("qv")
+    val scored = codes.select(col(idCol).as("neighbor_id"), col("code"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adc(col("qtab"), col("code")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — the
@@ -308,7 +424,7 @@ object Similarity {
       Vectors.dense(a.map(_.toDouble).toArray)
     }
     val feat = df.withColumn("__features", toVec(col(vecCol)))
-    val km = new KMeans().setK(nClusters).setSeed(seed)
+    val km = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__features").setPredictionCol("__cluster")
       .fit(hashOrderedSample(feat.select(col(idCol), col("__features")),
         idCol, fitSampleRows))

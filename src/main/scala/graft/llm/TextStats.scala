@@ -263,6 +263,47 @@ object TextStats {
         round(col("sum6").cast("double") / col("n_tokens") / 1e6, 4).as("avg_nll"))
   }
 
+  /** Bigram LM surprisal — the conditional-probability upgrade of
+    * [[unigramLogProb]] (the CCNet-style LM quality screen, one order
+    * up): per doc, the mean −ln P(w_i | w_{i−1}) under an add-1
+    * (Laplace) smoothed bigram model fit on the corpus itself,
+    *   P(w_i | w_{i−1}) = (c(w_{i−1} w_i) + 1) / (c(w_{i−1} ·) + V),
+    * with V the corpus vocabulary size. Add-1 keeps every count an
+    * exact integer, so both engines divide IDENTICAL integers and the
+    * micro-nat quantization trick of [[unigramLogProb]] carries over —
+    * exact, order-independent, engine-portable. Returns
+    * (doc_id, n_bigrams, avg_nll) for docs with ≥ 1 bigram.
+    *
+    * Scale shape: bigram rows are generated doc-contiguous from the
+    * token array (fused explode + element_at — zero shuffle); the
+    * bigram-count table is ONE uniform hash aggregate; context counts
+    * derive from it (tiny, vocab-sized) and broadcast; V is a 1-row
+    * broadcast. The corpus stream shuffles once, on the bigram key. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    bg.join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll6",
+        round(-log((col("cb") + lit(1.0)) / (col("cu") + col("v"))) * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll6")).as("sum6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum6").cast("double") / col("n_bigrams") / 1e6, 4).as("avg_nll"))
+  }
+
   /** Composed Gopher-style document filter (Rae et al. 2021,
     * arXiv:2112.11446 Table A1): the length / mean-token-length /
     * stopword / repetition rules evaluated in one pass, each failure

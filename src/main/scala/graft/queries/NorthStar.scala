@@ -319,6 +319,26 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // PQ ANN: fit codebooks on a hash-ordered sample, encode the corpus
+  // to m-byte codes, ADC top-k for the first 5 vectors. Rows-only
+  // (KMeans codebooks are seed-deterministic but not SQL-expressible).
+  val pqTopk: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    Similarity.pqTopK(emb.filter($"vec_id" < 5), codes, "vec_id", "embedding", 5, books)
+      .orderBy($"query_id", $"rank")
+  }
+
+  // Bigram LM surprisal per doc (conditional-probability quality
+  // screen, add-1 smoothed, micro-nat exact).
+  val bigramNll: Q = (s, dir) => {
+    import s.implicits._
+    TextStats.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   // Composed Gopher-rule document filter: every doc with its quality
   // signals, named fail reasons, and the keep verdict.
   val gopherFilter: Q = (s, dir) => {
@@ -387,8 +407,10 @@ object NorthStar {
     "ns_semdedup" -> semDedup,
     "ns_gopher_filter" -> gopherFilter,
     "ns_ivf_topk" -> ivfTopk,
+    "ns_pq_topk" -> pqTopk,
     "ns_incremental_dedup" -> incrementalDedup,
     "ns_unigram_nll" -> unigramNll,
+    "ns_bigram_nll" -> bigramNll,
     "ns_mixture_weights" -> mixtureWeights,
     "ns_multimodal_meta" -> multimodalMeta
   )
@@ -792,6 +814,19 @@ object NorthStar {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         | ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_nll
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".sm,
+    "ns_bigram_nll" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+        | FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(toks) - 1),
+        |big AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, SUM(cb) AS cu FROM big GROUP BY 1),
+        |tok AS (SELECT toks[i + 1] AS token
+        | FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(toks)),
+        |voc AS (SELECT COUNT(DISTINCT token) AS v FROM tok)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | ROUND(CAST(SUM(CAST(ROUND(-LN((cb + 1.0) / (cu + v)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_nll
+        |FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
         |GROUP BY doc_id ORDER BY doc_id""".sm,
     "ns_gopher_filter" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

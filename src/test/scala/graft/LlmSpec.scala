@@ -315,6 +315,35 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(viaPrefit == viaFit, s"prefit $viaPrefit vs fit $viaFit")
   }
 
+  test("product quantization: deterministic codes, ADC recall vs exact cosine") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    assert(books.length == 8 && books.forall(_.length == 16))
+    assert(books(0)(0).length == 8) // 64-dim / 8 subspaces
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    // codes are partition-layout-independent (pure broadcast map)
+    val c1 = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val c2 = Similarity.pqEncode(emb.repartition(7), "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(c1 == c2, "codes changed with partition layout")
+    assert(c1.values.flatten.forall(c => c >= 0 && c < 16))
+    // ADC ranking approximates the exact cosine ranking (unit vectors:
+    // squared L2 order == cosine order). Deterministic seeds pin this.
+    val qs = emb.filter($"vec_id" < 10)
+    val adcTop = Similarity.pqTopK(qs, codes, "vec_id", "embedding", 10, books)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactTop = Similarity.cosineTopK(qs, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exactTop.map { case (q, ex) =>
+      (adcTop.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.25,
+      f"ADC recall@10 vs exact collapsed: $meanRecall%.2f")
+  }
+
   test("hashOrderedSample: exact n, all-partition draw, layout-independent") {
     // 1,000 ids range-partitioned into 8 ordered partitions: limit(n)
     // would drain partition 0 first and return only ids < 125; the

@@ -347,6 +347,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
   }
 
+  /** IVF-PQ top-k — the composition every billion-vector deployment
+    * runs: the IVF coarse quantizer ([[fitIvfCentroids]]) prunes the
+    * corpus to `nProbe` of `nCells` cells per query, and PQ codes
+    * ([[fitPqCodebooks]]/[[pqEncode]]) replace raw vectors inside the
+    * probed cells, scored by asymmetric distance. This variant encodes
+    * RAW vectors (not cell residuals) so one codebook serves all cells
+    * and the same codes back [[pqTopK]]; residual encoding is the
+    * classic refinement when per-cell distributions diverge.
+    *
+    * At 100 TB: cell assignment and PQ encoding are one broadcast map
+    * pass each (done once, stored); a query batch touches
+    * ~nProbe/nCells of the CODE table — m bytes per vector, not the
+    * vectors — and the scoring join is broadcast on cell id. With
+    * nProbe = nCells the result equals [[pqTopK]] exactly (the spec
+    * pins this parity). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nProbe: Int = 2): DataFrame = {
+    val bcCent = queries.sparkSession.sparkContext.broadcast(centroids.zipWithIndex)
+    val nearestCells = org.apache.spark.sql.functions.udf { (v: Seq[Double], m: Int) =>
+      bcCent.value.map { case (cent, i) =>
+        var d = 0.0; var j = 0
+        while (j < cent.length && j < v.length) {
+          val t = v(j) - cent(j); d += t * t; j += 1
+        }
+        (i, d)
+      }.sortBy(_._2).take(m).map(_._1)
+    }
+    val bcBooks = queries.sparkSession.sparkContext.broadcast(codebooks)
+    val nK = codebooks(0).length
+    val dtab = org.apache.spark.sql.functions.udf { (q: Seq[Double]) =>
+      val books = bcBooks.value
+      val m = books.length
+      val sub = q.length / m
+      val tab = new Array[Double](m * nK)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < books(j).length) {
+          var d = 0.0; var t = 0
+          while (t < sub) {
+            val x = q(j * sub + t) - books(j)(c)(t); d += x * x; t += 1
+          }
+          tab(j * nK + c) = d; c += 1
+        }
+        j += 1
+      }
+      tab
+    }
+    val adc = org.apache.spark.sql.functions.udf { (tab: Seq[Double], code: Seq[Int]) =>
+      var s = 0.0; var j = 0
+      while (j < code.length) { s += tab(j * nK + code(j)); j += 1 }
+      s
+    }
+    val cells = corpus.select(col(idCol), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("cell", nearestCells(col("__cv"), lit(1)).getItem(0))
+      .select(col(idCol), col("cell"))
+    val coded = pqEncode(corpus, idCol, vecCol, codebooks)
+      .join(cells, Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("code"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qtab", dtab(col("qv")))
+      .withColumn("cell", explode(nearestCells(col("qv"), lit(nProbe))))
+      .drop("qv")
+    val scored = coded.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adc(col("qtab"), col("code")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× compression step before shipping vectors to an ANN
     * index: scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127,127].

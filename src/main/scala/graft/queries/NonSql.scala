@@ -55,6 +55,36 @@ object NonSql {
       .orderBy($"l_returnflag")
   }
 
+  // S15: bucketed managed tables → co-located join. Both sides are
+  // written bucketBy(8, custkey) + sortBy into the session warehouse;
+  // a join on the bucket key then needs NO shuffle exchange on either
+  // side — the physical property bucketing exists for, and the standard
+  // answer to "this 100 TB join shuffles both sides every night".
+  // PlanSpec asserts the no-Exchange SMJ; here the driver oracle checks
+  // the VALUES survive the bucketed round-trip.
+  val s15BucketedJoin: Q = (s, dir) => {
+    import s.implicits._
+    // external tables at a fresh temp path: a stale warehouse directory
+    // from an earlier SESSION would otherwise collide with the managed
+    // location even after DROP TABLE (the in-memory catalog forgets,
+    // the filesystem doesn't)
+    val tmp = Files.createTempDirectory("graft_bkt_").toString
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    t(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.mode("overwrite").format("parquet").option("path", s"$tmp/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_bkt_orders")
+    t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+      .write.mode("overwrite").format("parquet").option("path", s"$tmp/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_bkt_customer")
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy($"c_mktsegment")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -211,6 +241,7 @@ object NonSql {
     "s1_csv_roundtrip" -> s1CsvRoundtrip,
     "s13_orc_roundtrip" -> s13OrcRoundtrip,
     "s14_json_roundtrip" -> s14JsonRoundtrip,
+    "s15_bucketed_join" -> s15BucketedJoin,
     "s11_synthetic_producer" -> s11Synthetic,
     "u2_sample_frac" -> u2SampleFrac,
     "u3_sample_n" -> u3SampleN,
@@ -242,6 +273,11 @@ object NonSql {
       ("SELECT o_orderstatus, COUNT(*) AS n, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "s15_bucketed_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "a3_sliding_window_batch" ->
       ("WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events) " +
         "SELECT (t // 20) * 20 - 20 * i AS win_start, user_id, COUNT(*) AS txn_count " +

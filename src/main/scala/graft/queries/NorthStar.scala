@@ -331,6 +331,18 @@ object NorthStar {
       .orderBy($"query_id", $"rank")
   }
 
+  // IVF-PQ ANN: coarse cells prune the corpus, PQ codes replace raw
+  // vectors in the probed cells. Rows-only (KMeans-backed, like IVF/PQ).
+  val ivfPqTopk: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.fitIvfCentroids(emb, "vec_id", "embedding", nCells = 16)
+    val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    Similarity.ivfPqTopK(emb.filter($"vec_id" < 5), emb, "vec_id", "embedding",
+        k = 5, cents, books, nProbe = 4)
+      .orderBy($"query_id", $"rank")
+  }
+
   // Bigram LM surprisal per doc (conditional-probability quality
   // screen, add-1 smoothed, micro-nat exact).
   val bigramNll: Q = (s, dir) => {
@@ -408,6 +420,7 @@ object NorthStar {
     "ns_gopher_filter" -> gopherFilter,
     "ns_ivf_topk" -> ivfTopk,
     "ns_pq_topk" -> pqTopk,
+    "ns_ivfpq_topk" -> ivfPqTopk,
     "ns_incremental_dedup" -> incrementalDedup,
     "ns_unigram_nll" -> unigramNll,
     "ns_bigram_nll" -> bigramNll,

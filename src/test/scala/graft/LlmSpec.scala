@@ -344,6 +344,34 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
       f"ADC recall@10 vs exact collapsed: $meanRecall%.2f")
   }
 
+  test("ivf-pq: probe-all equals pure PQ exactly; pruned probe keeps recall") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val cents = Similarity.fitIvfCentroids(emb, "vec_id", "embedding", nCells = 4)
+    val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    val qs = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nProbe = nCells: candidate set is the whole corpus, so the result
+    // must EQUAL pqTopK over the same codes — the composition adds
+    // pruning, never different scoring
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val full = pairs(Similarity.ivfPqTopK(qs, emb, "vec_id", "embedding",
+      k = 10, cents, books, nProbe = 4))
+    val pure = pairs(Similarity.pqTopK(qs, codes, "vec_id", "embedding", 10, books))
+    assert(full == pure, s"probe-all IVF-PQ diverged from PQ: ${(full -- pure).take(3)}")
+    // pruned probe: top-k per query still k rows, recall doesn't collapse
+    val pruned = Similarity.ivfPqTopK(qs, emb, "vec_id", "embedding",
+      k = 10, cents, books, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val overlap = pure.groupBy(_._1).map { case (q, rows) =>
+      val ids = rows.map(_._3)
+      (pruned.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size
+    }
+    assert(overlap.sum / overlap.size >= 0.4,
+      f"pruned-probe overlap with probe-all collapsed: ${overlap.sum / overlap.size}%.2f")
+  }
+
   test("hashOrderedSample: exact n, all-partition draw, layout-independent") {
     // 1,000 ids range-partitioned into 8 ordered partitions: limit(n)
     // would drain partition 0 first and return only ids < 125; the

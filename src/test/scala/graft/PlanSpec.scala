@@ -48,6 +48,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(sorts == 1, s"expected 1 shared sort, got $sorts:\n$plan")
   }
 
+  test("bucketed tables: join on the bucket key runs with NO shuffle exchange") {
+    // write both sides bucketed via the s15 query, then prove the
+    // physical property it exists for: a sort-merge join on the bucket
+    // key reads the buckets co-located — zero Exchange on either side
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      queries.NonSql.s15BucketedJoin(spark, sf0001).count() // writes the tables
+      val j = spark.table("graft_bkt_orders")
+        .join(spark.table("graft_bkt_customer"), $"o_custkey" === $"c_custkey")
+      val plan = executed(j)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("small-dimension join broadcasts (no shuffle of the big side)") {
     val orders = Tables.load(spark, sf0001, "orders")
     val nation = Tables.load(spark, sf0001, "nation")

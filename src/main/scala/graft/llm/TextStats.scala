@@ -276,9 +276,12 @@ object TextStats {
     *
     * Scale shape: bigram rows are generated doc-contiguous from the
     * token array (fused explode + element_at — zero shuffle); the
-    * bigram-count table is ONE uniform hash aggregate; context counts
-    * derive from it (tiny, vocab-sized) and broadcast; V is a 1-row
-    * broadcast. The corpus stream shuffles once, on the bigram key. */
+    * bigram-count table is ONE uniform hash aggregate, and the context
+    * count rides it as a w1-partitioned window sum — computed on the
+    * (vocab²-bounded) count table, NOT by re-aggregating the corpus
+    * stream, so the corpus is scanned twice total (bigram stream +
+    * count build; a separate ctx aggregate would make it three and run
+    * the bigram pipeline twice). V is a 1-row broadcast. */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
@@ -289,12 +292,12 @@ object TextStats {
         element_at(col("tk"), col("i")).as("w1"),
         element_at(col("tk"), col("i") + 1).as("w2"))
     val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val ctx = big.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+      .withColumn("cu", sum(col("cb")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
     val vocab = docs
       .select(explode(split(col(textCol), " ")).as("token"))
       .agg(countDistinct(col("token")).as("v"))
     bg.join(big, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("nll6",
         round(-log((col("cb") + lit(1.0)) / (col("cu") + col("v"))) * 1e6, 0).cast("long"))

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for shuffle joins (SURVEY.md §2 scale
+  * posture: "salting for skew"). AQE's skew-join split handles most
+  * skew at runtime, but it only splits within what one join key allows
+  * on the MAP side — a single pathological key (one user behind a NAT,
+  * one null-ish default id) still lands on one reducer. Salting is the
+  * standing production answer: spread the hot key over `factor`
+  * reducers by widening the join key, replicating the cheap side.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of a skewed `fact` side against a (relatively)
+    * small `dim` side, salted by `factor`:
+    *
+    *  - fact rows get `salt = pmod(xxhash64(id-ish), factor)` — any
+    *    per-row value works; the salt only steers SHUFFLE placement,
+    *    never the join result;
+    *  - dim rows replicate `factor`× with salt 0..factor−1 (a fused
+    *    `explode(sequence(...))` — no shuffle to build);
+    *  - the join keys become (keys..., salt), so one hot key's rows
+    *    split across `factor` reducers instead of one.
+    *
+    * The result is EXACTLY the plain inner join (spec-pinned — every
+    * fact row meets every matching dim row exactly once, under exactly
+    * one salt value). Cost: `factor`× the dim side's shuffle bytes —
+    * the side that is small by construction. For left/right outer the
+    * same construction holds (unmatched fact rows survive with their
+    * salt and are dropped on projection); semi/anti need the dedup the
+    * inner form gets for free, so they are not offered here. */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      factor: Int): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    val f = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong)).cast("int"))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    f.join(d, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -510,6 +510,21 @@ object Relational {
         |ORDER BY o.o_orderkey""".stripMargin)
   }
 
+  // J13 salted skew join: the manual hot-key mitigation (one key past
+  // any AQE split still lands on one reducer without it). Salting must
+  // be RESULT-invisible — the oracle is the PLAIN join aggregate.
+  val j13SaltedSkewJoin: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.SkewJoin.saltedEquiJoin(
+        t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity"),
+        t(s, dir, "orders").select($"o_orderkey".as("l_orderkey"), $"o_orderstatus"),
+        Seq("l_orderkey"), factor = 8)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy($"o_orderstatus")
+  }
+
   // P11 subquery surface: correlated scalar subquery (each order vs its
   // customer's average) + EXISTS probe, both through spark.sql.
   // Catalyst rewrites the scalar subquery to an aggregate + join
@@ -834,6 +849,7 @@ object Relational {
     "a22_gap_fill" -> a22GapFill,
     "j11_pit_tolerance" -> j11PitTolerance,
     "j12_lateral" -> j12Lateral,
+    "j13_salted_skew_join" -> j13SaltedSkewJoin,
     "p11_subqueries" -> p11Subqueries,
     "w10_cume_dist" -> w10CumeDist,
     "w11_ewma" -> w11Ewma,
@@ -1095,6 +1111,11 @@ object Relational {
         |    SELECT 1 FROM lineitem l
         |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
         |ORDER BY o_orderkey""".sm,
+    "j13_salted_skew_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".sm,
     "j12_lateral" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
         |FROM orders o JOIN LATERAL (

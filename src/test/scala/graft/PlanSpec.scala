@@ -66,6 +66,30 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("salted skew join: result equals plain join, shuffle spreads the hot key") {
+    import graft.operators.SkewJoin
+    // 10k facts, 95% on one hot key — the shape AQE can't split past
+    val fact = spark.range(10000)
+      .select((when($"id" % 20 === 0, $"id" % 7).otherwise(lit(99L))).as("k"),
+        $"id".as("payload"))
+    val dim = spark.range(100).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
+    val salted = SkewJoin.saltedEquiJoin(fact, dim, Seq("k"), factor = 8)
+      .select($"k", $"payload", $"name")
+    val plain = fact.join(dim, Seq("k")).select($"k", $"payload", $"name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0,
+      "salting changed the join result")
+    // the physical shuffle must key on (k, __salt) so the hot key
+    // spreads over `factor` reducers
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(SkewJoin.saltedEquiJoin(fact, dim, Seq("k"), 8))
+      assert("hashpartitioning\\(k#\\d+L?, __salt".r.findFirstIn(plan).isDefined,
+        s"shuffle does not carry the salt:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("small-dimension join broadcasts (no shuffle of the big side)") {
     val orders = Tables.load(spark, sf0001, "orders")
     val nation = Tables.load(spark, sf0001, "nation")

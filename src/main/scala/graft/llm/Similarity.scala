@@ -347,6 +347,77 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
   }
 
+  /** Residual PQ codebooks — the classic IVF-PQ refinement (Jégou et
+    * al. 2011 §III): quantize `v − centroid(cell(v))` instead of raw
+    * vectors. Residuals have smaller magnitude and a more centered
+    * distribution than raw vectors, so the same m×k code budget spends
+    * its resolution where vectors actually differ — reconstruction
+    * error drops (spec-pinned vs the raw codebooks). Fit on a
+    * hash-ordered sample like every other quantizer here. */
+  def fitPqCodebooksResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], m: Int = 8, k: Int = 16,
+      seed: Long = 42L, fitSampleRows: Int = 100000): Array[Array[Array[Double]]] = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val resid = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val cents = bc.value
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var j = 0
+        while (j < cents(c).length && j < v.length) {
+          val t = v(j) - cents(c)(j); d += t * t; j += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      v.indices.map(j => v(j) - cents(best)(j))
+    }
+    val residCorpus = corpus.select(col(idCol),
+      resid(asDouble(col(vecCol))).as("__res"))
+    fitPqCodebooks(residCorpus, idCol, "__res", m, k, seed, fitSampleRows)
+  }
+
+  /** [[pqEncode]] on cell residuals: assigns the IVF cell AND encodes
+    * `v − centroid(cell)` against residual codebooks in one broadcast
+    * map pass. Returns (id, cell, code) — the stored layout of a real
+    * IVF-PQ index (cell id + m-byte code per vector). */
+  def pqEncodeResidual(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val bcC = df.sparkSession.sparkContext.broadcast(centroids)
+    val bcB = df.sparkSession.sparkContext.broadcast(codebooks)
+    val enc = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val cents = bcC.value; val books = bcB.value
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var j = 0
+        while (j < cents(c).length && j < v.length) {
+          val t = v(j) - cents(c)(j); d += t * t; j += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      val m = books.length
+      val sub = v.length / m
+      val code = Array.tabulate(m) { j =>
+        val cs = books(j)
+        var b2 = 0; var bd2 = Double.MaxValue; var c2 = 0
+        while (c2 < cs.length) {
+          var d = 0.0; var t = 0
+          while (t < sub) {
+            val x = (v(j * sub + t) - cents(best)(j * sub + t)) - cs(c2)(t)
+            d += x * x; t += 1
+          }
+          if (d < bd2) { bd2 = d; b2 = c2 }
+          c2 += 1
+        }
+        b2
+      }
+      (best, code)
+    }
+    df.select(col(idCol), enc(asDouble(col(vecCol))).as("__e"))
+      .select(col(idCol), col("__e._1").as("cell"), col("__e._2").as("code"))
+  }
+
   /** IVF-PQ top-k — the composition every billion-vector deployment
     * runs: the IVF coarse quantizer ([[fitIvfCentroids]]) prunes the
     * corpus to `nProbe` of `nCells` cells per query, and PQ codes

@@ -49,6 +49,44 @@ object StreamBench {
     val stored = spark.read.parquet(tmp + "/log").count()
     println(f"stream_bench: $n%d txns in $secs%.1f s = ${n / secs}%.0f rows/s " +
       f"($batches micro-batches, $stored%d stat rows stored)")
+
+    // Near-dup screen throughput: SPARK_GRAFT_SCREEN_N docs (default
+    // 50k, every 10th an exact repeat of an earlier doc) through the
+    // band-bucket transformWithState screen.
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val nd = sys.env.getOrElse("SPARK_GRAFT_SCREEN_N", "50000").toInt
+    val docs = Tables.load(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1"), "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val dmem = MemoryStream[(Long, Long, String)](spark) // (id, tsOffset, text)
+    val screen = graft.stream.StreamDedup.nearDupScreen(
+      dmem.toDF().toDF("doc_id", "off", "text")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestampadd(SECOND, off, timestamp'2024-01-01 00:00:00')")),
+      "doc_id", "text", "ts", "1 hour", stateTtl = None)
+    val sq = screen.writeStream.format("memory").queryName("sbench_screen")
+      .outputMode("append").start()
+    val t1 = System.nanoTime()
+    val perB = nd / batches
+    (0 until batches).foreach { b =>
+      val rows = (b * perB until (b + 1) * perB).map { i =>
+        val src = docs((if (i % 10 == 0 && i > 0) i - 7 else i) % docs.length)
+        (i.toLong, i.toLong, src._2)
+      }
+      dmem.addData(rows)
+      sq.processAllAvailable()
+    }
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    val flagged = spark.table("sbench_screen").count()
+    sq.stop()
+    println(f"screen_bench: $nd%d docs in $secs2%.1f s = ${nd / secs2}%.0f docs/s " +
+      f"($flagged%d flags)")
+    prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
     spark.stop()
   }
 }

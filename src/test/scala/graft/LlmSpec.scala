@@ -372,6 +372,39 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
       f"pruned-probe overlap with probe-all collapsed: ${overlap.sum / overlap.size}%.2f")
   }
 
+  test("residual PQ: reconstruction error drops vs raw-vector codebooks") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cents = Similarity.fitIvfCentroids(emb, "vec_id", "embedding", nCells = 8)
+    val rawBooks = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    val resBooks = Similarity.fitPqCodebooksResidual(emb, "vec_id", "embedding",
+      cents, m = 8, k = 16)
+    val rawCodes = Similarity.pqEncode(emb, "vec_id", "embedding", rawBooks)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val resCodes = Similarity.pqEncodeResidual(emb, "vec_id", "embedding",
+        cents, resBooks)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    val sub = 8
+    def mse(recon: Long => Array[Double]): Double =
+      vecs.map { case (id, v) =>
+        val r = recon(id)
+        v.indices.map(j => (v(j) - r(j)) * (v(j) - r(j))).sum
+      }.sum / vecs.size
+    val rawMse = mse { id =>
+      val code = rawCodes(id)
+      Array.tabulate(64)(j => rawBooks(j / sub)(code(j / sub))(j % sub))
+    }
+    val resMse = mse { id =>
+      val (cell, code) = resCodes(id)
+      Array.tabulate(64)(j =>
+        cents(cell)(j) + resBooks(j / sub)(code(j / sub))(j % sub))
+    }
+    assert(resMse < rawMse,
+      f"residual encoding must reduce reconstruction error: raw=$rawMse%.4f res=$resMse%.4f")
+    assert(resMse > 0.0) // sanity: not a trivial exact-copy artifact
+  }
+
   test("hashOrderedSample: exact n, all-partition draw, layout-independent") {
     // 1,000 ids range-partitioned into 8 ordered partitions: limit(n)
     // would drain partition 0 first and return only ids < 125; the

@@ -35,6 +35,27 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("salted join equals plain join for random factors, key skews, and dup keys") {
+    import graft.operators.SkewJoin
+    val rnd = new scala.util.Random(23)
+    (1 to 4).foreach { trial =>
+      val factor = 1 + rnd.nextInt(12)
+      val nKeys = 1 + rnd.nextInt(6)
+      val fact = (0 until 400).map(i =>
+        (rnd.nextInt(nKeys).toLong, i.toLong)).toDF("k", "payload")
+      // dim with DUPLICATE keys: every fact row must still meet every
+      // matching dim row exactly once under exactly one salt value
+      val dim = (0 until 20).map(i =>
+        ((i % nKeys).toLong, s"d$i")).toDF("k", "name")
+      val salted = SkewJoin.saltedEquiJoin(fact, dim, Seq("k"), factor)
+        .select($"k", $"payload", $"name")
+      val plain = fact.join(dim, Seq("k")).select($"k", $"payload", $"name")
+      assert(salted.exceptAll(plain).count() == 0 &&
+        plain.exceptAll(salted).count() == 0,
+        s"trial $trial (factor=$factor nKeys=$nKeys): salted != plain")
+    }
+  }
+
   test("tryCastAny: numeric strings round-trip, garbage maps to null") {
     val rows = Seq("12", "-7", "3.5", "-0.25", "abc", "1.2.3", "", "12a")
     val got = rows.toDF("s").select(Functions.tryCastAny($"s")).collect().map(r =>

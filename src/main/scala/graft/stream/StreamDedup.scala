@@ -17,10 +17,10 @@ case class BucketOwner(doc_id: Long, tsMs: Long)
 
 /** Streaming near-duplicate SCREEN — the continuous-ingest analog of
   * [[graft.llm.Dedup.incrementalNearDups]] for the streaming plane: as
-  * documents arrive, each is MinHash-signed per row (no per-doc
-  * aggregation — [[graft.llm.Dedup.shingles3]] +
-  * [[graft.llm.Dedup.minhashSignature]] are plain column expressions),
-  * the signature splits into `nBands` LSH bands, and a
+  * documents arrive, each is MinHash-signed per row (one compact UDF
+  * evaluation — see [[StreamDedup.bandBucketsUdf]] for why the batch
+  * side's composed column expressions are the wrong tool here), the
+  * signature splits into `nBands` LSH bands, and a
   * `transformWithState` operator keyed by the band bucket remembers the
   * FIRST in-horizon document that claimed each bucket. An arrival whose
   * bucket is already owned by another doc is emitted as a
@@ -39,16 +39,50 @@ case class BucketOwner(doc_id: Long, tsMs: Long)
   */
 object StreamDedup {
 
-  /** `nBands` bucket strings for one document: band index prefix + md5
-    * of the band's `r = n/nBands` minhash values. Pure column
-    * expression — evaluates inside the scan projection, no shuffle. */
-  def bandBuckets(text: Column, n: Int, nBands: Int): Column = {
+  /** `nBands` bucket strings ("band:hash") for one document, as ONE
+    * compact UDF evaluation per row.
+    *
+    * Why a UDF and not the composed column expression the batch side
+    * uses: higher-order-function lambdas are interpreted (no codegen,
+    * no common-subexpression elimination), and CollapseProject inlines
+    * a projected signature alias into every consumer — measured on
+    * sf0.1 docs, the composed `transform(bands, b → slice(sig, …))`
+    * form re-built the shingle set nBands×n times per row (22 ms/doc;
+    * 0.03 ms/doc for the signature itself). A batch pipeline breaks
+    * that with a materialization barrier; a streaming projection has
+    * none, so the signature+banding runs as plain Scala here —
+    * `asNondeterministic()` pins it to a single evaluation per row
+    * (Catalyst never duplicates or reorders nondeterministic exprs).
+    * Docs with < 3 tokens have no shingles → no buckets → pass
+    * unscreened (same convention as the batch MinHash family). */
+  def bandBucketsUdf(n: Int, nBands: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(n % nBands == 0, s"n=$n must divide into nBands=$nBands")
     val r = n / nBands
-    val sig = graft.llm.Dedup.minhashSignature(graft.llm.Dedup.shingles3(text), n)
-    transform(sequence(lit(0), lit(nBands - 1)), b =>
-      concat_ws(":", b.cast("string"),
-        md5(concat_ws(",", transform(slice(sig, b * r + 1, lit(r)), _.cast("string"))))))
+    udf { (text: String) =>
+      val toks = text.split(" ")
+      val sh = scala.collection.mutable.HashSet.empty[String]
+      var i = 0
+      while (i + 2 < toks.length) {
+        sh.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1
+      }
+      if (sh.isEmpty) Array.empty[String]
+      else {
+        val sig = Array.tabulate(n) { k =>
+          var mn = Int.MaxValue
+          val it = sh.iterator
+          while (it.hasNext) {
+            val h = scala.util.hashing.MurmurHash3.stringHash(it.next(), k)
+            if (h < mn) mn = h
+          }
+          mn
+        }
+        Array.tabulate(nBands) { b =>
+          val bandHash = scala.util.hashing.MurmurHash3.arrayHash(
+            java.util.Arrays.copyOfRange(sig, b * r, (b + 1) * r), b)
+          s"$b:${Integer.toHexString(bandHash)}"
+        }
+      }
+    }.asNondeterministic()
   }
 
   /** The screen itself. `stateTtl=None` runs in TimeMode.None for
@@ -65,9 +99,8 @@ object StreamDedup {
       .withWatermark(eventTimeCol, watermarkDelay)
       .select(col(idCol).cast("long").as("doc_id"),
         col(eventTimeCol).as("ts"),
-        posexplode(bandBuckets(col(textCol), n, nBands)).as(Seq("band", "bh")))
-      .select(concat_ws(":", col("band"), col("bh")).as("bucket"),
-        col("doc_id"), col("ts"))
+        explode(bandBucketsUdf(n, nBands)(col(textCol))).as("bucket"))
+      .select(col("bucket"), col("doc_id"), col("ts"))
       .as[BandProbe]
     val timeMode =
       if (stateTtl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()

@@ -57,6 +57,12 @@ object StreamBench {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val nd = sys.env.getOrElse("SPARK_GRAFT_SCREEN_N", "50000").toInt
+    val screenBatches = sys.env.getOrElse("SPARK_GRAFT_SCREEN_BATCHES", "4").toInt
+    // Stateful-op cost is FIXED per (micro-batch × state partition):
+    // each batch commits every RocksDB instance. 8 partitions + large
+    // batches amortize it — the trigger-interval/parallelism trade a
+    // real deployment tunes (state keyspace ≪ 32-way here).
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val docs = Tables.load(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
         "/root/testdata/sf0.1"), "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
@@ -69,8 +75,8 @@ object StreamBench {
     val sq = screen.writeStream.format("memory").queryName("sbench_screen")
       .outputMode("append").start()
     val t1 = System.nanoTime()
-    val perB = nd / batches
-    (0 until batches).foreach { b =>
+    val perB = nd / screenBatches
+    (0 until screenBatches).foreach { b =>
       val rows = (b * perB until (b + 1) * perB).map { i =>
         val src = docs((if (i % 10 == 0 && i > 0) i - 7 else i) % docs.length)
         (i.toLong, i.toLong, src._2)

@@ -169,22 +169,19 @@ object Similarity {
   def fitIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seed: Long = 42L,
       fitSampleRows: Int = 100000): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = org.apache.spark.sql.functions.udf { (a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray)
-    }
-    val sample = hashOrderedSample(
-        corpus.select(col(idCol), col(vecCol)), idCol, fitSampleRows)
-      .select(toVec(col(vecCol)).as("features"))
     // A coarse quantizer's product is the cell PARTITION, not converged
-    // centroids — quality plateaus within a few Lloyd iterations, and
-    // every extra iteration is a full pass over the sample. 10 is the
-    // conventional IVF training budget (FAISS trains its coarse
-    // quantizer with ~10 iterations by default).
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(sample)
-    km.clusterCenters.map(_.toArray)
+    // centroids — quality plateaus within a few Lloyd iterations. The
+    // fit input is driver-bounded by construction (fitSampleRows × dim
+    // doubles), so this runs the same local k-means++/Lloyd loop as
+    // [[fitPqCodebooks]] (10-iteration budget, FAISS's convention)
+    // instead of scheduling nCells × iters distributed jobs over a
+    // sample that fits in memory. The CORPUS-side work — cell
+    // assignment — stays a distributed broadcast-centroid map pass.
+    val rows = hashOrderedSample(
+        corpus.select(col(idCol), asDouble(col(vecCol)).as("__v")), idCol, fitSampleRows)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "empty corpus")
+    localKMeans(rows, nCells, iters = 10, seed = seed)
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
@@ -247,26 +244,105 @@ object Similarity {
   def fitPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16, seed: Long = 42L,
       fitSampleRows: Int = 100000): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val sample = hashOrderedSample(
+    // The sample is driver-bounded by construction (fitSampleRows × dim
+    // doubles; 100k × 64-dim = 51 MB) and each subspace problem is
+    // k≤256 centroids over ≤16 dims — a DRIVER-scale computation. A
+    // distributed KMeans here costs m × iters tiny Spark jobs (~6 s of
+    // pure scheduling at bench scale) to do what a local Lloyd loop
+    // does in milliseconds; FAISS trains PQ codebooks in-memory for the
+    // same reason. Lower fitSampleRows for very wide vectors.
+    val rows = hashOrderedSample(
         corpus.select(col(idCol), asDouble(col(vecCol)).as("__v")), idCol, fitSampleRows)
-      .select(col("__v")).cache()
-    val dim = sample.head().getSeq[Double](0).length
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "empty corpus")
+    val dim = rows(0).length
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    val toVec = org.apache.spark.sql.functions.udf { (a: Seq[Double]) =>
-      Vectors.dense(a.toArray)
+    Array.tabulate(m) { j =>
+      val pts = rows.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      localKMeans(pts, k, iters = 10, seed = seed + j)
     }
-    val books: Array[Array[Array[Double]]] = (0 until m).map { j =>
-      new KMeans().setK(k).setSeed(seed + j).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("c")
-        .fit(sample.select(
-          toVec(slice(col("__v"), lit(j * sub + 1), lit(sub))).as("features")))
-        .clusterCenters.map(_.toArray)
-    }.toArray
-    sample.unpersist()
-    books
+  }
+
+  /** Deterministic driver-side Lloyd with k-means++ seeding — the
+    * codebook trainer behind [[fitPqCodebooks]]. Empty clusters reseed
+    * to the point farthest from its centroid (standard repair). */
+  private[llm] def localKMeans(pts: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    val n = pts.length
+    val rnd = new scala.util.Random(seed)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val kk = math.min(k, n)
+    val cents = Array.ofDim[Array[Double]](kk)
+    cents(0) = pts(rnd.nextInt(n)).clone()
+    val best = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0; var sum = 0.0
+      while (i < n) {
+        val d = dist2(pts(i), cents(c - 1))
+        if (d < best(i)) best(i) = d
+        sum += best(i); i += 1
+      }
+      var idx = 0
+      if (sum > 0) {
+        var r = rnd.nextDouble() * sum; var acc = 0.0; var ii = 0
+        while (ii < n) {
+          acc += best(ii)
+          if (acc >= r) { idx = ii; ii = n } else ii += 1
+        }
+      } else idx = rnd.nextInt(n)
+      cents(c) = pts(idx).clone(); c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var b = 0; var bd = Double.MaxValue; var cc = 0
+        while (cc < kk) {
+          val d = dist2(pts(i), cents(cc))
+          if (d < bd) { bd = d; b = cc }
+          cc += 1
+        }
+        assign(i) = b; i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](pts(0).length))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        var j = 0
+        while (j < pts(i).length) { sums(a)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < kk) {
+        if (counts(cc) > 0) {
+          var j = 0
+          while (j < sums(cc).length) { sums(cc)(j) /= counts(cc); j += 1 }
+          cents(cc) = sums(cc)
+        } else {
+          // reseed an empty cluster to the point farthest from its centroid
+          var far = 0; var fd = -1.0; var ii = 0
+          while (ii < n) {
+            val d = dist2(pts(ii), cents(assign(ii)))
+            if (d > fd) { fd = d; far = ii }
+            ii += 1
+          }
+          cents(cc) = pts(far).clone()
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    // pad (k > n corner: tiny corpora) by repeating the last centroid
+    if (kk < k) Array.tabulate(k)(i => cents(math.min(i, kk - 1)).clone())
+    else cents
   }
 
   /** PQ-encode a vector column: one centroid index per subspace —

@@ -88,6 +88,35 @@ class EdgeSpec extends AnyFunSuite with SparkSuite {
     assert(w.getDouble(w.fieldIndex("weight")) == 1.0)
   }
 
+  test("round-4 operators tolerate empty and degenerate inputs") {
+    import graft.llm.Similarity
+    import graft.operators.SkewJoin
+    // bigram NLL: docs with < 2 tokens have no bigrams and are excluded
+    val docs = Seq((1L, "solo"), (2L, "two words"), (3L, "")).toDF("doc_id", "text")
+    val bg = TextStats.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bg.keySet == Set(2L), s"only the 2-token doc has a bigram: $bg")
+    assert(bg(2L) == 1L)
+    // salted join with factor=1 degenerates to the plain join
+    val f = Seq((1L, 10L), (2L, 20L)).toDF("k", "p")
+    val d = Seq((1L, "a")).toDF("k", "n")
+    assert(SkewJoin.saltedEquiJoin(f, d, Seq("k"), 1).count() == 1)
+    // hashOrderedSample with n beyond the row count returns everything
+    assert(Similarity.hashOrderedSample(f, "k", 100).count() == 2)
+    // PQ on a corpus smaller than k: codebooks pad to k, encode still works
+    val tiny = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.fitPqCodebooks(tiny, "vec_id", "embedding", m = 2, k = 16)
+    assert(books.length == 2 && books.forall(_.length == 16))
+    val codes = Similarity.pqEncode(tiny, "vec_id", "embedding", books)
+    assert(codes.count() == 2)
+    // empty corpus: quantizer fit fails loudly, not with a wrong model
+    val emptyV = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.fitPqCodebooks(emptyV, "vec_id", "embedding", m = 2, k = 4)
+    }
+  }
+
   test("window queries on a single-row table") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L, 1.0))
       .toDF("event_id", "ts", "user_id", "value")

@@ -658,4 +658,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
+
+  /** Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 §4.1 —
+    * ExactSubstr): remove every token covered by a ≥ `minLen`-token
+    * substring that also occurs elsewhere in the corpus, keeping the
+    * globally FIRST occurrence (smallest (doc_id, position)) of each
+    * repeated substring. [[chunkDedupStrip]] is the stride-k (C4-style)
+    * approximation of this; here grams slide at stride 1, so repeats at
+    * ANY alignment are caught — the reference algorithm uses a suffix
+    * array for the same result in less memory; the Spark shape trades
+    * minLen× row expansion (hashes only, never gram text) for full
+    * distribution. Returns (doc_id, clean_text, n_kept, n_removed);
+    * docs shorter than `minLen` tokens pass through untouched.
+    *
+    * Shape: gram rows are a fused explode over the token array carrying
+    * md5(gram) only; the duplicate-gram table is ONE uniform hash-agg
+    * keyed on that hash (min(struct(doc, pos)) picks the kept
+    * occurrence); coverage = a max-flag ROWS window of width minLen per
+    * doc (gaps-and-islands without a join); reassembly is the same
+    * doc-keyed ordered collect as chunkDedupStrip. One corpus shuffle
+    * on the gram hash, one on doc_id. */
+  def exactSubstrStrip(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+    // every gram start position; docs too short emit no grams
+    val grams = tk
+      .filter(size(col("tk")) >= minLen)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - minLen)).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("tk"), col("s") + 1, lit(minLen)), " ")).as("h"))
+    val dupFirst = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("s"))).as("first"))
+      .filter(col("cnt") > 1)
+      .select(col("h"), col("first.doc_id").as("f_doc"), col("first.s").as("f_s"))
+    // flag gram STARTS that begin a duplicated, not-first span
+    val flagged = grams.join(dupFirst, Seq("h"))
+      .filter(!(col("doc_id") === col("f_doc") && col("s") === col("f_s")))
+      .select(col("doc_id"), col("s")).withColumn("flag", lit(1))
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("p", "tok")))
+    val wCover = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(-(minLen - 1), 0)
+    pos.join(flagged, pos("doc_id") === flagged("doc_id") && col("p") === col("s"), "left")
+      .select(pos("doc_id"), col("p"), col("tok"), col("flag"))
+      .withColumn("covered", max(col("flag")).over(wCover) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!coalesce(col("covered"), lit(false)),
+            struct(col("p"), col("tok"))))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(when(!coalesce(col("covered"), lit(false)), 1)).as("n_kept"),
+        count(when(coalesce(col("covered"), lit(false)), 1)).as("n_removed"))
+  }
 }

@@ -32,6 +32,32 @@ object TextStats {
   def avgTokenLen(text: Column): Column =
     (length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text)
 
+  /** Deflate compression ratio, `compressed_bytes / raw_bytes` — the
+    * cheap entropy proxy web-scale pipelines ship as a quality signal
+    * (RedPajama-V2's "ccnet_…/rps_doc_*" family includes it):
+    * boilerplate, keyword spam, and repeated templates compress far
+    * below ~0.4; high-entropy noise sits near 1. A UDF by necessity
+    * (no SQL deflate), per-row and shuffle-free; level 6 = zlib
+    * default, pinned for reproducibility. Empty text → NULL. */
+  def compressionRatio(text: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null || s.isEmpty) None
+      else {
+        val raw = s.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(raw); d.finish()
+        // zlib worst case is a slight EXPANSION (~0.03% + header);
+        // undersizing would spin the finished() loop forever
+        val buf = new Array[Byte](raw.length + (raw.length >> 8) + 64)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        d.end()
+        Some(n.toDouble / raw.length)
+      }
+    }
+    round(f(text), 6)
+  }
+
   /** Composite quality score in [0,1]-ish: rewards moderate length,
     * lexical diversity, and sane token lengths — the shape of the
     * heuristic filters used on web-scale corpora. */

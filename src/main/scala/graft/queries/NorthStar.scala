@@ -343,6 +343,25 @@ object NorthStar {
       .orderBy($"query_id", $"rank")
   }
 
+  // Deflate compression ratio per doc — the entropy-proxy quality
+  // signal. Rows-only (no deflate in ANSI SQL/DuckDB); the ordering
+  // property (repetitive < diverse) is spec-pinned.
+  val compressionRatio: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", TextStats.compressionRatio($"text").as("deflate_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  // Exact-substring dedup (Lee et al. 2022 ExactSubstr): strip every
+  // token covered by an 8+-token substring repeated ANYWHERE in the
+  // corpus at any alignment, keeping the first occurrence.
+  val exactSubstr: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.exactSubstrStrip(t(s, dir, "documents"), "doc_id", "text", minLen = 8)
+      .orderBy($"doc_id")
+  }
+
   // Bigram LM surprisal per doc (conditional-probability quality
   // screen, add-1 smoothed, micro-nat exact).
   val bigramNll: Q = (s, dir) => {
@@ -424,6 +443,8 @@ object NorthStar {
     "ns_incremental_dedup" -> incrementalDedup,
     "ns_unigram_nll" -> unigramNll,
     "ns_bigram_nll" -> bigramNll,
+    "ns_exact_substr" -> exactSubstr,
+    "ns_compression_ratio" -> compressionRatio,
     "ns_mixture_weights" -> mixtureWeights,
     "ns_multimodal_meta" -> multimodalMeta
   )
@@ -828,6 +849,26 @@ object NorthStar {
         | ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_nll
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".sm,
+    "ns_exact_substr" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, i AS s, md5(array_to_string(tk[i + 1 : i + 8], ' ')) AS h
+        | FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i)
+        | WHERE i <= len(tk) - 8),
+        |gf AS (SELECT doc_id, s,
+        |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+        |  COUNT(*) OVER (PARTITION BY h) AS cnt FROM g),
+        |fl AS (SELECT doc_id, s, 1 AS flag FROM gf WHERE cnt > 1 AND rn > 1),
+        |p AS (SELECT doc_id, i AS p, tk[i + 1] AS tok
+        | FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(tk)),
+        |c AS (SELECT p.doc_id, p.p, p.tok,
+        |  MAX(fl.flag) OVER (PARTITION BY p.doc_id ORDER BY p.p
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+        | FROM p LEFT JOIN fl ON fl.doc_id = p.doc_id AND fl.s = p.p)
+        |SELECT doc_id,
+        | COALESCE(STRING_AGG(CASE WHEN cov IS NULL OR cov != 1 THEN tok END, ' ' ORDER BY p), '') AS clean_text,
+        | COUNT(CASE WHEN cov IS NULL OR cov != 1 THEN 1 END) AS n_kept,
+        | COUNT(CASE WHEN cov = 1 THEN 1 END) AS n_removed
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".sm,
     "ns_bigram_nll" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |bg AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2

@@ -405,6 +405,47 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(resMse > 0.0) // sanity: not a trivial exact-copy artifact
   }
 
+  test("exact-substring strip: any-alignment repeats stripped, first kept, clean docs intact") {
+    val span = "one two three four five six" // 6-token repeated span
+    val d = Seq(
+      (1L, s"intro words here $span tail a"),      // first owner (smallest doc)
+      (2L, s"$span completely different ending"),  // repeat at offset 0
+      (3L, s"x y z w $span"),                      // repeat at another alignment
+      (4L, "untouched document with enough tokens to emit grams fine")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrStrip(d, "doc_id", "text", minLen = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 keeps everything (it is the first occurrence)
+    assert(out(1L)._1 == s"intro words here $span tail a" && out(1L)._3 == 0L)
+    // docs 2 and 3 lose exactly the span's 6 tokens
+    assert(out(2L)._1 == "completely different ending", out(2L)._1)
+    assert(out(2L)._3 == 6L)
+    assert(out(3L)._1 == "x y z w" && out(3L)._3 == 6L)
+    // unrelated doc round-trips
+    assert(out(4L)._1 == "untouched document with enough tokens to emit grams fine")
+    assert(out(4L)._3 == 0L)
+  }
+
+  test("compression ratio: repetitive text compresses below diverse text; empty is null") {
+    val d = Seq(
+      (1L, Array.fill(40)("spam").mkString(" ")),             // pure repetition
+      (2L, "each word here differs wildly quartz jump vexed " +
+        "blitz nymph gyrospheric ontology marzipan quixotic"), // diverse
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val m = d.select($"doc_id", TextStats.compressionRatio($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(m(3L).isEmpty, "empty text must be NULL")
+    assert(m(1L).get < 0.2, s"repetition should compress hard: ${m(1L)}")
+    assert(m(1L).get < m(2L).get, s"ordering violated: $m")
+    // deterministic across partition layouts
+    val m2 = d.repartition(5)
+      .select($"doc_id", TextStats.compressionRatio($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(m == m2)
+  }
+
   test("hashOrderedSample: exact n, all-partition draw, layout-independent") {
     // 1,000 ids range-partitioned into 8 ordered partitions: limit(n)
     // would drain partition 0 first and return only ids < 125; the

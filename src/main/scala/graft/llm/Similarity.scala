@@ -568,6 +568,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
   }
 
+  /** Per-group embedding centroids: mean vector per `groupCol` — the
+    * building block behind class prototypes, cluster labeling, and
+    * centroid-init for downstream quantizers. Positions explode to
+    * (group, idx, value) rows and aggregate per (group, idx) — ONE
+    * uniform hash aggregate with map-side partial combine (dim × groups
+    * keys), then the per-group array reassembles ordered. Values sum as
+    * DECIMAL (exact, order-independent), the sum casts to double, and
+    * ONE IEEE division by the count produces the mean — every step is
+    * deterministic, so the result is bit-identical across engines and
+    * partition orders (a double-typed sum would drift with partition
+    * order; a decimal DIVISION would inherit engine-specific quotient
+    * scales). Returns (group, centroid: array<double>, n_vectors). */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val pos = df.select(col(groupCol).as("grp"),
+      posexplode(asDouble(col(vecCol))).as(Seq("idx", "v")))
+    pos.groupBy(col("grp"), col("idx"))
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double") / count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("idx"), col("m")))),
+          s => s.getField("m")).as("centroid"),
+        max(col("n")).as("n_vectors"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× compression step before shipping vectors to an ANN
     * index: scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127,127].

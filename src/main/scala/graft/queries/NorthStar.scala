@@ -95,6 +95,21 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  // Per-label mean embedding (class prototypes): ONE uniform (label,
+  // position) hash aggregate over the exploded vectors — decimal-exact
+  // sums so the means hash-compare bit-identically with the oracle.
+  // Centroids serialize to micro-unit CSV for the hash compare.
+  val groupCentroidsQ: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+      .select($"grp",
+        array_join(transform($"centroid",
+          x => round(x * 1e6, 0).cast("long").cast("string")), ",")
+          .as("centroid_micro_csv"),
+        $"n_vectors")
+      .orderBy($"grp")
+  }
+
   val annTopk: Q = (s, dir) => {
     import s.implicits._
     val e = t(s, dir, "embeddings")
@@ -446,7 +461,8 @@ object NorthStar {
     "ns_exact_substr" -> exactSubstr,
     "ns_compression_ratio" -> compressionRatio,
     "ns_mixture_weights" -> mixtureWeights,
-    "ns_multimodal_meta" -> multimodalMeta
+    "ns_multimodal_meta" -> multimodalMeta,
+    "ns_group_centroids" -> groupCentroidsQ
   )
 
   // ---------------- oracle SQL ----------------
@@ -588,6 +604,21 @@ object NorthStar {
         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
         |ORDER BY doc_a, doc_b""").sm,
+    "ns_group_centroids" ->
+      """WITH e AS (
+        | SELECT label AS grp, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), pos AS (
+        | SELECT grp, i, v[i] AS x FROM e, (SELECT UNNEST(range(1, 65)) AS i)
+        |), m AS (
+        | SELECT grp, i,
+        |  CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean,
+        |  COUNT(*) AS n
+        | FROM pos GROUP BY 1, 2
+        |)
+        |SELECT grp,
+        | string_agg(CAST(CAST(ROUND(mean * 1000000) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS centroid_micro_csv,
+        | MAX(n) AS n_vectors
+        |FROM m GROUP BY grp ORDER BY grp""".sm,
     "ns_ann_topk" ->
       """WITH e AS (
         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

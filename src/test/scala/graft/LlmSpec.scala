@@ -250,6 +250,25 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(byId(3L)._3.split(",").head == "-127")
   }
 
+  test("group centroids match hand-computed per-label means, any partitioning") {
+    val out = Similarity.groupCentroids(vecs, "label", "embedding").collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Double](1).toList, r.getLong(2))).toMap
+    // label 0: mean of [1,0,0,0],[0.9,0.1,0,0],[0,1,0,0]
+    val m0 = out(0)._1
+    assert(out(0)._2 == 3L)
+    assert(m0.zip(List((1.0 + 0.9f.toDouble) / 3, (0.1f.toDouble + 1.0) / 3, 0.0, 0.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // label 1: mean of [-1,0,0,0],[0.8,0.2,0,0]
+    val m1 = out(1)._1
+    assert(out(1)._2 == 2L)
+    assert(math.abs(m1.head - (-1.0 + 0.8f.toDouble) / 2) < 1e-9 &&
+      math.abs(m1(1) - 0.2f.toDouble / 2) < 1e-9)
+    // decimal-sum path: identical output regardless of partition layout
+    val re = Similarity.groupCentroids(vecs.repartition(7), "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toMap
+    assert(out.keySet.forall(k => re(k) == out(k)._1))
+  }
+
   test("multi-probe LSH finds adjacent-bucket neighbors single-probe misses") {
     // spread pseudo-random corpus (hash-based components, no near-dup
     // clusters); witnesses = (query, brute-force neighbor) pairs whose

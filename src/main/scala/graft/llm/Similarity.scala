@@ -594,6 +594,91 @@ object Similarity {
         max(col("n")).as("n_vectors"))
   }
 
+  /** Nearest-prototype assignment: label every vector with its closest
+    * centroid (squared euclidean) — the classification half of
+    * k-means / the cell-assignment half of IVF, exposed as a first-class
+    * operator. The centroid table (e.g. [[groupCentroids]] output) is
+    * inherently small (groups × dim), so it collects to the driver and
+    * unrolls into LITERAL coefficient arrays: the whole argmin is ONE
+    * codegen'd projection over the corpus scan — no join, no shuffle,
+    * no UDF — via `array_min` over (dist², group) structs (lexicographic
+    * struct order = min distance, lowest group id on ties). dist² =
+    * ‖v‖² − 2·v·c + ‖c‖², each term a native [[dot]]; rounded to 6 dp so
+    * ranking and output are reproducible across engines. Rows with a
+    * null vector yield null assignment (not a spurious nearest group).
+    * Output: (idCol, assigned_grp: long, dist2). */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, grpCol: String = "grp",
+      centroidCol: String = "centroid"): DataFrame = {
+    val cents = centroids
+      .select(col(grpCol).cast("long").as("g"), asDouble(col(centroidCol)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "empty centroid table")
+    val v = asDouble(col(vecCol))
+    val best = array_min(array(cents.map { case (g, c) =>
+      val cl = array(c.map(lit): _*)
+      val cc = c.map(x => x * x).sum
+      struct(
+        round(dot(v, v) - lit(2.0) * dot(v, cl) + lit(cc), 6).as("d2"),
+        lit(g).as("grp"))
+    }: _*))
+    df.select(col(idCol), when(col(vecCol).isNotNull, best).as("__m"))
+      .select(col(idCol), col("__m.grp").as("assigned_grp"),
+        col("__m.d2").as("dist2"))
+  }
+
+  /** Per-group embedding diversity: the mean pairwise cosine similarity
+    * of all vector pairs in each group, WITHOUT materializing any pair.
+    * For unit-normalized vectors u, Σ_{i≠j} u_i·u_j = ‖Σu‖² − n, so the
+    * mean over the n(n−1)/2 unordered pairs is (‖Σu‖² − n)/(n(n−1)) —
+    * one aggregation pass where the naive form is O(n²·dim) per group.
+    * Low mean cosine = diverse group; near 1.0 = redundant/collapsed.
+    * Zero-norm and null vectors are excluded (cosine undefined).
+    * Singleton groups yield a null mean (no pairs). Per-dim sums of the
+    * normalized components go through the same DECIMAL(28,10) exact
+    * accumulation as [[groupCentroids]] (order-independent), then the
+    * 64-term ‖Σu‖² reduction and final ratio round to 6 dp.
+    * Output: (grp, n_vectors, mean_pairwise_cos). */
+  def groupDiversity(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val unit = df
+      .select(col(groupCol).as("grp"), v.as("__v"), norm(v).as("__n"))
+      .filter(col("__n") > 0.0)
+      .select(col("grp"),
+        posexplode(transform(col("__v"), x => x / col("__n"))).as(Seq("idx", "u")))
+    unit.groupBy(col("grp"), col("idx"))
+      .agg(sum(col("u").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast("double").as("s"), count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n_vectors"),
+        sum(col("s") * col("s")).as("ss"))
+      .select(col("grp"), col("n_vectors"),
+        round(when(col("n_vectors") > 1,
+          (col("ss") - col("n_vectors")) /
+            (col("n_vectors") * (col("n_vectors") - 1))), 6)
+          .as("mean_pairwise_cos"))
+  }
+
+  /** k-nearest-neighbor majority-vote classification: brute-force
+    * cosine top-k per query ([[cosineTopK]] — broadcast query side, one
+    * corpus scan), neighbor labels looked up by broadcasting the SMALL
+    * top-k result back against the corpus (k·|queries| rows — never the
+    * corpus itself), then one (query, label) count aggregate and a
+    * per-query argmax with most-votes / lowest-label tiebreak.
+    * Output: (query_id, pred_label, votes). */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = cosineTopK(queries, corpus, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__lbl"))
+    val votes = labels.join(broadcast(topk), "neighbor_id")
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__lbl").asc)
+    votes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× compression step before shipping vectors to an ANN
     * index: scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127,127].

@@ -110,6 +110,34 @@ object NorthStar {
       .orderBy($"grp")
   }
 
+  // Nearest-prototype assignment: class centroids collect (10 × 64
+  // doubles) and unroll into one literal-coefficient argmin projection
+  // — zero joins/shuffles over the corpus side.
+  val clusterAssign: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.groupCentroids(e, "label", "embedding")
+    Similarity.assignToCentroids(e, "vec_id", "embedding", cents)
+      .orderBy($"vec_id")
+  }
+
+  // Per-label mean pairwise cosine via the ‖Σu‖² identity — no pair
+  // materialization; the oracle replays the same closed form.
+  val groupDiversityQ: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.groupDiversity(t(s, dir, "embeddings"), "label", "embedding")
+      .orderBy($"grp")
+  }
+
+  // 5-NN majority-vote label prediction over the first 25 vectors.
+  val knnClassifyQ: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    Similarity.knnClassify(e.filter($"vec_id" < 25), e, "vec_id",
+        "embedding", "label", k = 5)
+      .orderBy($"query_id")
+  }
+
   val annTopk: Q = (s, dir) => {
     import s.implicits._
     val e = t(s, dir, "embeddings")
@@ -462,7 +490,10 @@ object NorthStar {
     "ns_compression_ratio" -> compressionRatio,
     "ns_mixture_weights" -> mixtureWeights,
     "ns_multimodal_meta" -> multimodalMeta,
-    "ns_group_centroids" -> groupCentroidsQ
+    "ns_group_centroids" -> groupCentroidsQ,
+    "ns_cluster_assign" -> clusterAssign,
+    "ns_group_diversity" -> groupDiversityQ,
+    "ns_knn_classify" -> knnClassifyQ
   )
 
   // ---------------- oracle SQL ----------------
@@ -619,6 +650,61 @@ object NorthStar {
         | string_agg(CAST(CAST(ROUND(mean * 1000000) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS centroid_micro_csv,
         | MAX(n) AS n_vectors
         |FROM m GROUP BY grp ORDER BY grp""".sm,
+    "ns_cluster_assign" ->
+      """WITH e AS (
+        | SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |m AS (
+        | SELECT label AS grp, i,
+        |  CAST(SUM(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+        | FROM e, pos GROUP BY 1, 2
+        |), d AS (
+        | SELECT e.vec_id, m.grp,
+        |  ROUND(SUM(e.v[m.i]*e.v[m.i]) - 2*SUM(e.v[m.i]*m.c) + SUM(m.c*m.c), 6) AS d2
+        | FROM e, m GROUP BY 1, 2
+        |)
+        |SELECT vec_id, CAST(grp AS BIGINT) AS assigned_grp, d2 AS dist2
+        |FROM (SELECT vec_id, grp, d2,
+        |       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, grp) AS rn FROM d)
+        |WHERE rn = 1 ORDER BY vec_id""".sm,
+    "ns_group_diversity" ->
+      """WITH e AS (
+        | SELECT vec_id, label AS grp, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |nrm AS (
+        | SELECT vec_id, grp, v, SQRT(SUM(v[i]*v[i])) AS nv FROM e, pos GROUP BY 1, 2, 3
+        |), u AS (
+        | SELECT grp, i, v[i]/nv AS u FROM nrm, pos WHERE nv > 0
+        |), s AS (
+        | SELECT grp, i, CAST(SUM(CAST(u AS DECIMAL(28,10))) AS DOUBLE) AS s, COUNT(*) AS n
+        | FROM u GROUP BY 1, 2
+        |), agg AS (
+        | SELECT grp, MAX(n) AS n_vectors, SUM(s*s) AS ss FROM s GROUP BY 1
+        |)
+        |SELECT grp, n_vectors,
+        | ROUND(CASE WHEN n_vectors > 1
+        |   THEN (ss - n_vectors) / (n_vectors * (n_vectors - 1)) END, 6) AS mean_pairwise_cos
+        |FROM agg ORDER BY grp""".sm,
+    "ns_knn_classify" ->
+      """WITH e AS (
+        | SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |dots AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS lbl,
+        |  SUM(q.v[i]*c.v[i]) AS dp, SUM(q.v[i]*q.v[i]) AS qq, SUM(c.v[i]*c.v[i]) AS cc
+        | FROM e q, e c, pos WHERE q.vec_id < 25 AND c.vec_id != q.vec_id GROUP BY 1, 2, 3
+        |), topk AS (
+        | SELECT query_id, lbl,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY ROUND(dp / (SQRT(qq) * SQRT(cc)), 6) DESC, neighbor_id) AS rnk
+        | FROM dots
+        |), votes AS (
+        | SELECT query_id, lbl, COUNT(*) AS votes FROM topk WHERE rnk <= 5 GROUP BY 1, 2
+        |)
+        |SELECT query_id, lbl AS pred_label, votes
+        |FROM (SELECT query_id, lbl, votes,
+        |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS rn FROM votes)
+        |WHERE rn = 1 ORDER BY query_id""".sm,
     "ns_ann_topk" ->
       """WITH e AS (
         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

@@ -269,6 +269,68 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(out.keySet.forall(k => re(k) == out(k)._1))
   }
 
+  test("centroid assignment picks nearest prototype; ties break low; null vec is null") {
+    val cents = Seq((0, Array(1.0f, 0.0f, 0.0f, 0.0f), 1L),
+      (1, Array(0.0f, 1.0f, 0.0f, 0.0f), 1L)).toDF("grp", "centroid", "n_vectors")
+    val pts = Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f, 0.0f)),          // nearest grp 0
+      (11L, Array(0.1f, 0.9f, 0.0f, 0.0f)),          // nearest grp 1
+      (12L, Array(0.5f, 0.5f, 0.0f, 0.0f)),          // equidistant → grp 0
+      (13L, null.asInstanceOf[Array[Float]])         // null vec → null out
+    ).toDF("vec_id", "embedding")
+    val m = Similarity.assignToCentroids(pts, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.get(2)))).toMap
+    assert(m(10L)._1.contains(0L) && m(11L)._1.contains(1L))
+    assert(m(12L)._1.contains(0L), s"tie must break to lowest grp: ${m(12L)}")
+    assert(m(13L)._1.isEmpty && m(13L)._2.isEmpty, "null vector must yield null")
+    // distance value itself: |(0.9,0.1)-(1,0)|² = 0.01+0.01 = 0.02
+    assert(math.abs(m(10L)._2.get.asInstanceOf[Double] - 0.02) < 1e-4)
+  }
+
+  test("group diversity matches brute-force mean pairwise cosine; singleton is null") {
+    val d = vecs.union(Seq((9L, Array(0f, 0f, 0f, 1f), 7)).toDF("vec_id", "embedding", "label"))
+    val out = Similarity.groupDiversity(d, "label", "embedding").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // brute force per label over unit-normalized vectors
+    val byLabel = d.collect().map(r => (r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((lbl, vs) <- byLabel) {
+      val us = vs.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      val n = us.length
+      assert(out(lbl)._1 == n.toLong)
+      if (n == 1) assert(out(lbl)._2.isEmpty, s"singleton label $lbl must be null")
+      else {
+        val pairs = for (i <- 0 until n; j <- i + 1 until n)
+          yield us(i).zip(us(j)).map { case (a, b) => a * b }.sum
+        val brute = pairs.sum / pairs.length
+        assert(math.abs(out(lbl)._2.get - brute) < 1e-6,
+          s"label $lbl: got ${out(lbl)._2.get}, brute $brute")
+      }
+    }
+  }
+
+  test("knn classify takes the majority label; vote ties break to lowest label") {
+    // corpus: 3 'A'(0) vectors near x-axis, 2 'B'(1) near y-axis
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.95f, 0.05f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Array(0.8f, 0.2f)), (101L, Array(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val m3 = Similarity.knnClassify(q, corpus, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(m3(100L) == ((0, 3L)), s"x-axis query: ${m3(100L)}")  // all 3 nearest are A
+    assert(m3(101L) == ((1, 2L)), s"y-axis query: ${m3(101L)}")  // 2 B + 1 A
+    // k=4 for the y-axis query: 2 B + 2 A → tie → lowest label (0) wins
+    val m4 = Similarity.knnClassify(q, corpus, "vec_id", "embedding", "label", k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(m4(101L)._1 == 0 && m4(101L)._2 == 2L, s"tie must break low: ${m4(101L)}")
+  }
+
   test("multi-probe LSH finds adjacent-bucket neighbors single-probe misses") {
     // spread pseudo-random corpus (hash-based components, no near-dup
     // clusters); witnesses = (query, brute-force neighbor) pairs whose

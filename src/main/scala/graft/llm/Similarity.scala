@@ -594,6 +594,34 @@ object Similarity {
         max(col("n")).as("n_vectors"))
   }
 
+  /** Sign random projection (Achlioptas 2003 database-friendly JL):
+    * reduce `dim`-dimensional embeddings to `outDim` coordinates, each
+    * the dot product against a fixed ±1 vector — the cheap
+    * dimensionality reduction in front of an ANN index or a pair
+    * screen. Coefficients come from the same squared-hash family as
+    * [[lshBucket]] (offset 53, so the hyperplanes are independent of
+    * the LSH ones) — no stored projection matrix, reproducible in plain
+    * SQL. Computation is EXACT and order-independent: elements are
+    * rounded to integer micro-units (·1e6) first, so every projection
+    * sum is an exact integer in double (|sum| ≪ 2⁵³) and the single
+    * final ÷1e6 makes the output bit-identical on any engine and any
+    * partition order. One codegen'd projection per row — zero shuffle,
+    * zero state. Unscaled ±1 dots: divide by √outDim if calibrated
+    * norms are needed (rankings/relative distances are unaffected).
+    * Output: (idCol, projected: array<double>). */
+  def signRandomProjection(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int): DataFrame = {
+    val rv = transform(asDouble(col(vecCol)), x => round(x * 1e6, 0))
+    val proj = (0 until outDim).map { j =>
+      val coefs = (1 to dim).map { i =>
+        val h = i.toLong * 7919L + j.toLong * 104729L + 53L
+        if ((h * h / 1024L) % 2L == 0L) 1.0 else -1.0
+      }
+      graft.expr.ArrayDotProduct.native(rv, array(coefs.map(lit): _*)) / 1e6
+    }
+    df.select(col(idCol), array(proj: _*).as("projected"))
+  }
+
   /** Nearest-prototype assignment: label every vector with its closest
     * centroid (squared euclidean) — the classification half of
     * k-means / the cell-assignment half of IVF, exposed as a first-class

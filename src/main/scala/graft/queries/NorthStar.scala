@@ -110,6 +110,19 @@ object NorthStar {
       .orderBy($"grp")
   }
 
+  // JL sign projection 64→16: exact integer-micro dots, serialized to
+  // micro-unit CSV for the bit-exact hash compare.
+  val randomProjection: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.signRandomProjection(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, outDim = 16)
+      .select($"vec_id",
+        array_join(transform($"projected",
+          x => round(x * 1e6, 0).cast("long").cast("string")), ",")
+          .as("projected_micro_csv"))
+      .orderBy($"vec_id")
+  }
+
   // Nearest-prototype assignment: class centroids collect (10 × 64
   // doubles) and unroll into one literal-coefficient argmin projection
   // — zero joins/shuffles over the corpus side.
@@ -493,7 +506,8 @@ object NorthStar {
     "ns_group_centroids" -> groupCentroidsQ,
     "ns_cluster_assign" -> clusterAssign,
     "ns_group_diversity" -> groupDiversityQ,
-    "ns_knn_classify" -> knnClassifyQ
+    "ns_knn_classify" -> knnClassifyQ,
+    "ns_random_projection" -> randomProjection
   )
 
   // ---------------- oracle SQL ----------------
@@ -530,6 +544,17 @@ object NorthStar {
   private val lshBits = (0 until 8).map { b =>
     s"CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END"
   }.mkString(" + ")
+
+  // JL sign-projection sums in integer micro-units (offset-53 family,
+  // mirroring Similarity.signRandomProjection) — exact BIGINT sums, so
+  // the compare is bit-exact, not rounding-tolerant.
+  private val rpProjs = (0 until 16).map { j =>
+    val c = j.toLong * 104729L + 53L
+    s"SUM(CASE WHEN ((i*7919 + $c) * (i*7919 + $c) // 1024) % 2 = 0" +
+      s" THEN CAST(ROUND(v[i]*1000000) AS BIGINT)" +
+      s" ELSE -CAST(ROUND(v[i]*1000000) AS BIGINT) END) AS p$j"
+  }.mkString(", ")
+  private val rpCsv = (0 until 16).map(j => s"p$j").mkString("concat_ws(',', ", ", ", ")")
 
   val oracle: Map[String, String] = Map(
     "ns_dedup_exact" ->
@@ -705,6 +730,14 @@ object NorthStar {
         |FROM (SELECT query_id, lbl, votes,
         |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS rn FROM votes)
         |WHERE rn = 1 ORDER BY query_id""".sm,
+    "ns_random_projection" ->
+      (s"""WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |proj AS (
+        | SELECT vec_id, $rpProjs FROM e, pos GROUP BY vec_id
+        |)
+        |SELECT vec_id, $rpCsv AS projected_micro_csv FROM proj ORDER BY vec_id""").sm,
     "ns_ann_topk" ->
       """WITH e AS (
         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

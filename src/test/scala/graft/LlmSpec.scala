@@ -269,6 +269,30 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(out.keySet.forall(k => re(k) == out(k)._1))
   }
 
+  test("sign random projection matches sequential reference and is linear") {
+    def ref(v: Array[Double], dim: Int, outDim: Int): Array[Double] =
+      (0 until outDim).map { j =>
+        (1 to dim).map { i =>
+          val h = i.toLong * 7919L + j.toLong * 104729L + 53L
+          val s = if ((h * h / 1024L) % 2L == 0L) 1.0 else -1.0
+          s * math.round(v(i - 1) * 1e6).toDouble
+        }.sum / 1e6
+      }.toArray
+    val out = Similarity.signRandomProjection(vecs, "vec_id", "embedding", 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val in = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    for ((id, v) <- in)
+      assert(out(id).sameElements(ref(v, 4, 3)), s"vec $id: ${out(id).toList} vs ${ref(v, 4, 3).toList}")
+    // linearity in micro-space: R(a) - R(b) == R(a_micro - b_micro) exactly
+    // (rounding itself is not linear, so the diff is taken AFTER micro-rounding)
+    val a = in(0L); val b = in(1L)
+    val diffMicro = a.zip(b).map { case (x, y) =>
+      (math.round(x * 1e6) - math.round(y * 1e6)) / 1e6 }
+    val lhs = out(0L).zip(out(1L)).map { case (x, y) => math.round((x - y) * 1e6) }
+    val rhs = ref(diffMicro, 4, 3).map(x => math.round(x * 1e6))
+    assert(lhs.sameElements(rhs), s"${lhs.toList} vs ${rhs.toList}")
+  }
+
   test("centroid assignment picks nearest prototype; ties break low; null vec is null") {
     val cents = Seq((0, Array(1.0f, 0.0f, 0.0f, 0.0f), 1L),
       (1, Array(0.0f, 1.0f, 0.0f, 0.0f), 1L)).toDF("grp", "centroid", "n_vectors")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.schema.{CardStats, StreamTxn}
-import graft.stream.{OnlineStore, StreamPipeline}
+import graft.stream.{OnlineStore, StreamPipeline, Trending}
 
 /** Streaming plane via MemoryStream (SURVEY §5.4): JSON parse, sliding
   * windows + watermark, latest-wins stateful merge, online store. */
@@ -180,6 +180,36 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
       assert(readme.toLowerCase.contains("kafka"),
         "README deviation note for the Kafka connector went missing")
     }
+  }
+
+  test("trending tokens: closed windows emit final counts; top-k ranks them") {
+    val mem = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val counts = Trending.tokenWindowCounts(docs, "text", "ts",
+      watermarkDelay = "0 seconds", size = "60 seconds", slide = "60 seconds",
+      minCount = 2L)
+    val q = counts.writeStream.format("memory").queryName("trend_t")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "spam spam spam ham", ts("2024-01-01 10:00:05")),
+      (2L, "spam eggs ham", ts("2024-01-01 10:00:20")),
+      (3L, "quiet words only here", ts("2024-01-01 10:00:40")))
+    q.processAllAvailable()
+    // watermark far past the 10:00 window → its final counts emit
+    mem.addData((9L, "later doc", ts("2024-01-01 12:00:00")))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("trend_t")
+    val m = emitted
+      .select($"window.start".cast("string").as("ws"), $"token", $"n")
+      .as[(String, String, Long)].collect()
+      .filter(_._1 == "2024-01-01 10:00:00").map(t => t._2 -> t._3).toMap
+    // minCount=2 prunes the singleton tail: only spam(4) and ham(2) survive
+    assert(m == Map("spam" -> 4L, "ham" -> 2L), s"got $m")
+    val top1 = Trending.topKPerWindow(emitted, k = 1)
+      .select($"window.start".cast("string"), $"token", $"n", $"rank")
+      .as[(String, String, Long, Int)].collect()
+      .filter(_._1 == "2024-01-01 10:00:00")
+    assert(top1.toList == List(("2024-01-01 10:00:00", "spam", 4L, 1)), s"got ${top1.toList}")
   }
 
   test("online store compaction keeps only retained rows") {

@@ -622,6 +622,42 @@ object Similarity {
     df.select(col(idCol), array(proj: _*).as("projected"))
   }
 
+  /** Per-dimension z-score standardization of an embedding column —
+    * the feature-scaling pass in front of distance-based models (the
+    * MLlib StandardScaler semantics, re-expressed SQL-native and
+    * engine-exact). Two phases: (1) ONE hash aggregate over the
+    * exploded positions computes per-dim count / Σx / Σx² on integer
+    * micro-units (·1e6), so the moment sums are EXACT integers —
+    * order-independent, no floating drift; (2) the dim-sized moment
+    * table collects and unrolls into literal mean/std arrays applied in
+    * a single zero-shuffle projection (same pattern as
+    * [[assignToCentroids]]). mean, var = Σm²/n − mean² (population),
+    * std and z all derive from the exact integer sums through one fixed
+    * IEEE op sequence, so results are bit-identical across engines and
+    * partition orders. Zero-variance dims yield null z (not ±Inf);
+    * output z rounds to 6 dp. Output: (idCol, z: array<double>). */
+  def standardizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val micro = df.select(
+      posexplode(transform(asDouble(col(vecCol)), x => round(x * 1e6, 0).cast("long")))
+        .as(Seq("idx", "m")))
+    val moments = micro.groupBy(col("idx"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        sum(col("m") * col("m")).as("sm2"))
+      .orderBy(col("idx"))
+      .collect().map { r =>
+        val n = r.getLong(1).toDouble
+        val mean = r.getLong(2).toDouble / n
+        val varr = r.getLong(3).toDouble / n - mean * mean
+        (mean, math.sqrt(varr))
+      }
+    val means = array(moments.map(m => lit(m._1)): _*)
+    val stds = array(moments.map(m => lit(m._2)): _*)
+    val mv = transform(asDouble(col(vecCol)), x => round(x * 1e6, 0))
+    val z = zip_with(zip_with(mv, means, (m, mu) => m - mu), stds,
+      (d, s) => round(when(s > 0.0, d / s), 6))
+    df.select(col(idCol), z.as("z"))
+  }
+
   /** Nearest-prototype assignment: label every vector with its closest
     * centroid (squared euclidean) — the classification half of
     * k-means / the cell-assignment half of IVF, exposed as a first-class

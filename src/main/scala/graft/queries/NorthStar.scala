@@ -110,6 +110,30 @@ object NorthStar {
       .orderBy($"grp")
   }
 
+  // Per-dim z-score scaler: exact integer-micro moments (one agg) →
+  // literal mean/std arrays applied shuffle-free; bit-exact compare.
+  val standardizeQ: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.standardizeEmbeddings(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select($"vec_id",
+        array_join(transform($"z",
+          x => round(x * 1e6, 0).cast("long").cast("string")), ",", "null")
+          .as("z_micro_csv"))
+      .orderBy($"vec_id")
+  }
+
+  // Corpus-ops diagnostic: per-source exact-dup rate in one aggregate.
+  val dedupBySource: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_unique"))
+      .select($"source", $"n_docs", $"n_unique",
+        round(lit(1.0) - $"n_unique".cast("double") / $"n_docs", 6).as("dup_rate"))
+      .orderBy($"source")
+  }
+
   // JL sign projection 64→16: exact integer-micro dots, serialized to
   // micro-unit CSV for the bit-exact hash compare.
   val randomProjection: Q = (s, dir) => {
@@ -507,7 +531,9 @@ object NorthStar {
     "ns_cluster_assign" -> clusterAssign,
     "ns_group_diversity" -> groupDiversityQ,
     "ns_knn_classify" -> knnClassifyQ,
-    "ns_random_projection" -> randomProjection
+    "ns_random_projection" -> randomProjection,
+    "ns_standardize" -> standardizeQ,
+    "ns_dedup_by_source" -> dedupBySource
   )
 
   // ---------------- oracle SQL ----------------
@@ -738,6 +764,30 @@ object NorthStar {
         | SELECT vec_id, $rpProjs FROM e, pos GROUP BY vec_id
         |)
         |SELECT vec_id, $rpCsv AS projected_micro_csv FROM proj ORDER BY vec_id""").sm,
+    "ns_standardize" ->
+      """WITH e AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS m
+        | FROM embeddings
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |mom AS (
+        | SELECT i, COUNT(*) AS n, SUM(m[i]) AS sm, SUM(m[i]*m[i]) AS sm2 FROM e, pos GROUP BY 1
+        |), ms AS (
+        | SELECT i, CAST(sm AS DOUBLE)/n AS mean,
+        |  SQRT(CAST(sm2 AS DOUBLE)/n - (CAST(sm AS DOUBLE)/n)*(CAST(sm AS DOUBLE)/n)) AS std
+        | FROM mom
+        |), z AS (
+        | SELECT e.vec_id, ms.i,
+        |  CASE WHEN ms.std > 0 THEN ROUND((e.m[ms.i] - ms.mean)/ms.std, 6) END AS zv
+        | FROM e, ms
+        |)
+        |SELECT vec_id,
+        | string_agg(COALESCE(CAST(CAST(ROUND(zv*1000000) AS BIGINT) AS VARCHAR), 'null'), ',' ORDER BY i) AS z_micro_csv
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".sm,
+    "ns_dedup_by_source" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+        | ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)/COUNT(*), 6) AS dup_rate
+        |FROM documents GROUP BY 1 ORDER BY source""".sm,
     "ns_ann_topk" ->
       """WITH e AS (
         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

@@ -293,6 +293,23 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(lhs.sameElements(rhs), s"${lhs.toList} vs ${rhs.toList}")
   }
 
+  test("standardize: z-scores match hand moments; constant dim is null; output is (0,1)") {
+    // dim 0: values 1,3 → mean 2, pop-std 1; dim 1: constant → null z
+    val d = Seq((0L, Array(1.0f, 5.0f)), (1L, Array(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.standardizeEmbeddings(d, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[java.lang.Double](1).toList).toMap
+    assert(z(0L) == List[java.lang.Double](-1.0, null), s"got ${z(0L)}")
+    assert(z(1L) == List[java.lang.Double](1.0, null), s"got ${z(1L)}")
+    // standardized fixture column has mean ~0 and pop-variance ~1
+    val zs = Similarity.standardizeEmbeddings(vecs, "vec_id", "embedding")
+      .collect().flatMap(_.getSeq[java.lang.Double](1).headOption.map(_.toDouble))
+    val mean = zs.sum / zs.length
+    val varr = zs.map(x => x * x).sum / zs.length - mean * mean
+    assert(math.abs(mean) < 1e-6 && math.abs(varr - 1.0) < 1e-4,
+      s"mean=$mean var=$varr")
+  }
+
   test("centroid assignment picks nearest prototype; ties break low; null vec is null") {
     val cents = Seq((0, Array(1.0f, 0.0f, 0.0f, 0.0f), 1L),
       (1, Array(0.0f, 1.0f, 0.0f, 0.0f), 1L)).toDF("grp", "centroid", "n_vectors")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Shards, Similarity, TextStats}
+import graft.llm.{CorpusPrep, Dedup, Shards, Similarity, TextStats}
 
 /** North-star LLM-data-pipeline inventory (SURVEY.md §2.12): dedup,
   * similarity search, text analysis, multimodal plumbing — each an
@@ -108,6 +108,19 @@ object NorthStar {
           .as("centroid_micro_csv"),
         $"n_vectors")
       .orderBy($"grp")
+  }
+
+  // Flagship composition: gate → dedup → decontaminate → mixture →
+  // shard, end-to-end, against ONE composed oracle (each stage also has
+  // its own oracle query).
+  val corpusPrep: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    CorpusPrep.prepare(docs, docs.filter($"doc_id" % 37 === 0),
+        "doc_id", "text", "source",
+        rates = Map("src0" -> 0.25, "src1" -> 0.75), defaultRate = 0.5,
+        minOverlap = 6, nShards = 16)
+      .orderBy($"doc_id")
   }
 
   // Per-dim z-score scaler: exact integer-micro moments (one agg) →
@@ -533,7 +546,8 @@ object NorthStar {
     "ns_knn_classify" -> knnClassifyQ,
     "ns_random_projection" -> randomProjection,
     "ns_standardize" -> standardizeQ,
-    "ns_dedup_by_source" -> dedupBySource
+    "ns_dedup_by_source" -> dedupBySource,
+    "ns_corpus_prep" -> corpusPrep
   )
 
   // ---------------- oracle SQL ----------------
@@ -788,6 +802,54 @@ object NorthStar {
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
         | ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)/COUNT(*), 6) AS dup_rate
         |FROM documents GROUP BY 1 ORDER BY source""".sm,
+    "ns_corpus_prep" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, toks[i + 1] AS tk
+        | FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(toks)),
+        |tstats AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tk) AS n_distinct FROM tok GROUP BY 1),
+        |bg AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS b
+        | FROM d CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(toks) - 1),
+        |bstats AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+        | FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |cols AS (SELECT doc_id,
+        |  ROUND(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks), 6) AS avg_tok_len,
+        |  ROUND(CAST(len(list_filter(toks, t -> list_contains(['the','a','an','of','and','or','to','in','is','are','was','for','on','with','as','at','by','it','that','this'], t))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        | FROM d),
+        |j AS (SELECT c.doc_id, t.n_tokens, c.avg_tok_len, c.stopword_ratio,
+        |  ROUND(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6) AS dup_word_frac,
+        |  ROUND(CAST(b.mx AS DOUBLE) / b.tot, 6) AS top_bigram_frac
+        | FROM cols c JOIN tstats t USING (doc_id) LEFT JOIN bstats b USING (doc_id)),
+        |pass AS (SELECT doc_id FROM (SELECT doc_id, concat_ws(',',
+        |  CASE WHEN n_tokens < 16 THEN 'too_short' END,
+        |  CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+        |  CASE WHEN NOT (avg_tok_len BETWEEN 2.0 AND 12.0) THEN 'tok_len' END,
+        |  CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+        |  CASE WHEN dup_word_frac > 0.7 THEN 'dup_words' END,
+        |  CASE WHEN top_bigram_frac > 0.18 THEN 'rep_bigram' END) AS fr FROM j) WHERE fr = ''),
+        |clean AS (SELECT dd.doc_id, dd.text, dd.source FROM documents dd JOIN pass USING (doc_id)),
+        |ded AS (SELECT doc_id, text, source FROM clean
+        | WHERE doc_id IN (SELECT MIN(doc_id) FROM clean GROUP BY md5(text))),
+        |dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ded),
+        |dsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shs FROM dt WHERE len(tk) >= 3),
+        |corpus AS (SELECT doc_id, UNNEST(shs) AS sh FROM dsh),
+        |btk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id % 37 = 0),
+        |bsh AS (SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh FROM btk WHERE len(tk) >= 3),
+        |hits AS (SELECT c.doc_id, COUNT(b.sh) AS n_hits
+        | FROM corpus c LEFT JOIN bsh b ON c.sh = b.sh GROUP BY 1),
+        |decon AS (SELECT ded.doc_id, ded.source FROM ded LEFT JOIN hits USING (doc_id)
+        | WHERE COALESCE(n_hits, 0) < 6),
+        |mix AS (SELECT doc_id, source,
+        |   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h
+        | FROM decon)
+        |SELECT doc_id, source, CAST(h % 16 AS INTEGER) AS shard FROM mix
+        |WHERE h < CASE WHEN source = 'src0' THEN 16384
+        |             WHEN source = 'src1' THEN 49152 ELSE 32768 END
+        |ORDER BY doc_id""".sm,
     "ns_ann_topk" ->
       """WITH e AS (
         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{CorpusPrep, Dedup, Multimodal, Similarity, TextStats}
 
 /** North-star operator semantics on crafted fixtures. */
 class LlmSpec extends AnyFunSuite with SparkSuite {
@@ -291,6 +291,28 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     val lhs = out(0L).zip(out(1L)).map { case (x, y) => math.round((x - y) * 1e6) }
     val rhs = ref(diffMicro, 4, 3).map(x => math.round(x * 1e6))
     assert(lhs.sameElements(rhs), s"${lhs.toList} vs ${rhs.toList}")
+  }
+
+  test("corpus prep drops each stage's casualties and shards the survivors") {
+    val good = "the quick brown fox jumps over a lazy dog and then it runs to the river bank again"
+    val contaminatedTxt = "this is the exact benchmark sentence that must be caught by decontamination of the corpus here"
+    val d = Seq(
+      (1L, good, "srcA"),                       // survives everything
+      (2L, good, "srcA"),                       // exact dup of 1 → dropped (keep-first)
+      (3L, "short text", "srcA"),               // gopher too_short → dropped
+      (4L, contaminatedTxt, "srcA"),            // shares ≥6 shingles with bench → dropped
+      (5L, "a completely original document with the quick pace and many fine words in it for the test", "srcA")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, contaminatedTxt)).toDF("doc_id", "text")
+    val out = CorpusPrep.prepare(d, bench, "doc_id", "text", "source",
+        rates = Map.empty, defaultRate = 1.0, minOverlap = 6, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.map(_._1).sorted.toList == List(1L, 5L), s"got ${out.toList}")
+    assert(out.forall(r => r._3 >= 0 && r._3 < 4))
+    // mixture at rate 0 drops everything deterministically
+    val none = CorpusPrep.prepare(d, bench, "doc_id", "text", "source",
+      rates = Map("srcA" -> 0.0), defaultRate = 1.0, minOverlap = 6, nShards = 4)
+    assert(none.count() == 0)
   }
 
   test("standardize: z-scores match hand moments; constant dim is null; output is (0,1)") {

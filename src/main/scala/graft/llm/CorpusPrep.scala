@@ -25,19 +25,30 @@ object CorpusPrep {
 
   /** Returns the surviving corpus as (idCol, sourceCol, shard). Docs
     * too short to shingle pass decontamination unscreened (same
-    * convention as [[Dedup.contaminationFlags]]). */
+    * convention as [[Dedup.contaminationFlags]]).
+    *
+    * Each stage's DECISION (an id set, corpus-fraction sized, id-only)
+    * is `localCheckpoint`ed before the next stage consumes it —
+    * without the barrier, stage N's lineage re-evaluates every prior
+    * stage's full computation (measured at the 10× probe: the Gopher
+    * aggregates ran 4×, the dedup hash-agg 3×; 11.9 s → 5.3 s). The
+    * corpus rows themselves are never materialized — the big side of
+    * every join is the original scan plus cheap semi joins. */
   def prepare(docs: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, sourceCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0,
       minOverlap: Int = 6, nShards: Int = 16): DataFrame = {
     val pass = TextStats.gopherFilter(docs, idCol, textCol)
       .filter(col("keep")).select(col("doc_id").as("__kid"))
+      .localCheckpoint()
     val clean = docs.join(pass, col(idCol) === col("__kid"), "left_semi")
     val dedKeep = Dedup.exactGroups(clean, idCol, md5(col(textCol)))
       .select(col("keep_id").as("__did"))
+      .localCheckpoint()
     val ded = clean.join(dedKeep, col(idCol) === col("__did"), "left_semi")
     val contaminated = Dedup.bloomDecontaminate(ded, benchmark, idCol, textCol, minOverlap)
       .filter(col("contaminated")).select(col("doc_id").as("__cid"))
+      .localCheckpoint()
     val decon = ded.join(contaminated, col(idCol) === col("__cid"), "left_anti")
     Shards.mixtureSampleByRate(decon, idCol, sourceCol, rates, defaultRate)
       .select(col(idCol), col(sourceCol),

@@ -81,6 +81,41 @@ object Scratch {
       time("gopherFilter")(
         TextStats.gopherFilter(docs, "doc_id", "text").count())
     }
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.llm.{CorpusPrep, Similarity}
+      val withSrc = docs.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+      // Bench draws from the ORIGINAL id range only — at scaleX>1 every
+      // text has offset copies, so a bench over the union contaminates
+      // the whole corpus and the probe measures an empty pipeline.
+      time("corpusPrep")(
+        CorpusPrep.prepare(withSrc,
+          docs.filter(col("doc_id") < 1000000L && col("doc_id") % 37 === 0),
+          "doc_id", "text", "source",
+          Map("src0" -> 0.25, "src1" -> 0.75), 0.5, 6, 16).count())
+      // Synthetic embedding table for the linear embedding ops:
+      // scaleX × 20k hash-random 64-dim vectors (deterministic).
+      val emb = spark.range(20000L * scaleX).select(col("id").as("vec_id"),
+        pmod(col("id"), lit(10)).cast("int").as("label"),
+        transform(sequence(lit(1), lit(64)),
+          i => pmod(hash(col("id"), i), lit(1000)) / 1000.0).as("embedding"))
+        .cache()
+      println(s"embeddings: ${emb.count()} (64-dim)")
+      time("groupCentroids")(
+        Similarity.groupCentroids(emb, "label", "embedding").count())
+      time("clusterAssign")(Similarity.assignToCentroids(emb, "vec_id", "embedding",
+        Similarity.groupCentroids(emb, "label", "embedding")).count())
+      time("groupDiversity")(
+        Similarity.groupDiversity(emb, "label", "embedding").count())
+      time("standardize")(
+        Similarity.standardizeEmbeddings(emb, "vec_id", "embedding").count())
+      time("signRandomProjection")(
+        Similarity.signRandomProjection(emb, "vec_id", "embedding", 64, 16).count())
+      time("knnClassify(25q)")(Similarity.knnClassify(
+        emb.filter(col("vec_id") < 25), emb, "vec_id", "embedding", "label", 5).count())
+      emb.unpersist()
+    }
     spark.stop()
   }
 }

@@ -53,6 +53,27 @@ object Shards {
     df.filter(v < cut)
   }
 
+  /** Quality-weighted (soft) sampling — keep each row with probability
+    * proportional to a per-row quality score instead of a hard
+    * threshold: keep iff h16 < 65536·clamp((score−lo)/(hi−lo), 0, 1).
+    * The soft gate several published corpus pipelines use in place of
+    * a binary filter (hard thresholds cliff-edge the distribution; a
+    * ramp keeps a graded sample of mid-quality docs). Same 16-bit md5
+    * coin as [[shardId]]/[[mixtureSampleByRate]]: deterministic,
+    * engine-portable, zero shuffle — a pure filter riding the scan.
+    * Rows at/below `lo` are always dropped, at/above `hi` always kept. */
+  def softSampleByScore(df: DataFrame, keyCol: String, score: Column,
+      lo: Double, hi: Double): DataFrame = {
+    require(hi > lo, s"hi=$hi must exceed lo=$lo")
+    val hex = md5(col(keyCol).cast("string"))
+    val v = (0 until 4).map { d =>
+      (instr(lit("0123456789abcdef"), substring(hex, d + 1, 1)) - 1) *
+        lit(1 << (4 * (3 - d)))
+    }.reduce(_ + _)
+    val rate = least(lit(1.0), greatest(lit(0.0), (score - lo) / (hi - lo)))
+    df.filter(v.cast("double") < rate * 65536.0)
+  }
+
   /** Temperature-based mixture weights (the multilingual/multi-source
     * sampling rule of T5/mT5 — Raffel et al. 2020 §3.4.4, p(L) ∝ |L|^α
     * with α < 1 upweighting low-resource groups): per group, the doc

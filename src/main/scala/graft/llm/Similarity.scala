@@ -743,6 +743,66 @@ object Similarity {
       .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"))
   }
 
+  /** Greedy MMR (maximal marginal relevance, Carbonell & Goldstein
+    * 1998) diverse top-k WITHIN each group: repeatedly pick the item
+    * maximizing λ·score − (1−λ)·max-cosine-to-already-picked. Pure
+    * top-k by score returns k near-copies when a cluster is redundant;
+    * MMR trades relevance against novelty — the selection step behind
+    * dedup-aware sampling and retrieval re-ranking.
+    *
+    * The greedy chain is inherently sequential, so each group runs as
+    * one typed `flatMapGroups` call over its member list — groups
+    * distribute, members don't. That bounds the unit of work at ONE
+    * group (cluster/block sized by construction upstream); `maxGroup`
+    * hard-caps the in-memory list (members taken in ascending-id order
+    * — deterministic) so a degenerate group cannot OOM an executor.
+    * O(k·|group|·dim) per group. Ties break to the lowest id; scores
+    * round to 6 dp. Output: (grp, rank, id, mmr: the round-winning
+    * marginal score; rank 1 = highest raw score, seed pick). */
+  def diverseTopKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, scoreCol: String, k: Int, lambda: Double = 0.7,
+      maxGroup: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(groupCol).cast("long").as("grp"),
+        col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec"), col(scoreCol).cast("double").as("score"))
+      .as[(Long, Long, Seq[Double], Double)]
+    ds.groupByKey(_._1).flatMapGroups { (g, it) =>
+      val items = it.take(maxGroup).toArray.sortBy(x => (x._2))
+      val vecs = items.map(_._3.toArray)
+      val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+      def cos(i: Int, j: Int): Double = {
+        if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
+        else {
+          var s = 0.0; var d = 0
+          val a = vecs(i); val b = vecs(j)
+          while (d < a.length && d < b.length) { s += a(d) * b(d); d += 1 }
+          s / (norms(i) * norms(j))
+        }
+      }
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      while (picked.length < math.min(k, items.length)) {
+        var bestIdx = -1; var bestVal = Double.NegativeInfinity
+        var i = 0
+        while (i < items.length) {
+          if (!picked.contains(i)) {
+            val maxSim = if (picked.isEmpty) 0.0 else picked.map(j => cos(i, j)).max
+            val mmr = lambda * items(i)._4 - (1.0 - lambda) * maxSim
+            // strict > keeps the earliest (lowest-id) candidate on ties
+            if (mmr > bestVal) { bestVal = mmr; bestIdx = i }
+          }
+          i += 1
+        }
+        picked += bestIdx
+        out += ((g, picked.length, items(bestIdx)._2,
+          math.rint(bestVal * 1e6) / 1e6))
+      }
+      out.iterator
+    }.toDF("grp", "rank", "id", "mmr")
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× compression step before shipping vectors to an ANN
     * index: scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127,127].

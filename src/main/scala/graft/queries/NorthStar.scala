@@ -110,6 +110,29 @@ object NorthStar {
       .orderBy($"grp")
   }
 
+  // MMR diverse top-5 per label (score = vector norm): greedy
+  // relevance-vs-novelty selection, one flatMapGroups per label.
+  // No SQL oracle (sequential greedy) — rows-checked; semantics pinned
+  // in LlmSpec against hand-traced picks.
+  val diverseTopk: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .withColumn("score", round(Similarity.norm(Similarity.asDouble($"embedding")), 6))
+    Similarity.diverseTopKPerGroup(e, "label", "vec_id", "embedding", "score", k = 5)
+      .orderBy($"grp", $"rank")
+  }
+
+  // Soft quality gate: keep probability ramps 0→1 as the stopword
+  // ratio climbs 0→0.3 — deterministic md5 coin, zero shuffle.
+  val softSample: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    Shards.softSampleByScore(docs, "doc_id",
+        TextStats.stopwordRatio($"text"), lo = 0.0, hi = 0.3)
+      .select($"doc_id", TextStats.stopwordRatio($"text").as("stopword_ratio"))
+      .orderBy($"doc_id")
+  }
+
   // Flagship composition: gate → dedup → decontaminate → mixture →
   // shard, end-to-end, against ONE composed oracle (each stage also has
   // its own oracle query).
@@ -547,7 +570,9 @@ object NorthStar {
     "ns_random_projection" -> randomProjection,
     "ns_standardize" -> standardizeQ,
     "ns_dedup_by_source" -> dedupBySource,
-    "ns_corpus_prep" -> corpusPrep
+    "ns_corpus_prep" -> corpusPrep,
+    "ns_soft_sample" -> softSample,
+    "ns_diverse_topk" -> diverseTopk
   )
 
   // ---------------- oracle SQL ----------------
@@ -802,6 +827,18 @@ object NorthStar {
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
         | ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)/COUNT(*), 6) AS dup_rate
         |FROM documents GROUP BY 1 ORDER BY source""".sm,
+    "ns_soft_sample" ->
+      """WITH r AS (
+        | SELECT doc_id,
+        |  ROUND(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','an','of','and','or','to','in','is','are','was','for','on','with','as','at','by','it','that','this'], t))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h
+        | FROM documents)
+        |SELECT doc_id, stopword_ratio FROM r
+        |WHERE CAST(h AS DOUBLE) < LEAST(1.0, GREATEST(0.0, (stopword_ratio - 0.0) / 0.3)) * 65536.0
+        |ORDER BY doc_id""".sm,
     "ns_corpus_prep" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |tok AS (SELECT doc_id, toks[i + 1] AS tk

@@ -293,6 +293,47 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(lhs.sameElements(rhs), s"${lhs.toList} vs ${rhs.toList}")
   }
 
+  test("MMR diverse top-k trades redundant high scorers for novel picks") {
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f), 1.0, 0),   // seed: top score
+      (2L, Array(0.99f, 0.14f), 0.9, 0), // near-copy of 1, 2nd-best score
+      (3L, Array(0.0f, 1.0f), 0.5, 0)    // orthogonal, lower score
+    ).toDF("vec_id", "embedding", "score", "label")
+    // λ=0.5: second pick is the orthogonal doc (0.25 beats 0.45−0.5·sim≈−0.04)
+    val half = Similarity.diverseTopKPerGroup(d, "label", "vec_id", "embedding",
+        "score", k = 2, lambda = 0.5)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(half.toList == List((1, 1L), (2, 3L)), s"got ${half.toList}")
+    // λ=1: pure relevance — redundancy ignored, near-copy wins
+    val pure = Similarity.diverseTopKPerGroup(d, "label", "vec_id", "embedding",
+        "score", k = 2, lambda = 1.0)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(pure.toList == List((1, 1L), (2, 2L)), s"got ${pure.toList}")
+    // exact ties (identical rows) break to the lowest id
+    val ties = Seq((7L, Array(1.0f, 0.0f), 1.0, 0), (5L, Array(1.0f, 0.0f), 1.0, 0))
+      .toDF("vec_id", "embedding", "score", "label")
+    val t1 = Similarity.diverseTopKPerGroup(ties, "label", "vec_id", "embedding",
+      "score", k = 1).collect().map(_.getLong(2))
+    assert(t1.toList == List(5L))
+  }
+
+  test("soft sampling: clamp edges are absolute, mid-ramp keeps ~rate, deterministic") {
+    import graft.llm.Shards
+    val n = 4000
+    val df = spark.range(n).select(col("id"), lit(0.15).as("s")) // rate = 0.5
+    val kept = Shards.softSampleByScore(df, "id", col("s"), 0.0, 0.3)
+    assert(math.abs(kept.count() - n / 2.0) < n * 0.05)
+    // same coin → identical keep set on re-evaluation
+    assert(Shards.softSampleByScore(df, "id", col("s"), 0.0, 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet ==
+      kept.select("id").collect().map(_.getLong(0)).toSet)
+    // at/above hi → always kept (clamped to 1); at/below lo → always dropped
+    assert(Shards.softSampleByScore(df.withColumn("s", lit(0.7)), "id",
+      col("s"), 0.0, 0.3).count() == n)
+    assert(Shards.softSampleByScore(df.withColumn("s", lit(-0.1)), "id",
+      col("s"), 0.0, 0.3).count() == 0)
+  }
+
   test("corpus prep drops each stage's casualties and shards the survivors") {
     val good = "the quick brown fox jumps over a lazy dog and then it runs to the river bank again"
     val contaminatedTxt = "this is the exact benchmark sentence that must be caught by decontamination of the corpus here"

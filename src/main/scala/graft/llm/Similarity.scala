@@ -636,11 +636,21 @@ object Similarity {
     * IEEE op sequence, so results are bit-identical across engines and
     * partition orders. Zero-variance dims yield null z (not ±Inf);
     * output z rounds to 6 dp. Output: (idCol, z: array<double>). */
-  def standardizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def standardizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    standardizeWith(df, idCol, vecCol, fitMoments(df, vecCol))
+
+  /** Phase 1 of [[standardizeEmbeddings]]: the per-dim (mean, std) table
+    * in micro-units, as plain arrays — fit ONCE on the training corpus,
+    * persist alongside the model, and hand to [[standardizeWith]] for
+    * every subsequent batch or STREAM (the apply phase is a stateless
+    * projection, so it drops into a streaming select as-is; the fit is
+    * an aggregation and cannot). Same fit-once/apply-many split as
+    * [[fitIvfCentroids]]/[[ivfTopKWith]]. */
+  def fitMoments(df: DataFrame, vecCol: String): Array[(Double, Double)] = {
     val micro = df.select(
       posexplode(transform(asDouble(col(vecCol)), x => round(x * 1e6, 0).cast("long")))
         .as(Seq("idx", "m")))
-    val moments = micro.groupBy(col("idx"))
+    micro.groupBy(col("idx"))
       .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
         sum(col("m") * col("m")).as("sm2"))
       .orderBy(col("idx"))
@@ -650,6 +660,14 @@ object Similarity {
         val varr = r.getLong(3).toDouble / n - mean * mean
         (mean, math.sqrt(varr))
       }
+  }
+
+  /** Phase 2 of [[standardizeEmbeddings]]: apply pre-fit micro-unit
+    * moments as one zero-shuffle, zero-state projection (works
+    * unchanged on a streaming DataFrame). */
+  def standardizeWith(df: DataFrame, idCol: String, vecCol: String,
+      moments: Array[(Double, Double)]): DataFrame = {
+    require(moments.nonEmpty, "empty moments")
     val means = array(moments.map(m => lit(m._1)): _*)
     val stds = array(moments.map(m => lit(m._2)): _*)
     val mv = transform(asDouble(col(vecCol)), x => round(x * 1e6, 0))

@@ -212,6 +212,27 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(top1.toList == List(("2024-01-01 10:00:00", "spam", 4L, 1)), s"got ${top1.toList}")
   }
 
+  test("pre-fit scaler moments apply inside a streaming projection") {
+    import graft.llm.Similarity
+    // fit on a small "training corpus" batch-side
+    val train = Seq((0L, Array(1.0f, 5.0f)), (1L, Array(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val moments = Similarity.fitMoments(train, "embedding")
+    // apply to a STREAM of fresh vectors — stateless projection
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val z = Similarity.standardizeWith(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", moments)
+    val q = z.writeStream.format("memory").queryName("zstream_t")
+      .outputMode("append").start()
+    mem.addData((10L, Array(1.0f, 9.0f)), (11L, Array(2.0f, 5.0f)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("zstream_t").collect()
+      .map(r => r.getLong(0) -> r.getSeq[java.lang.Double](1).toList).toMap
+    // dim 0: mean 2, std 1 → z(1)=-1, z(2)=0; dim 1 constant → null
+    assert(out(10L) == List[java.lang.Double](-1.0, null), s"got ${out(10L)}")
+    assert(out(11L) == List[java.lang.Double](0.0, null), s"got ${out(11L)}")
+  }
+
   test("online store compaction keeps only retained rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_oc_").toString + "/log"
     val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)

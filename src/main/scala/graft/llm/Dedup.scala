@@ -716,4 +716,23 @@ object Dedup {
         count(when(!coalesce(col("covered"), lit(false)), 1)).as("n_kept"),
         count(when(coalesce(col("covered"), lit(false)), 1)).as("n_removed"))
   }
+
+  /** Corpus snapshot diff — classify every doc id across two corpus
+    * versions as added / removed / changed / unchanged (by content
+    * fingerprint), the delta report behind incremental recrawls and
+    * dataset version audits. ONE full-outer join on the natural key
+    * (both sides shuffle-partitioned on id — co-partitioned at any
+    * scale) comparing md5 fingerprints, never raw text, across the
+    * join. Output: (idCol, status). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__id"), md5(col(textCol)).as("__ofp"))
+    val n = newDocs.select(col(idCol).as("__id"), md5(col(textCol)).as("__nfp"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__ofp").isNull, "added")
+          .when(col("__nfp").isNull, "removed")
+          .when(col("__ofp") =!= col("__nfp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -110,6 +110,40 @@ object NorthStar {
       .orderBy($"grp")
   }
 
+  // Snapshot delta: old = ids with doc_id % 10 < 8, new = ids with
+  // doc_id % 10 > 1, texts of % 7 == 0 docs "edited" in the new
+  // snapshot — exercises all four statuses in one diff.
+  val corpusDiff: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val old = docs.filter($"doc_id" % 10 < 8)
+    val neu = docs.filter($"doc_id" % 10 > 1)
+      .withColumn("text",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" v2"))).otherwise($"text"))
+    Dedup.snapshotDiff(old, neu, "doc_id", "text").orderBy($"doc_id")
+  }
+
+  // Burst detection over event streams (batch twin of the trending
+  // screen): hourly counts per event type, z-scored against the
+  // trailing-6-observation mean/std — flag z > 3.
+  val eventBursts: Q = (s, dir) => {
+    import s.implicits._
+    val sec = $"ts".cast("long")
+    val counts = t(s, dir, "events")
+      .groupBy((sec - sec % 3600).as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"event_type").orderBy($"hour_start").rowsBetween(-6, -1)
+    counts
+      .withColumn("base_avg", round(avg($"n").over(w), 6))
+      .withColumn("base_std", round(stddev($"n").over(w), 6))
+      .withColumn("z", round(when($"base_std" > 0,
+        ($"n" - $"base_avg") / $"base_std"), 6))
+      .withColumn("burst", coalesce($"z" > 3.0, lit(false)))
+      .select($"hour_start", $"event_type", $"n",
+        $"base_avg", $"base_std", $"z", $"burst")
+      .orderBy($"event_type", $"hour_start")
+  }
+
   // MMR diverse top-5 per label (score = vector norm): greedy
   // relevance-vs-novelty selection, one flatMapGroups per label.
   // No SQL oracle (sequential greedy) — rows-checked; semantics pinned
@@ -572,7 +606,9 @@ object NorthStar {
     "ns_dedup_by_source" -> dedupBySource,
     "ns_corpus_prep" -> corpusPrep,
     "ns_soft_sample" -> softSample,
-    "ns_diverse_topk" -> diverseTopk
+    "ns_diverse_topk" -> diverseTopk,
+    "ns_corpus_diff" -> corpusDiff,
+    "ns_event_bursts" -> eventBursts
   )
 
   // ---------------- oracle SQL ----------------
@@ -827,6 +863,37 @@ object NorthStar {
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
         | ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)/COUNT(*), 6) AS dup_rate
         |FROM documents GROUP BY 1 ORDER BY source""".sm,
+    "ns_corpus_diff" ->
+      """WITH o AS (
+        | SELECT doc_id, md5(text) AS ofp FROM documents WHERE doc_id % 10 < 8
+        |), n AS (
+        | SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS nfp
+        | FROM documents WHERE doc_id % 10 > 1
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.ofp IS NULL THEN 'added'
+        |      WHEN n.nfp IS NULL THEN 'removed'
+        |      WHEN o.ofp != n.nfp THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".sm,
+    "ns_event_bursts" ->
+      """WITH c AS (
+        | SELECT t - t % 3600 AS hour_start, event_type, COUNT(*) AS n
+        | FROM (SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events)
+        | GROUP BY 1, 2
+        |), z AS (
+        | SELECT hour_start, event_type, n,
+        |  ROUND(AVG(n) OVER w, 6) AS base_avg,
+        |  ROUND(STDDEV(n) OVER w, 6) AS base_std
+        | FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+        |   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT hour_start, event_type, n, base_avg, base_std,
+        | CASE WHEN base_std > 0 THEN ROUND((n - base_avg) / base_std, 6) END AS z,
+        | COALESCE(CASE WHEN base_std > 0 THEN ROUND((n - base_avg) / base_std, 6) END > 3.0, FALSE) AS burst
+        |FROM z ORDER BY event_type, hour_start""".sm,
     "ns_soft_sample" ->
       """WITH r AS (
         | SELECT doc_id,

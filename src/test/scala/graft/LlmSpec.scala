@@ -293,6 +293,17 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(lhs.sameElements(rhs), s"${lhs.toList} vs ${rhs.toList}")
   }
 
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "did change"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val m = Dedup.snapshotDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got $m")
+  }
+
   test("MMR diverse top-k trades redundant high scorers for novel picks") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f), 1.0, 0),   // seed: top score

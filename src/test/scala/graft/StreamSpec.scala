@@ -233,6 +233,39 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(out(11L) == List[java.lang.Double](0.0, null), s"got ${out(11L)}")
   }
 
+  test("streaming quota admits the first N per source across micro-batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.stream.QuotaSampler
+      val mem = MemoryStream[(Long, String, Timestamp)](spark)
+      val kept = QuotaSampler.perSourceQuota(
+        mem.toDF().toDF("doc_id", "source", "ts"),
+        "doc_id", "source", "ts", quota = 2, stateTtl = None)
+      val q = kept.writeStream.format("memory").queryName("quota_t")
+        .outputMode("append").start()
+      mem.addData((1L, "a", ts("2024-01-01 10:00:01")),
+        (2L, "a", ts("2024-01-01 10:00:02")),
+        (10L, "b", ts("2024-01-01 10:00:03")))
+      q.processAllAvailable()
+      mem.addData((3L, "a", ts("2024-01-01 10:00:04")),  // over quota → dropped
+        (11L, "b", ts("2024-01-01 10:00:05")),           // b's 2nd → kept
+        (12L, "b", ts("2024-01-01 10:00:06")))           // over quota → dropped
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("quota_t")
+        .select($"doc_id", $"source", $"n_taken")
+        .as[(Long, String, Long)].collect().toSet
+      assert(out == Set((1L, "a", 1L), (2L, "a", 2L),
+        (10L, "b", 1L), (11L, "b", 2L)), s"got $out")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("online store compaction keeps only retained rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_oc_").toString + "/log"
     val store = new OnlineStore(spark, tmp, ttlSeconds = 3600)

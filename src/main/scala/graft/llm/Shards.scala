@@ -137,6 +137,72 @@ object Shards {
       .toDF("pack_id", "pack_pos", "doc_id", "n_tokens")
   }
 
+  /** Materialize [[packGreedy]] assignments into training rows: one
+    * row per pack, member texts concatenated in pack order with `sep`
+    * (the usual end-of-text sentinel). ONE equi-join of the assignment
+    * table against the docs (both shuffle on doc id) and ONE pack-keyed
+    * aggregate — the sort is per-pack inside the aggregate (array_sort
+    * on (pos, text) structs), never a global order. Output:
+    * (pack_id, n_docs, n_tokens, text). */
+  def packTexts(packs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, sep: String = "<|endoftext|>"): DataFrame = {
+    val joined = packs.join(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t")),
+      Seq("doc_id"))
+    joined.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pack_pos"), col("__t")))),
+          s => s.getField("__t")), sep).as("text"))
+  }
+
+  /** Deterministic random negative sampling for contrastive training:
+    * for each query, the `k` corpus ids ranked smallest by
+    * md5(query_id | corpus_id) — uniform over the corpus, reproducible,
+    * engine-portable — excluding self-pairs and the given positives
+    * (the anchor's true neighbors; leaking those as negatives poisons
+    * the loss). Query side broadcasts (same shape as brute top-k), the
+    * per-query rank truncates partially before the exchange
+    * (WindowGroupLimit), so the shuffle carries ~k rows per query, not
+    * the corpus. Output: (query_id, rank, neg_id). */
+  def negativeSamples(queries: DataFrame, corpus: DataFrame, idCol: String,
+      k: Int, positives: DataFrame): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"))
+    val c = corpus.select(col(idCol).as("neg_id"))
+    val pos = positives.toDF("query_id", "neg_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__r"), col("neg_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neg_id"))
+      .join(broadcast(pos), Seq("query_id", "neg_id"), "left_anti")
+      .withColumn("__r", md5(concat_ws("|", col("query_id"), col("neg_id"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neg_id"))
+  }
+
+  /** Leakage-safe train/val/test split: the assignment hashes the
+    * GROUP key (dedup cluster, author, domain …), not the row, so every
+    * member of a group lands in the SAME split — row-hash splits leak
+    * near-duplicates of training docs into eval. Same md5 16-bit coin
+    * as [[shardId]]; fractions quantize to 1/65536. Zero shuffle — a
+    * projection riding the scan. Output: input columns + `split`. */
+  def groupAwareSplit(df: DataFrame, groupCol: String,
+      trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"bad fractions: train=$trainFrac val=$valFrac")
+    val hex = md5(col(groupCol).cast("string"))
+    val v = (0 until 4).map { d =>
+      (instr(lit("0123456789abcdef"), substring(hex, d + 1, 1)) - 1) *
+        lit(1 << (4 * (3 - d)))
+    }.reduce(_ + _)
+    df.withColumn("split",
+      when(v < (trainFrac * 65536).toInt, "train")
+        .when(v < ((trainFrac + valFrac) * 65536).toInt, "val")
+        .otherwise("test"))
+  }
+
   /** Write `df` as training shards under `path`: one directory per
     * shard (`shard=N/`), each holding files of at most
     * `maxRecordsPerFile` rows, rows ordered by `orderCols` inside each

@@ -29,9 +29,15 @@ object NonSql {
     t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
       .write.mode("overwrite").option("header", "true").csv(tmp)
+    // Glob via pathGlobFilter, not a glob IN the path: the path-glob
+    // form resolves file listing during analysis and (Spark 4.1) logs a
+    // spurious FileNotFoundException + internal retry right after a
+    // write to the same dir; the option form composes with partition
+    // discovery and lists once at execution.
     s.read.option("header", "true")
       .schema("l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING")
-      .csv(s"$tmp/part-*.csv")
+      .option("pathGlobFilter", "part-*.csv")
+      .csv(tmp)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"))

@@ -110,6 +110,39 @@ object NorthStar {
       .orderBy($"grp")
   }
 
+  // Pack materialization: greedy assignments → one training row per
+  // pack (rows-checked; pack ids are partition-order-defined, so the
+  // spec, not an oracle, pins semantics).
+  val packConcat: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val packs = Shards.packGreedy(
+      docs.select($"doc_id", graft.llm.TextStats.tokenCount($"text").cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", maxTokens = 256)
+    Shards.packTexts(packs, docs, "doc_id", "text").orderBy($"pack_id")
+  }
+
+  // Deterministic random negatives: 3 md5-ranked corpus ids per query,
+  // excluding self and the query's true top-5 cosine neighbors.
+  val negativeSamplesQ: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter($"vec_id" < 10)
+    val positives = Similarity.cosineTopK(queries, e, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id")
+    Shards.negativeSamples(queries, e, "vec_id", k = 3, positives)
+      .orderBy($"query_id", $"rank")
+  }
+
+  // Leakage-safe split keyed on source: all docs of one source share a
+  // split (60/20/20).
+  val groupSplit: Q = (s, dir) => {
+    import s.implicits._
+    Shards.groupAwareSplit(t(s, dir, "documents"), "source", 0.6, 0.2)
+      .select($"doc_id", $"source", $"split")
+      .orderBy($"doc_id")
+  }
+
   // Snapshot delta: old = ids with doc_id % 10 < 8, new = ids with
   // doc_id % 10 > 1, texts of % 7 == 0 docs "edited" in the new
   // snapshot — exercises all four statuses in one diff.
@@ -608,7 +641,10 @@ object NorthStar {
     "ns_soft_sample" -> softSample,
     "ns_diverse_topk" -> diverseTopk,
     "ns_corpus_diff" -> corpusDiff,
-    "ns_event_bursts" -> eventBursts
+    "ns_event_bursts" -> eventBursts,
+    "ns_pack_concat" -> packConcat,
+    "ns_negative_samples" -> negativeSamplesQ,
+    "ns_group_split" -> groupSplit
   )
 
   // ---------------- oracle SQL ----------------
@@ -1288,7 +1324,46 @@ object NorthStar {
         | CAST(n_chars % 16 + 1 AS INTEGER) AS n_frames,
         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
         | md5(text) AS content_hash
-        |FROM documents ORDER BY doc_id""".sm
+        |FROM documents ORDER BY doc_id""".sm,
+    "ns_negative_samples" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |dots AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  SUM(q.v[i] * c.v[i]) AS dp, SUM(q.v[i]*q.v[i]) AS qq, SUM(c.v[i]*c.v[i]) AS cc
+        | FROM e q, e c, pos WHERE q.vec_id < 10 AND c.vec_id != q.vec_id GROUP BY 1, 2
+        |), positives AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   ROW_NUMBER() OVER (PARTITION BY query_id
+        |     ORDER BY ROUND(dp / (SQRT(qq) * SQRT(cc)), 6) DESC, neighbor_id) AS rnk
+        |  FROM dots)
+        | WHERE rnk <= 5
+        |), cand AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+        |  md5(CAST(q.vec_id AS VARCHAR) || '|' || CAST(c.vec_id AS VARCHAR)) AS r
+        | FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+        | CROSS JOIN (SELECT vec_id FROM embeddings) c
+        | WHERE c.vec_id != q.vec_id
+        |  AND NOT EXISTS (SELECT 1 FROM positives p
+        |   WHERE p.query_id = q.vec_id AND p.neighbor_id = c.vec_id)
+        |)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neg_id FROM (
+        | SELECT query_id, neg_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY r, neg_id) AS rnk FROM cand)
+        |WHERE rnk <= 3 ORDER BY query_id, rank""".sm,
+    "ns_group_split" ->
+      """WITH h AS (
+        | SELECT doc_id, source,
+        |   (strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(source), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(source), 4, 1)) - 1) AS v
+        | FROM documents)
+        |SELECT doc_id, source,
+        | CASE WHEN v < 39321 THEN 'train' WHEN v < 52428 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".sm
   )
 
   implicit private class Sm(private val s: String) {

@@ -900,6 +900,67 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     packed.unpersist()
   }
 
+  test("packTexts: one row per pack, members concatenated in pack order") {
+    import graft.llm.Shards
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val corpus = docs
+      .select($"doc_id", graft.llm.TextStats.tokenCount($"text").cast("long").as("n_tokens"))
+    val packs = Shards.packGreedy(corpus, "doc_id", "n_tokens", maxTokens = 256).cache()
+    val out = Shards.packTexts(packs, docs, "doc_id", "text", sep = "#").cache()
+    // every pack materialized, doc counts conserved
+    assert(out.count() == packs.select("pack_id").distinct().count())
+    assert(out.agg(sum($"n_docs")).head.getLong(0) == packs.count())
+    // spot-check one multi-doc pack: text is the pack-order join of member texts
+    val multi = packs.groupBy("pack_id").count().filter($"count" > 1)
+      .select("pack_id").head.getLong(0)
+    val expected = packs.filter($"pack_id" === multi).orderBy("pack_pos")
+      .join(docs, "doc_id").orderBy("pack_pos")
+      .select("text").collect().map(_.getString(0)).mkString("#")
+    val got = out.filter($"pack_id" === multi).head.getAs[String]("text")
+    assert(got == expected, "pack text must join members in pack_pos order")
+    packs.unpersist(); out.unpersist()
+  }
+
+  test("negativeSamples: k per query, no self, no positives, deterministic") {
+    import graft.llm.Shards
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val queries = e.filter($"vec_id" < 5)
+    val positives = Similarity.cosineTopK(queries, e, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"neighbor_id")
+    val negs = Shards.negativeSamples(queries, e, "vec_id", k = 4, positives).cache()
+    val byQ = negs.groupBy("query_id").count().collect()
+    assert(byQ.length == 5 && byQ.forall(_.getLong(1) == 4))
+    assert(negs.filter($"query_id" === $"neg_id").count() == 0, "self pair leaked")
+    assert(negs.join(positives,
+      negs("query_id") === positives("query_id") &&
+        negs("neg_id") === positives("neighbor_id")).count() == 0, "positive leaked as negative")
+    val again = Shards.negativeSamples(queries, e, "vec_id", k = 4, positives)
+    assert(negs.orderBy("query_id", "rank").collect()
+      .sameElements(again.orderBy("query_id", "rank").collect()))
+    negs.unpersist()
+  }
+
+  test("groupAwareSplit: split is a pure function of the group key, fractions honored") {
+    import graft.llm.Shards
+    val docs = Tables.load(spark, sf0001, "documents")
+    val out = Shards.groupAwareSplit(docs, "source", 0.6, 0.2).cache()
+    // every group maps to exactly one split — no leakage across splits
+    val leaky = out.groupBy("source").agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1).count()
+    assert(leaky == 0, "a group straddles splits")
+    // zero shuffle: assignment rides the scan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "groupAwareSplit must not shuffle")
+    // on a many-group input the fractions land near the targets
+    val wide = spark.range(10000).select($"id".cast("string").as("g"))
+    val frac = Shards.groupAwareSplit(wide, "g", 0.6, 0.2)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(frac("train") / 10000.0 - 0.6) < 0.05, s"train frac off: $frac")
+    assert(math.abs(frac("val") / 10000.0 - 0.2) < 0.05, s"val frac off: $frac")
+    out.unpersist()
+  }
+
   test("dedupCorpus keeps exactly one representative per near-dup clique") {
     val out = Dedup.dedupCorpus(docs, "doc_id", "text", n = 8, minMatches = 6)
       .select("doc_id").collect().map(_.getLong(0)).toSet

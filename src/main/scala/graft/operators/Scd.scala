@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance (type 2): the upsert-with-
+  * history operator every warehouse serving a feature store needs —
+  * the reference's offline store overwrites rows in place
+  * (`insert_offline.py` upsert path), which silently destroys the
+  * point-in-time view its own PIT joins (J11) depend on. SCD2 keeps
+  * every version with a validity interval instead.
+  */
+object Scd {
+
+  /** Merge one batch of `updates` into an SCD2 `history` table.
+    *
+    * `history` carries `keyCols ++ trackedCols ++ (validFrom, validTo,
+    * isCurrent)`; `updates` carries `keyCols ++ trackedCols ++ tsCol`
+    * with AT MOST ONE row per key (pre-collapse a multi-version batch
+    * with a latest-per-key window first — W4's shape). Per update key:
+    *
+    *  - key absent from current history → new current row
+    *    `[ts, null)`;
+    *  - present with any tracked column differing (null-safe `<=>`
+    *    compare) → the old current row closes at `ts`, a new current
+    *    row opens at `ts`;
+    *  - present and identical → untouched (idempotent re-delivery of
+    *    the same snapshot is a no-op).
+    *
+    * Scale shape: `updates` is the daily-increment side — small by
+    * construction next to the accumulated history. The change
+    * detection joins updates AGAINST ONLY THE CURRENT SLICE, and the
+    * close/keep split joins the current slice against the (smaller
+    * still) changed-key set, so with AQE both joins broadcast the
+    * update-derived side and the history table itself is NEVER
+    * shuffled — closed history rows stream through untouched via
+    * union. No window over history, no global sort.
+    *
+    * Returns the full merged SCD2 table (same schema as `history`). */
+  def scd2Merge(history: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], trackedCols: Seq[String], tsCol: String,
+      validFrom: String = "valid_from", validTo: String = "valid_to",
+      isCurrent: String = "is_current"): DataFrame = {
+    require(keyCols.nonEmpty && trackedCols.nonEmpty)
+    val outCols = (keyCols ++ trackedCols ++ Seq(validFrom, validTo, isCurrent)).map(col)
+
+    val cur = history.filter(col(isCurrent))
+    val closedHist = history.filter(!col(isCurrent))
+    val u = updates.select(
+      (keyCols ++ trackedCols).map(col) :+ col(tsCol).as("__ts"): _*)
+
+    // Changed-or-new detection against the current slice only.
+    val curTagged = cur.select(
+      keyCols.map(col) ++ trackedCols.map(c => col(c).as(s"__cur_$c"))
+        :+ lit(1).as("__present"): _*)
+    val differs: Column = trackedCols
+      .map(c => !(col(c) <=> col(s"__cur_$c"))).reduce(_ || _)
+    val changed = u.join(curTagged, keyCols, "left_outer")
+      .filter(col("__present").isNull || differs)
+      .select((keyCols ++ trackedCols).map(col) :+ col("__ts"): _*)
+
+    // Close the superseded current rows; keep the rest as-is.
+    val closingKeys = changed.select(keyCols.map(col) :+ col("__ts"): _*)
+    val closedNow = cur.drop(validTo).join(closingKeys, keyCols, "inner")
+      .withColumn(validTo, col("__ts"))
+      .withColumn(isCurrent, lit(false))
+      .select(outCols: _*)
+    val keptCur = cur.join(closingKeys.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    val opened = changed
+      .withColumn(validFrom, col("__ts"))
+      .withColumn(validTo, lit(null).cast(
+        history.schema(validTo).dataType))
+      .withColumn(isCurrent, lit(true))
+      .select(outCols: _*)
+
+    closedHist.select(outCols: _*)
+      .unionByName(keptCur.select(outCols: _*))
+      .unionByName(closedNow)
+      .unionByName(opened)
+  }
+}

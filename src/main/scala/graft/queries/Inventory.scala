@@ -35,7 +35,7 @@ object Inventory {
 
   val queries: Map[String, Q] = Map(
     "w1_range_count_10min" -> w1RangeCount
-  ) ++ Relational.queries ++ Funcs.queries ++ NorthStar.queries ++ NonSql.queries
+  ) ++ Relational.queries ++ Funcs.queries ++ NorthStar.queries ++ NonSql.queries ++ Ops.queries
 
   val oracle: Map[String, String] = Map(
     "w1_range_count_10min" ->
@@ -43,5 +43,5 @@ object Inventory {
         |COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
         |RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS cnt_10m
         |FROM events ORDER BY event_id""".stripMargin.replace("\n", " ")
-  ) ++ Relational.oracle ++ Funcs.oracle ++ NorthStar.oracle ++ NonSql.oracle
+  ) ++ Relational.oracle ++ Funcs.oracle ++ NorthStar.oracle ++ NonSql.oracle ++ Ops.oracle
 }

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Layout, Quality, Scd}
+
+/** Round-4 maintenance/quality/layout operators: SCD2 merge semantics,
+  * one-pass profiling (exact + approx), expectation validation against
+  * hand-built violations, Morton interleave bit layout, and the
+  * Z-order layout's measurable locality win over a linear sort. */
+class OpsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // ---------------- SCD2 ----------------
+
+  private def hist0 = Seq(
+    // key, tracked, valid_from, valid_to, is_current
+    (1L, "A", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+      null.asInstanceOf[java.sql.Timestamp], true),
+    (2L, "B", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+      null.asInstanceOf[java.sql.Timestamp], true),
+    // key 3 already has one closed version + a current one
+    (3L, "C0", java.sql.Timestamp.valueOf("2019-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), false),
+    (3L, "C1", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+      null.asInstanceOf[java.sql.Timestamp], true)
+  ).toDF("k", "v", "valid_from", "valid_to", "is_current")
+
+  private def upd(rows: (Long, String)*) = rows.toSeq
+    .toDF("k", "v")
+    .withColumn("ts", lit(java.sql.Timestamp.valueOf("2021-06-01 00:00:00")))
+
+  test("scd2Merge: changed key closes old version and opens a new one") {
+    val out = Scd.scd2Merge(hist0, upd(1L -> "A2"), Seq("k"), Seq("v"), "ts")
+      .orderBy("k", "valid_from").collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.length == 2)
+    val (closed, opened) = (k1(0), k1(1))
+    assert(closed.getString(1) == "A" && !closed.getBoolean(4) &&
+      closed.getTimestamp(3) == java.sql.Timestamp.valueOf("2021-06-01 00:00:00"))
+    assert(opened.getString(1) == "A2" && opened.getBoolean(4) &&
+      opened.getTimestamp(2) == java.sql.Timestamp.valueOf("2021-06-01 00:00:00") &&
+      opened.getTimestamp(3) == null)
+    // untouched keys intact (2 current; 3 has closed + current)
+    assert(out.count(_.getLong(0) == 2L) == 1)
+    assert(out.count(_.getLong(0) == 3L) == 2)
+  }
+
+  test("scd2Merge: identical update is a no-op (idempotent re-delivery)") {
+    val out = Scd.scd2Merge(hist0, upd(2L -> "B"), Seq("k"), Seq("v"), "ts")
+    assert(out.count() == hist0.count())
+    assert(out.filter($"k" === 2L).count() == 1)
+    assert(out.filter($"k" === 2L && $"is_current").head.getString(1) == "B")
+  }
+
+  test("scd2Merge: new key inserts an open row; closed history never touched") {
+    val out = Scd.scd2Merge(hist0, upd(9L -> "Z"), Seq("k"), Seq("v"), "ts")
+      .orderBy("k", "valid_from")
+    val k9 = out.filter($"k" === 9L).collect()
+    assert(k9.length == 1 && k9(0).getBoolean(4) && k9(0).getTimestamp(3) == null)
+    // pre-existing closed version of key 3 flows through byte-identical
+    val c3 = out.filter($"k" === 3L && !$"is_current").head
+    assert(c3.getString(1) == "C0" &&
+      c3.getTimestamp(3) == java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+  }
+
+  test("scd2Merge: merging twice with the same batch equals merging once") {
+    val batch = upd(1L -> "A2", 9L -> "Z")
+    val once = Scd.scd2Merge(hist0, batch, Seq("k"), Seq("v"), "ts")
+    val twice = Scd.scd2Merge(once, batch, Seq("k"), Seq("v"), "ts")
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("scd2Merge: null-safe tracked-column compare (null -> value and value -> null)") {
+    val h = Seq((1L, null.asInstanceOf[String],
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+      null.asInstanceOf[java.sql.Timestamp], true))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    // null -> "x" is a change; null -> null is not
+    val changed = Scd.scd2Merge(h, upd(1L -> "x"), Seq("k"), Seq("v"), "ts")
+    assert(changed.count() == 2)
+    val same = Scd.scd2Merge(h,
+      Seq(1L).toDF("k").withColumn("v", lit(null).cast("string"))
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2021-06-01 00:00:00"))),
+      Seq("k"), Seq("v"), "ts")
+    assert(same.count() == 1)
+  }
+
+  // ---------------- profiling ----------------
+
+  test("profile: exact metrics match hand-computed values; one job") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (3L, Some("a"))
+    ).toDF("id", "s")
+    val p = Quality.profile(df, Seq("id", "s"), exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == ((4L, 0L, 3L, "1", "3")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("profile: approx path has no Expand in the plan and lands within HLL tolerance") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val approx = Quality.profile(docs, Seq("doc_id", "source"), exact = false)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must be a single-pass aggregate (no count-distinct Expand)")
+    val exact = Quality.profile(docs, Seq("doc_id", "source"), exact = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    approx.collect().foreach { r =>
+      val (c, est) = (r.getString(0), r.getLong(3))
+      val ex = exact(c).toDouble
+      assert(math.abs(est - ex) / ex < 0.1, s"$c: est=$est exact=$ex")
+    }
+  }
+
+  // ---------------- expectations ----------------
+
+  test("validate: hand-built violations are counted exactly") {
+    import Quality._
+    val df = Seq(
+      (1L, Some(5.0), "ok"), (2L, Some(500.0), "ok"), // 500 out of range
+      (2L, None, "bad!"),                             // null value, regex fail
+      (3L, Some(7.0), "ok")                           // dup of key 2? no: key 3
+    ).toDF("k", "v", "s")
+      .unionByName(Seq((3L, Some(8.0), "ok")).toDF("k", "v", "s")) // dup key 3
+    val dim = Seq(1L, 2L).toDF("dk") // 3L has no referent (2 rows violate)
+    val out = validate(df, Seq(
+      NotNull("not_null_v", "v"),
+      InRange("range_v", "v", 0, 100),
+      Matches("regex_s", "s", "^[a-z]+$"),
+      Unique("unique_k", Seq("k")),
+      ForeignKey("fk_k", "k", dim, "dk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("not_null_v" -> 1L, "range_v" -> 1L, "regex_s" -> 1L,
+      "unique_k" -> 2L, "fk_k" -> 2L))
+  }
+
+  test("validate: scalar rules fold into one aggregate (single scan, no Expand beyond unique)") {
+    import Quality._
+    val df = Tables.load(spark, sf0001, "lineitem")
+    val noUnique = validate(df, Seq(
+      NotNull("a", "l_returnflag"), InRange("b", "l_quantity", 1, 49),
+      Matches("c", "l_linestatus", "^[OF]$")))
+    val plan = noUnique.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "scalar-only rules must not Expand")
+    // scan appears once: all three rules share one aggregate
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+  }
+
+  // ---------------- layout ----------------
+
+  test("mortonInterleave: exact bit layout on known values") {
+    // a=0b101 (bits 0,2), b=0b011 (bits 0,1) at 3 bits:
+    // z bits: a0->0, b0->1, a1->2, b1->3, a2->4, b2->5
+    // = 1 + 2 + 0 + 8 + 16 + 0 = 27
+    val z = spark.range(1).select(
+      Layout.mortonInterleave(Seq(lit(5L), lit(3L)), 3).as("z"))
+      .head.getLong(0)
+    assert(z == 27L, s"got $z")
+    // interleave is monotone in each dim when the other is fixed
+    val zs = (0 until 8).map(a => spark.range(1).select(
+      Layout.mortonInterleave(Seq(lit(a.toLong), lit(4L)), 3)).head.getLong(0))
+    assert(zs == zs.sorted, s"not monotone: $zs")
+  }
+
+  test("zorderBy: a trailing-dim predicate can prune partitions (linear sort cannot)") {
+    // The data-skipping claim is PER-DIMENSION: a filter on the sort's
+    // trailing dim prunes nothing under a linear layout (every file's
+    // envelope spans ~the full range) but prunes most files under
+    // z-order, where each partition's envelope covers a small fraction
+    // of BOTH dims. Envelope fraction = avg per-partition
+    // (max−min)/range. Dims chosen independent + high-cardinality
+    // (orderkey × partkey; suppkey at sf0.001 has ~10 values).
+    val df = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    def fractions(laid: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = df.agg(
+        (max($"l_orderkey") - min($"l_orderkey")).cast("double"),
+        (max($"l_partkey") - min($"l_partkey")).cast("double")).head
+      val (ro, rp) = (r.getDouble(0), r.getDouble(1))
+      val s = laid
+        .withColumn("__pid", spark_partition_id())
+        .groupBy("__pid")
+        .agg((max($"l_orderkey") - min($"l_orderkey")).as("os"),
+          (max($"l_partkey") - min($"l_partkey")).as("ps"))
+        .agg(avg($"os"), avg($"ps")).head
+      (s.getDouble(0) / ro, s.getDouble(1) / rp)
+    }
+    val nParts = 16
+    val (zo, zp) = fractions(Layout.zorderBy(df,
+      Seq("l_orderkey", "l_partkey"), bits = 8, numPartitions = nParts))
+    val (lo, lp) = fractions(df.repartitionByRange(nParts, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey"))
+    assert(lo < 0.2, s"sanity: linear sort clusters its own key ($lo)")
+    assert(lp > 0.8, s"sanity: linear leaves the trailing dim unclustered ($lp)")
+    assert(zo < 0.6 && zp < 0.6,
+      s"z-order envelopes must shrink on BOTH dims, got ($zo, $zp)")
+  }
+
+  test("zorderBy: result is a pure re-layout (same rows, schema unchanged)") {
+    val df = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    val laid = Layout.zorderBy(df, Seq("l_partkey", "l_suppkey"), bits = 4)
+    assert(laid.schema == df.schema)
+    assert(laid.exceptAll(df).isEmpty && df.exceptAll(laid).isEmpty)
+  }
+}

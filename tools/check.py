@@ -21,6 +21,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def cmp_vals(a, b) -> bool:
     if a is None and b is None:
         return True
+    try:  # NaT / None / nan in datetime or object columns
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True

@@ -143,6 +143,19 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // Subword tokenization: vocab fit on the corpus (256 entries), greedy
+  // longest-match ids per doc. Rows-checked — the greedy loop has no
+  // closed SQL form; TokenizeSpec hand-traces the semantics.
+  val tokenizeDocs: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val vocab = graft.llm.Tokenize.fitVocab(docs, "text", 256)
+    graft.llm.Tokenize.tokenize(docs, "text", vocab)
+      .select($"doc_id", $"n_tokens", $"n_unk",
+        slice($"token_ids", 1, 8).as("head_ids"))
+      .orderBy($"doc_id")
+  }
+
   // Snapshot delta: old = ids with doc_id % 10 < 8, new = ids with
   // doc_id % 10 > 1, texts of % 7 == 0 docs "edited" in the new
   // snapshot — exercises all four statuses in one diff.
@@ -644,7 +657,8 @@ object NorthStar {
     "ns_event_bursts" -> eventBursts,
     "ns_pack_concat" -> packConcat,
     "ns_negative_samples" -> negativeSamplesQ,
-    "ns_group_split" -> groupSplit
+    "ns_group_split" -> groupSplit,
+    "ns_tokenize" -> tokenizeDocs
   )
 
   // ---------------- oracle SQL ----------------

@@ -535,4 +535,55 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.read.jdbc(url, "card_stats_s", new java.util.Properties()).count() == 2)
   }
+
+  test("streaming bloom screen flags benchmark overlap, passes clean and short docs") {
+    import graft.stream.StreamScreen
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val benchSh = graft.llm.Dedup.shingleRows(bench, "doc_id", "text")
+      .select($"sh").distinct()
+    val bloom = graft.expr.Bloom.build(benchSh, "sh", benchSh.count())
+    val mem = MemoryStream[(Long, String)](spark)
+    val screened = StreamScreen.bloomScreen(
+      mem.toDF().toDF("doc_id", "text"), "text", bloom, minOverlap = 3)
+    val q = screened.writeStream.format("memory").queryName("bscreen_t")
+      .outputMode("append").start()
+    mem.addData(
+      (10L, "copied segment the quick brown fox jumps over the lazy dog here"),
+      (11L, "completely unrelated words about shuffle partitions and state"),
+      (12L, "too short")) // < 3 tokens-ish path: shingles empty, passes
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("bscreen_t")
+      .select("doc_id", "n_hits", "contaminated")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(10L)._2, s"overlapping doc must flag: ${out(10L)}")
+    assert(out(10L)._1 >= 3)
+    assert(!out(11L)._2, s"clean doc must pass: ${out(11L)}")
+    assert(!out(12L)._2 && out(12L)._1 == 0, "sub-3-token doc passes unscreened")
+  }
+
+  test("streaming exact screen matches the batch contaminationFlags verdicts") {
+    import graft.stream.StreamScreen
+    val bench = Tables.load(spark, sf0001, "documents")
+      .filter($"doc_id" % 37 === 0).select($"doc_id", $"text")
+    val docs = Tables.load(spark, sf0001, "documents")
+      .filter($"doc_id" < 200).select($"doc_id", $"text")
+    val batchFlags = graft.llm.Dedup.contaminationFlags(
+      docs, bench, "doc_id", "text", minOverlap = 6)
+      .select($"doc_id", $"n_hits", $"contaminated")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val mem = MemoryStream[(Long, String)](spark)
+    val screened = StreamScreen.exactScreen(mem.toDF().toDF("doc_id", "text"),
+      "text", bench, "doc_id", "text", minOverlap = 6)
+    val q = screened.writeStream.format("memory").queryName("escreen_t")
+      .outputMode("append").start()
+    mem.addData(docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamFlags = spark.table("escreen_t")
+      .select($"doc_id", $"n_hits", $"contaminated")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getBoolean(2)))).toMap
+    assert(streamFlags.keySet == batchFlags.keySet)
+    val diffs = streamFlags.filter { case (k, v) => batchFlags(k) != v }
+    assert(diffs.isEmpty, s"stream/batch verdict mismatch: ${diffs.take(5)}")
+  }
 }

@@ -54,8 +54,15 @@ object Quality {
   case class Matches(name: String, column: String, pattern: String)
       extends Rule
   /** `cols` must be a unique key. Violations = surplus rows
-    * (n_rows − n_distinct keys). */
+    * (n_rows − n_distinct keys), EXACT: each distinct Unique key set
+    * adds one Expand replica of the scanned rows to the shared
+    * aggregate (Spark's multi-count-distinct planning). */
   case class Unique(name: String, columns: Seq[String]) extends Rule
+  /** [[Unique]] with HLL `approx_count_distinct` (±~2.3 %): no Expand,
+    * so ANY number of these rules still costs one plain pass — the
+    * 100 TB screen; confirm a failure with an exact [[Unique]] run on
+    * the offending partition. */
+  case class UniqueApprox(name: String, columns: Seq[String]) extends Rule
   /** Every non-null `column` value must exist in `dim.dimColumn`.
     * Violations = rows with no referent. */
   case class ForeignKey(name: String, column: String, dim: DataFrame,
@@ -87,6 +94,9 @@ object Quality {
           .as(n)
       case Unique(n, cs) =>
         (count(lit(1)) - countDistinct(struct(cs.map(col): _*))).as(n)
+      case UniqueApprox(n, cs) =>
+        greatest(lit(0L),
+          count(lit(1)) - approx_count_distinct(struct(cs.map(col): _*))).as(n)
     }
     val scalarPart: Option[DataFrame] =
       if (scalarAggs.isEmpty) None

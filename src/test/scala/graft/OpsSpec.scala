@@ -148,6 +148,35 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
   }
 
+  test("validate: UniqueApprox stays Expand-free and agrees with exact on clean/dirty keys") {
+    import Quality._
+    val df = Tables.load(spark, sf0001, "lineitem")
+    val approx = validate(df, Seq(
+      NotNull("a", "l_returnflag"),
+      UniqueApprox("uq_line", Seq("l_orderkey", "l_linenumber")),
+      UniqueApprox("uq_order", Seq("l_orderkey"))))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "UniqueApprox must not Expand")
+    val a = approx.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = validate(df, Seq(
+      Unique("uq_line", Seq("l_orderkey", "l_linenumber")),
+      Unique("uq_order", Seq("l_orderkey"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both keys are genuinely dirty in this testdata (the generator
+    // reuses (orderkey, linenumber)); approx must land near exact
+    assert(e("uq_line") > 0 && e("uq_order") > 0)
+    Seq("uq_line", "uq_order").foreach { k =>
+      assert(math.abs(a(k) - e(k)).toDouble / e(k) < 0.1,
+        s"$k: approx ${a(k)} vs exact ${e(k)}")
+    }
+    // a truly clean key estimates ~0 violations (HLL error can push the
+    // raw difference slightly negative; the greatest(0,·) clamp holds)
+    val clean = validate(spark.range(100000).toDF("id"),
+      Seq(UniqueApprox("uq_id", Seq("id"))))
+      .collect().head.getLong(1)
+    assert(clean < 10000, s"clean key must report ~0 (within 2x HLL rsd=0.05), got $clean")
+  }
+
   // ---------------- layout ----------------
 
   test("mortonInterleave: exact bit layout on known values") {

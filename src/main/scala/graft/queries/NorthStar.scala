@@ -156,6 +156,24 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // BPE vocabulary LEARNING + encode: the merge table is fit
+  // distributedly on the corpus word-frequency table (one corpus-sized
+  // aggregate, then per-round pair counting over the distinct-word
+  // table only), and encoding is a zero-shuffle greedy projection.
+  // Rows-checked — the iterative merge loop has no closed SQL form;
+  // BpeSpec pins fitMerges merge-for-merge against a sequential
+  // reference implementation.
+  val bpeEncode: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val merges = graft.llm.Bpe.fitMerges(
+      graft.llm.Bpe.wordFreqs(docs, "text"), numMerges = 12)
+    val ab = graft.llm.Bpe.alphabet(docs, "text")
+    graft.llm.Bpe.encode(docs, "text", merges, ab)
+      .select($"doc_id", $"n_tokens", slice($"token_ids", 1, 8).as("head_ids"))
+      .orderBy($"doc_id")
+  }
+
   // Snapshot delta: old = ids with doc_id % 10 < 8, new = ids with
   // doc_id % 10 > 1, texts of % 7 == 0 docs "edited" in the new
   // snapshot — exercises all four statuses in one diff.
@@ -658,7 +676,8 @@ object NorthStar {
     "ns_pack_concat" -> packConcat,
     "ns_negative_samples" -> negativeSamplesQ,
     "ns_group_split" -> groupSplit,
-    "ns_tokenize" -> tokenizeDocs
+    "ns_tokenize" -> tokenizeDocs,
+    "ns_bpe_encode" -> bpeEncode
   )
 
   // ---------------- oracle SQL ----------------

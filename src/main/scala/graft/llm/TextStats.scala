@@ -191,6 +191,73 @@ object TextStats {
         col("tfidf"))
   }
 
+  /** Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009; the idf is
+    * Lucene's non-negative ln(1 + (N − df + ½)/(df + ½)) variant):
+    * for every query (a bag of terms), the `k` highest-scoring docs by
+    *   Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * Distinct query terms each count once (bag weights belong on the
+    * query side if wanted).
+    *
+    * Engine-portability: each (query, doc, term) contribution is
+    * quantized to integer micro-units and summed as BIGINT — exact and
+    * order-independent, so ranking and the 6-dp score are reproducible
+    * on any engine (the [[unigramLogProb]] micro-nat trick). Ties break
+    * by doc id.
+    *
+    * Scale shape: ONE (doc, term) tf aggregate + a doc-length aggregate
+    * over the corpus, a term-keyed df aggregate over the tf table, and
+    * a broadcast of the (small) query-term list pruning the tf table
+    * BEFORE anything else joins — the per-query work is proportional to
+    * the posting lists of its terms, never the corpus. The 1-row corpus
+    * stats broadcast. At 100 TB the tf/dl/df tables are the persisted
+    * "index"; build once ([[bm25Index]]), query many. */
+  def bm25TopK(queries: DataFrame, docs: DataFrame, queryIdCol: String,
+      queryTermsCol: String, idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, dl, dft, stats) = bm25Index(docs, idCol, textCol)
+    bm25TopKWith(queries, queryIdCol, queryTermsCol, k, tf, dl, dft, stats, k1, b)
+  }
+
+  /** The four relations of a BM25 "index": (doc,term,tf), (doc,dl),
+    * (term,df), and the 1-row (n_docs, total_dl) stats. Persist these
+    * at scale; [[bm25TopKWith]] queries them without re-scanning text. */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    (tf, dl, dft, stats)
+  }
+
+  /** BM25 scoring against a pre-built index — the steady-state path. */
+  def bm25TopKWith(queries: DataFrame, queryIdCol: String,
+      queryTermsCol: String, k: Int, tf: DataFrame, dl: DataFrame,
+      dft: DataFrame, stats: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(col(queryTermsCol))).as("term"))
+    // prune the posting lists FIRST: only query terms survive the scan
+    val hits = tf.join(broadcast(q), "term")
+      .join(dft, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("c6", round(col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+        * 1e6, 0).cast("long"))
+    val agg = hits.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c6")).as("s6"), count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s6").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms_hit"),
+        round(col("s6").cast("double") / 1e6, 6).as("bm25"))
+  }
+
   /** Email regex shared with the oracle contract (kept to syntax that
     * means the same thing in Java regex and RE2). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -174,6 +174,46 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // Okapi BM25 top-10 retrieval: queries = every 97th doc's first 4
+  // distinct tokens, scored against the whole corpus. Micro-unit
+  // integer contributions make ranking and scores engine-exact; the
+  // posting lists are pruned by the broadcast query-term list before
+  // any other join.
+  val bm25Topk: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val qs = docs.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("qid"),
+        array_distinct(slice(split($"text", " "), 1, 4)).as("terms"))
+    TextStats.bm25TopK(qs, docs, "qid", "terms", "doc_id", "text", k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  // PageRank over the customer–supplier relationship graph (an order
+  // links its customer to each line's supplier; both directions so no
+  // node dangles). Integer micro-unit ranks — the 10-iteration run is
+  // bit-exact on any engine, oracle = the same iteration unrolled as
+  // 10 CTE stages in DuckDB.
+  val pageRankQ: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
+    val l = t(s, dir, "lineitem").select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+    val rel = o.join(l, "ok")
+      .select(($"ck" * 2).as("a"), ($"sk" * 2 + 1).as("b")).distinct()
+    // symmetrize by explode so rel's join+distinct evaluates ONCE (a
+    // union of rel with its swap would re-run the whole upstream plan);
+    // (even, odd) ∪ (odd, even) pairs are disjoint, so distinctness holds
+    val edges = rel.select(explode(array(
+        struct($"a".as("src"), $"b".as("dst")),
+        struct($"b".as("src"), $"a".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 10,
+        assumeDistinct = true)
+      .select(when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        expr("node div 2").as("node_key"), $"rank")
+      .orderBy($"node_type", $"node_key")
+  }
+
   // Snapshot delta: old = ids with doc_id % 10 < 8, new = ids with
   // doc_id % 10 > 1, texts of % 7 == 0 docs "edited" in the new
   // snapshot — exercises all four statuses in one diff.
@@ -677,7 +717,9 @@ object NorthStar {
     "ns_negative_samples" -> negativeSamplesQ,
     "ns_group_split" -> groupSplit,
     "ns_tokenize" -> tokenizeDocs,
-    "ns_bpe_encode" -> bpeEncode
+    "ns_bpe_encode" -> bpeEncode,
+    "ns_bm25_topk" -> bm25Topk,
+    "ns_pagerank" -> pageRankQ
   )
 
   // ---------------- oracle SQL ----------------
@@ -1396,7 +1438,48 @@ object NorthStar {
         | FROM documents)
         |SELECT doc_id, source,
         | CASE WHEN v < 39321 THEN 'train' WHEN v < 52428 THEN 'val' ELSE 'test' END AS split
-        |FROM h ORDER BY doc_id""".sm
+        |FROM h ORDER BY doc_id""".sm,
+    "ns_bm25_topk" ->
+      """WITH tok AS (
+        | SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+        |q AS (
+        | SELECT doc_id AS query_id, UNNEST(list_distinct(string_split(text, ' ')[1:4])) AS term
+        | FROM documents WHERE doc_id % 97 = 0
+        |), hits AS (
+        | SELECT q.query_id, tf.doc_id,
+        |  CAST(ROUND(LN(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+        |   * (tf.tf * 2.2)
+        |   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))
+        |   * 1000000, 0) AS BIGINT) AS c6
+        | FROM tf JOIN q USING (term) JOIN dft USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+        |), agg AS (
+        | SELECT query_id, doc_id, SUM(c6) AS s6, COUNT(*) AS n_terms_hit
+        | FROM hits GROUP BY 1, 2
+        |)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, n_terms_hit,
+        | ROUND(CAST(s6 AS DOUBLE) / 1000000.0, 6) AS bm25
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS rnk
+        | FROM agg)
+        |WHERE rnk <= 10 ORDER BY query_id, rank""".sm,
+    "ns_pagerank" -> {
+      val iters = (1 to 10).map { i =>
+        s"pr$i AS (SELECT e.dst AS node, CAST(150000 + (85 * SUM(p.rank // d.deg)) // 100 AS BIGINT) AS rank" +
+          s" FROM pr${i - 1} p JOIN deg d ON d.src = p.node JOIN edges e ON e.src = p.node GROUP BY e.dst)"
+      }.mkString(", ")
+      "WITH rel AS (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b" +
+        " FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)," +
+        " edges AS (SELECT a AS src, b AS dst FROM rel UNION ALL SELECT b AS src, a AS dst FROM rel)," +
+        " deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1)," +
+        " pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg), " +
+        iters +
+        " SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type," +
+        " node // 2 AS node_key, rank FROM pr10 ORDER BY node_type, node_key"
+    }
   )
 
   implicit private class Sm(private val s: String) {

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.TextStats
+import graft.operators.Graph
+
+/** BM25 retrieval vs an independent sequential reference, and integer
+  * PageRank vs a hand-run power iteration with the same integer rules. */
+class RankSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // ---- BM25 ----
+
+  /** Sequential reference: same Lucene idf, same micro-unit rounding. */
+  private def refBm25(corpus: Seq[(Long, String)], qTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Long] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = corpus.length
+    val dl = toks.map { case (id, tk) => id -> tk.length }.toMap
+    val avgdl = dl.values.sum.toDouble / n
+    val df = toks.flatMap(_._2.distinct).groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val terms = qTerms.distinct
+    toks.map { case (id, tk) =>
+      val s6 = terms.flatMap { t =>
+        val tf = tk.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          Some(math.rint(idf * (tf * (k1 + 1)) /
+            (tf + k1 * ((1 - b) + b * dl(id) / avgdl)) * 1e6).toLong)
+        }
+      }.sum
+      id -> s6
+    }.filter(_._2 != 0L).toMap
+  }
+
+  test("bm25TopK matches the sequential reference on a hand corpus") {
+    val corpus = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry cherry durian"),
+      (3L, "apple apple apple apple"),
+      (4L, "elderberry fig"),
+      (5L, "banana apple"))
+    val docs = corpus.toDF("doc_id", "text")
+    val qs = Seq((100L, Seq("apple", "banana"))).toDF("qid", "terms")
+    val got = TextStats.bm25TopK(qs, docs, "qid", "terms", "doc_id", "text", k = 10)
+      .orderBy($"rank").collect()
+    val exp = refBm25(corpus, Seq("apple", "banana"))
+    // every doc containing a query term appears, ranked by score desc
+    assert(got.map(_.getLong(2)).toSet == exp.keySet)
+    val expOrder = exp.toSeq.sortBy { case (id, s6) => (-s6, id) }.map(_._1)
+    assert(got.map(_.getLong(2)).toSeq == expOrder)
+    got.foreach { r =>
+      val id = r.getLong(2)
+      assert(math.abs(r.getDouble(4) - exp(id) / 1e6) < 1e-9,
+        s"score mismatch for doc $id")
+    }
+  }
+
+  test("bm25: rarer term dominates a common one at equal tf") {
+    // 'rare' appears in 1 doc, 'common' in all — idf must rank doc 1
+    // (rare hit) above doc 2 (common-only) for a query with both terms
+    val docs = Seq(
+      (1L, "rare common pad pad"),
+      (2L, "common pad pad pad"),
+      (3L, "common pad pad pad")).toDF("doc_id", "text")
+    val qs = Seq((1L, Seq("rare", "common"))).toDF("qid", "terms")
+    val got = TextStats.bm25TopK(qs, docs, "qid", "terms", "doc_id", "text", k = 3)
+      .orderBy($"rank").collect()
+    assert(got.head.getLong(2) == 1L)
+    assert(got.head.getLong(3) == 2L) // both terms hit doc 1
+  }
+
+  test("bm25 is partition-order independent") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val qs = docs.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("qid"),
+        array_distinct(slice(split($"text", " "), 1, 4)).as("terms"))
+    val a = TextStats.bm25TopK(qs, docs, "qid", "terms", "doc_id", "text", k = 10)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val b = TextStats.bm25TopK(qs, docs.repartition(7, $"lang"), "qid", "terms",
+      "doc_id", "text", k = 10)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- PageRank ----
+
+  /** Sequential reference with the identical integer update rule. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    var rank: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = in.map { case (n, m) => n -> (150000L + 85L * m / 100L) }
+    }
+    rank
+  }
+
+  test("pageRank matches the sequential integer reference on a hand graph") {
+    // path-with-hub: 1-2, 2-3, 3-4, 2-4 (undirected → both directions)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L))
+    val dir = und ++ und.map(_.swap)
+    val got = Graph.pageRank(dir.toDF("src", "dst"), "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(dir, 10))
+  }
+
+  test("pageRank: hub of a star outranks leaves; mass is conserved-ish") {
+    val leaves = (2L to 9L)
+    val dir = leaves.flatMap(l => Seq((1L, l), (l, 1L)))
+    val got = Graph.pageRank(dir.toDF("src", "dst"), "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leaves.forall(l => got(1L) > got(l)))
+    // integer truncation only loses mass: total ≤ n·1e6, and not by much
+    val total = got.values.sum
+    assert(total <= 9L * 1000000L && total > 8L * 1000000L, total.toString)
+  }
+
+  test("pageRank is deterministic under repartitioning") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
+    val dir = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val a = Graph.pageRank(dir, "src", "dst", 10)
+      .orderBy($"node").collect().toSeq
+    val b = Graph.pageRank(dir.repartition(5), "src", "dst", 10)
+      .orderBy($"node").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -812,7 +812,86 @@ object Relational {
     a.except(b).orderBy($"o_orderkey")
   }
 
+  // A28 conversion funnel (view → click → purchase, each step within 7
+  // days of the previous): the staged-min formulation — step k's
+  // timestamp is the MIN event time strictly after step k−1's — keeps
+  // every stage an aggregate + equi-join on user_id (never a per-user
+  // sequence scan). Each stage's table shrinks (funnels only narrow),
+  // so at scale stages 2+ join a progressively smaller broadcastable
+  // user set against the one events scan per step type.
+  val a28Funnel: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .select($"user_id", $"event_type", tsSec($"ts").as("ts_sec"))
+    val win = 7L * 86400L
+    val s1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_sec").as("t1"))
+    val s2 = e.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts_sec" > $"t1" && $"ts_sec" <= $"t1" + win)
+      .groupBy($"user_id").agg(min($"ts_sec").as("t2"))
+    val s3 = e.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts_sec" > $"t2" && $"ts_sec" <= $"t2" + win)
+      .groupBy($"user_id").agg(min($"ts_sec").as("t3"))
+    s1.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("step"), lit("view").as("step_name"), $"n_users")
+      .union(s2.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("step"), lit("click").as("step_name"), $"n_users"))
+      .union(s3.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("step"), lit("purchase").as("step_name"), $"n_users"))
+      .orderBy($"step")
+  }
+
+  // A29 cohort retention: cohort = a user's first-seen day, cell
+  // (cohort_day, day_offset) counts users active that many days later.
+  // One (user, day) distinct pass + a user-keyed min + one count agg —
+  // the classic retention triangle in three shuffles, none corpus-wide
+  // after the distinct.
+  val a29Retention: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val coh = e.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    e.join(coh, "user_id")
+      .groupBy(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"),
+        datediff($"d", $"cohort_day").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  // W12 linear interpolation of missing time-series values: 'error'
+  // events carry no trustworthy value — interpolate between the
+  // nearest non-missing neighbors by timestamp fraction (edges clamp
+  // to the nearest known value). Two IGNORE NULLS window passes over
+  // the same (user, ts) sort — ONE shuffle+sort total, zero joins.
+  val w12Interpolate: Q = (s, dir) => {
+    import s.implicits._
+    val wp = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val e = t(s, dir, "events")
+      .select($"event_id", $"user_id", tsSec($"ts").as("ts_sec"),
+        $"event_type", $"value")
+      .withColumn("v", when($"event_type" =!= "error", $"value"))
+    val pv = last($"v", ignoreNulls = true).over(wp)
+    val pt = last(when($"v".isNotNull, $"ts_sec"), ignoreNulls = true).over(wp)
+    val nv = first($"v", ignoreNulls = true).over(wn)
+    val nt = first(when($"v".isNotNull, $"ts_sec"), ignoreNulls = true).over(wn)
+    e.select($"event_id", $"user_id", $"ts_sec",
+        ($"v".isNull).as("was_missing"),
+        round(
+          when($"v".isNotNull, $"v")
+            .when(pv.isNull, nv)
+            .when(nv.isNull, pv)
+            .otherwise(pv + (nv - pv) * (($"ts_sec" - pt) / (nt - pt))), 6)
+          .as("value_interp"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a28_funnel" -> a28Funnel,
+    "a29_retention" -> a29Retention,
+    "w12_interpolate" -> w12Interpolate,
     "p1_project" -> p1Project,
     "p2_derived" -> p2Derived,
     "p4_eq_filter" -> p4EqFilter,
@@ -877,6 +956,41 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a28_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_sec) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(ts_sec) AS t2 FROM e JOIN s1 USING (user_id)
+        | WHERE event_type = 'click' AND ts_sec > t1 AND ts_sec <= t1 + 604800 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(ts_sec) AS t3 FROM e JOIN s2 USING (user_id)
+        | WHERE event_type = 'purchase' AND ts_sec > t2 AND ts_sec <= t2 + 604800 GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3 ORDER BY step""".sm,
+    "a29_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY 1)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        | CAST(datediff('day', cohort_day, d) AS INTEGER) AS day_offset,
+        | COUNT(*) AS n_users
+        |FROM e JOIN coh USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".sm,
+    "w12_interpolate" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  CASE WHEN event_type != 'error' THEN value END AS v
+        | FROM events
+        |), w AS (
+        | SELECT event_id, user_id, ts_sec, v,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN ts_sec END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN ts_sec END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        | FROM e)
+        |SELECT event_id, user_id, ts_sec, (v IS NULL) AS was_missing,
+        | ROUND(CASE WHEN v IS NOT NULL THEN v
+        |  WHEN pv IS NULL THEN nv
+        |  WHEN nv IS NULL THEN pv
+        |  ELSE pv + (nv - pv) * ((ts_sec - pt) / (nt - pt)) END, 6) AS value_interp
+        |FROM w ORDER BY event_id""".sm,
     "p1_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "p2_derived" ->

@@ -888,7 +888,45 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  // A30 market-basket co-occurrence: part pairs appearing together in
+  // ≥ 3 orders. The pair space is generated by a WITHIN-BASKET
+  // self-join (equi-join on the order key, a < b), so the blowup is
+  // bounded by basket size — Σ|basket|², never corpus² — and the pair
+  // count aggregate is a uniform hash agg; a degenerate mega-basket is
+  // AQE skew-split territory, same as every block-keyed pair operator
+  // in llm.Dedup.
+  val a30BasketPairs: Q = (s, dir) => {
+    import s.implicits._
+    val items = t(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    items.as("a").join(items.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("part_a"), $"b.pk".as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 3)
+      .orderBy($"part_a", $"part_b")
+  }
+
+  // W13 longest activity streak per user (gaps-and-islands): integer
+  // day number minus the per-user row_number is constant within a run
+  // of consecutive days — one window pass + two aggregates, all keyed
+  // on user_id (a single partitioning serves every stage).
+  val w13Streaks: Q = (s, dir) => {
+    import s.implicits._
+    val days = t(s, dir, "events")
+      .select($"user_id", datediff(to_date($"ts"), lit("2024-01-01").cast("date")).as("dn"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"dn")
+    val runs = days.withColumn("island", $"dn" - row_number().over(w))
+      .groupBy($"user_id", $"island").agg(count(lit(1)).as("len"))
+    runs.groupBy($"user_id")
+      .agg(max($"len").as("longest_streak"), sum($"len").as("n_active_days"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a30_basket_pairs" -> a30BasketPairs,
+    "w13_streaks" -> w13Streaks,
     "a28_funnel" -> a28Funnel,
     "a29_retention" -> a29Retention,
     "w12_interpolate" -> w12Interpolate,
@@ -956,6 +994,23 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a30_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
+        |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY part_a, part_b""".sm,
+    "w13_streaks" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn
+        | FROM events
+        |), runs AS (
+        | SELECT user_id, dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS island
+        | FROM days
+        |), lens AS (
+        | SELECT user_id, island, COUNT(*) AS len FROM runs GROUP BY 1, 2
+        |)
+        |SELECT user_id, MAX(len) AS longest_streak, CAST(SUM(len) AS BIGINT) AS n_active_days
+        |FROM lens GROUP BY 1 ORDER BY user_id""".sm,
     "a28_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
         |s1 AS (SELECT user_id, MIN(ts_sec) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-traced semantics + plan-shape pins for the event-analytics
+  * operators (funnel, retention, interpolation, streaks, baskets). */
+class AnalyticsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("funnel: completes in order, skips, and honors the 7-day window") {
+    // u1 completes all 3 steps; u2 clicks BEFORE viewing (no step 2);
+    // u3 clicks 8 days after viewing (outside window); u4 views only
+    val day = 86400L
+    val rows = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "click", 100L), (2L, "view", 200L),
+      (3L, "view", 100L), (3L, "click", 100L + 8 * day),
+      (4L, "view", 50L))
+    val e = rows.toDF("user_id", "event_type", "ts_sec")
+    val win = 7L * day
+    val s1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_sec").as("t1"))
+    val s2 = e.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts_sec" > $"t1" && $"ts_sec" <= $"t1" + win)
+      .groupBy($"user_id").agg(min($"ts_sec").as("t2"))
+    val s3 = e.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts_sec" > $"t2" && $"ts_sec" <= $"t2" + win)
+      .groupBy($"user_id").agg(min($"ts_sec").as("t3"))
+    assert(s1.count() == 4 && s2.count() == 1 && s3.count() == 1)
+    assert(s2.head.getLong(0) == 1L)
+  }
+
+  test("interpolation: middle missing is linear, edges clamp") {
+    val rows = Seq(
+      // user 1: known at t=0 (v=10) and t=10 (v=20); missing at t=4
+      (1L, 1L, 0L, "view", 10.0), (2L, 1L, 4L, "error", 99.0),
+      (3L, 1L, 10L, "view", 20.0),
+      // user 2: missing leads and trails
+      (4L, 2L, 0L, "error", 99.0), (5L, 2L, 5L, "view", 7.0),
+      (6L, 2L, 9L, "error", 99.0))
+    val e = rows.toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+      .withColumn("v", when($"event_type" =!= "error", $"value"))
+    val wp = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val pv = last($"v", ignoreNulls = true).over(wp)
+    val pt = last(when($"v".isNotNull, $"ts_sec"), ignoreNulls = true).over(wp)
+    val nv = first($"v", ignoreNulls = true).over(wn)
+    val nt = first(when($"v".isNotNull, $"ts_sec"), ignoreNulls = true).over(wn)
+    val out = e.select($"event_id",
+        round(when($"v".isNotNull, $"v")
+          .when(pv.isNull, nv).when(nv.isNull, pv)
+          .otherwise(pv + (nv - pv) * (($"ts_sec" - pt) / (nt - pt))), 6)
+          .as("vi"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) == 14.0) // 10 + (20-10) * 4/10
+    assert(out(4L) == 7.0)  // leading clamp to next
+    assert(out(6L) == 7.0)  // trailing clamp to prev
+  }
+
+  test("streaks: island arithmetic finds the longest run") {
+    val days = Seq((1L, 0), (1L, 1), (1L, 2), (1L, 5), (1L, 6), (2L, 3))
+      .toDF("user_id", "dn")
+    val w = Window.partitionBy($"user_id").orderBy($"dn")
+    val runs = days.withColumn("island", $"dn" - row_number().over(w))
+      .groupBy($"user_id", $"island").agg(count(lit(1)).as("len"))
+    val got = runs.groupBy($"user_id")
+      .agg(max($"len").as("ls"), sum($"len").as("nd"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 5L)))
+    assert(got(2L) == ((1L, 1L)))
+  }
+
+  test("streaks pipeline reuses ONE user_id partitioning (single Exchange)") {
+    val e = Tables.load(spark, sf0001, "events")
+    val days = e.select($"user_id",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date")).as("dn"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"dn")
+    val out = days.withColumn("island", $"dn" - row_number().over(w))
+      .groupBy($"user_id", $"island").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id").agg(max($"len").as("longest_streak"))
+    val plan = out.queryExecution.executedPlan.toString
+    // distinct needs its own (user_id, dn) exchange; after the window's
+    // user_id exchange, BOTH downstream aggregates must reuse it
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n == 2, s"expected 2 Exchanges (distinct + window), got $n:\n$plan")
+  }
+
+  test("basket pairs: hand-counted co-occurrence with threshold") {
+    val items = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 40L)).toDF("ok", "pk")
+    val pairs = items.as("a").join(items.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
+      .agg(count(lit(1)).as("n"))
+    val all = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all((10L, 20L)) == 3L)
+    assert(all((10L, 30L)) == 1L)
+    assert(pairs.filter($"n" >= 3).count() == 1)
+  }
+}

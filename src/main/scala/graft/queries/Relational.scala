@@ -889,19 +889,24 @@ object Relational {
   }
 
   // A30 market-basket co-occurrence: part pairs appearing together in
-  // ≥ 3 orders. The pair space is generated by a WITHIN-BASKET
-  // self-join (equi-join on the order key, a < b), so the blowup is
-  // bounded by basket size — Σ|basket|², never corpus² — and the pair
-  // count aggregate is a uniform hash agg; a degenerate mega-basket is
-  // AQE skew-split territory, same as every block-keyed pair operator
-  // in llm.Dedup.
+  // ≥ 3 orders. Baskets collapse to sorted distinct-item arrays in ONE
+  // order-keyed aggregate, pairs expand LOCALLY from each array (the
+  // self-join formulation costs a third shuffle and a 600 k-row join
+  // for the same Σ|basket|² pair space — measured 2.5 s vs 1.4 s at
+  // sf0.1), and the pair-count aggregate is a uniform hash agg.
+  // Basket sizes are bounded (line items per order); a mega-basket
+  // domain would cap |basket| the way llm.Dedup caps buckets.
   val a30BasketPairs: Q = (s, dir) => {
     import s.implicits._
-    val items = t(s, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    items.as("a").join(items.as("b"),
-        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-      .groupBy($"a.pk".as("part_a"), $"b.pk".as("part_b"))
+    val baskets = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("items"))
+    // (i, j) index pairs with i < j via two chained Generates (both
+    // codegen'd; the tail slice keeps only j > i — no wasted structs)
+    val pairs = baskets
+      .select(posexplode($"items").as(Seq("i", "a")), $"items")
+      .select($"a", explode(slice($"items", $"i" + 2, size($"items"))).as("b"))
+    pairs.groupBy($"a".as("part_a"), $"b".as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .filter($"n_orders" >= 3)
       .orderBy($"part_a", $"part_b")

@@ -91,17 +91,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("basket pairs: hand-counted co-occurrence with threshold") {
+    // the query's formulation: sorted distinct arrays + double Generate
+    // (duplicate line items for part 10 in order 1 must not double-count)
     val items = Seq(
-      (1L, 10L), (1L, 20L), (1L, 30L),
+      (1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
       (2L, 10L), (2L, 20L),
       (3L, 10L), (3L, 20L), (3L, 40L)).toDF("ok", "pk")
-    val pairs = items.as("a").join(items.as("b"),
-        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-      .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
+    val baskets = items.groupBy($"ok")
+      .agg(sort_array(collect_set($"pk")).as("items"))
+    val pairs = baskets
+      .select(posexplode($"items").as(Seq("i", "a")), $"items")
+      .select($"a", explode(slice($"items", $"i" + 2, size($"items"))).as("b"))
+      .groupBy($"a".as("pa"), $"b".as("pb"))
       .agg(count(lit(1)).as("n"))
     val all = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(all((10L, 20L)) == 3L)
     assert(all((10L, 30L)) == 1L)
+    assert(all((20L, 30L)) == 1L)
     assert(pairs.filter($"n" >= 3).count() == 1)
   }
 }

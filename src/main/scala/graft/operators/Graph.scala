@@ -70,4 +70,46 @@ object Graph {
     }
     rank
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with
+    * deterministic tie-breaking: every node starts labeled with its own
+    * id; each round a node adopts the MODE of its neighbors' labels,
+    * ties to the smallest label. Fixed `iters` rounds of the exact
+    * integer/argmin rule make the run bit-identical on any engine —
+    * the oracle unrolls the same rounds as CTE stages.
+    *
+    * Scale shape: the edge list materializes once hash-partitioned on
+    * src ([[pageRank]]'s layout); each round is one join (node-sized
+    * label table moves) + a repartition on dst that BOTH downstream
+    * aggregates reuse — (dst, lbl) counts and the per-dst argmax are
+    * each satisfied by the dst partitioning, so a round costs two
+    * shuffles total (labels into the join, messages onto dst). The
+    * argmax is `min_by` over the (−count, label) struct — mode with
+    * smallest-label ties, no window sort. Requires every node to have
+    * an out-edge (pass both directions for undirected graphs).
+    * Output: (node, lbl) — lbl is the elected community id. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, checkpointEvery: Int = 2,
+      assumeDistinct: Boolean = false): DataFrame = {
+    require(iters >= 1)
+    val raw = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val d = if (assumeDistinct) raw else raw.distinct()
+    val e = d.repartition(col("src")).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var i = 1
+    while (i <= iters) {
+      labels = e.join(labels, e("src") === labels("node"))
+        .select(col("dst"), col("lbl"))
+        .repartition(col("dst")) // one dst exchange serves both aggs below
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"))
+      if (i % checkpointEvery == 0) labels = labels.localCheckpoint()
+      i += 1
+    }
+    labels
+  }
 }

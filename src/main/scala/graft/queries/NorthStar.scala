@@ -214,6 +214,27 @@ object NorthStar {
       .orderBy($"node_type", $"node_key")
   }
 
+  // Label-propagation communities over the same customer–supplier
+  // graph: 5 synchronous rounds of mode-of-neighbor-labels with
+  // smallest-label ties — integer/argmin rules only, so the oracle
+  // unrolls the identical rounds as CTE stages.
+  val labelPropQ: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
+    val l = t(s, dir, "lineitem").select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+    val rel = o.join(l, "ok")
+      .select(($"ck" * 2).as("a"), ($"sk" * 2 + 1).as("b")).distinct()
+    val edges = rel.select(explode(array(
+        struct($"a".as("src"), $"b".as("dst")),
+        struct($"b".as("src"), $"a".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
+    graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 5,
+        assumeDistinct = true)
+      .select(when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        expr("node div 2").as("node_key"), $"lbl".as("label"))
+      .orderBy($"node_type", $"node_key")
+  }
+
   // Snapshot delta: old = ids with doc_id % 10 < 8, new = ids with
   // doc_id % 10 > 1, texts of % 7 == 0 docs "edited" in the new
   // snapshot — exercises all four statuses in one diff.
@@ -719,7 +740,8 @@ object NorthStar {
     "ns_tokenize" -> tokenizeDocs,
     "ns_bpe_encode" -> bpeEncode,
     "ns_bm25_topk" -> bm25Topk,
-    "ns_pagerank" -> pageRankQ
+    "ns_pagerank" -> pageRankQ,
+    "ns_label_prop" -> labelPropQ
   )
 
   // ---------------- oracle SQL ----------------
@@ -1479,6 +1501,21 @@ object NorthStar {
         iters +
         " SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type," +
         " node // 2 AS node_key, rank FROM pr10 ORDER BY node_type, node_key"
+    },
+    "ns_label_prop" -> {
+      val iters = (1 to 5).map { i =>
+        s"lp$i AS (SELECT dst AS node, lbl FROM (" +
+          " SELECT e.dst, l.lbl," +
+          " ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn" +
+          s" FROM edges e JOIN lp${i - 1} l ON l.node = e.src GROUP BY e.dst, l.lbl) WHERE rn = 1)"
+      }.mkString(", ")
+      "WITH rel AS (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b" +
+        " FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)," +
+        " edges AS (SELECT a AS src, b AS dst FROM rel UNION ALL SELECT b AS src, a AS dst FROM rel)," +
+        " lp0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges), " +
+        iters +
+        " SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type," +
+        " node // 2 AS node_key, lbl AS label FROM lp5 ORDER BY node_type, node_key"
     }
   )
 

@@ -121,6 +121,42 @@ class RankSpec extends AnyFunSuite with SparkSuite {
     assert(total <= 9L * 1000000L && total > 8L * 1000000L, total.toString)
   }
 
+  /** Sequential LPA reference: identical mode/min-tie rules. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    var lbl: Map[Long, Long] = e.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lbl = e.groupBy(_._2).map { case (dst, es) =>
+        val counts = es.map { case (src, _) => lbl(src) }
+          .groupBy(identity).map { case (l, xs) => l -> xs.length }
+        dst -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation matches the sequential reference; barbell splits") {
+    // two triangles joined by one bridge edge — LPA should keep two
+    // communities (labels 1 and 4 win their triangles)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val dir = und ++ und.map(_.swap)
+    val got = Graph.labelPropagation(dir.toDF("src", "dst"), "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLpa(dir, 5))
+    assert(got.values.toSet.size == 2, s"expected 2 communities: $got")
+    assert(Set(1L, 2L, 3L).map(got) != Set(4L, 5L, 6L).map(got))
+  }
+
+  test("labelPropagation is deterministic under repartitioning") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
+    val dir = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val a = Graph.labelPropagation(dir, "src", "dst", 5)
+      .orderBy($"node").collect().toSeq
+    val b = Graph.labelPropagation(dir.repartition(5), "src", "dst", 5)
+      .orderBy($"node").collect().toSeq
+    assert(a == b)
+  }
+
   test("pageRank is deterministic under repartitioning") {
     val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
     val dir = (und ++ und.map(_.swap)).toDF("src", "dst")

@@ -586,4 +586,41 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     val diffs = streamFlags.filter { case (k, v) => batchFlags(k) != v }
     assert(diffs.isEmpty, s"stream/batch verdict mismatch: ${diffs.take(5)}")
   }
+
+  test("streaming funnel advances per user across micro-batches, honors order and window") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.stream.StreamFunnel
+      val mem = MemoryStream[(Long, String, Long)](spark)
+      val adv = StreamFunnel.funnelScreen(
+        mem.toDF().toDF("user_id", "event_type", "ts_sec"),
+        "user_id", "event_type", "ts_sec",
+        steps = Seq("view", "click", "purchase"), windowSec = 1000L,
+        stateTtl = None)
+      val q = adv.writeStream.format("memory").queryName("funnel_t")
+        .outputMode("append").start()
+      // u1: view+click in batch 1 (out of order in the batch — sorted by
+      // ts before processing); u2 clicks without viewing; u3 views
+      mem.addData((1L, "click", 200L), (1L, "view", 100L),
+        (2L, "click", 100L), (3L, "view", 100L))
+      q.processAllAvailable()
+      // u1 purchases (cross-batch state carries step 2 + ts 200);
+      // u3 clicks too late (view at 100, window 1000 → deadline 1100)
+      mem.addData((1L, "purchase", 300L), (3L, "click", 2000L))
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("funnel_t")
+        .select($"user_id", $"step", $"step_name", $"ts_sec")
+        .as[(Long, Int, String, Long)].collect().toSet
+      assert(out == Set(
+        (1L, 1, "view", 100L), (1L, 2, "click", 200L), (1L, 3, "purchase", 300L),
+        (3L, 1, "view", 100L)), s"got $out")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

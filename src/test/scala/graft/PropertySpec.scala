@@ -204,4 +204,94 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     assert(nn.nonEmpty)
     assert(nn.head.getLong(0) == 0L && nn.head.getDouble(1) == 0.0)
   }
+
+  test("bm25 matches an in-memory reference on random corpora") {
+    import graft.llm.TextStats
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    (1 to 5).foreach { trial =>
+      val corpus = (1L to 12L).map(id =>
+        id -> Seq.fill(2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val qTerms = Seq.fill(2)(vocab(rnd.nextInt(vocab.size))).distinct
+      // in-memory reference: same idf/micro-unit rules as RankSpec's
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+      val n = corpus.length
+      val dl = toks.map { case (id, tk) => id -> tk.length }.toMap
+      val avgdl = dl.values.sum.toDouble / n
+      val df = toks.flatMap(_._2.distinct).groupBy(identity)
+        .map { case (t, xs) => t -> xs.length }
+      val exp = toks.map { case (id, tk) =>
+        id -> qTerms.flatMap { t =>
+          val tf = tk.count(_ == t)
+          if (tf == 0) None else Some(math.rint(
+            math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * (tf * 2.2) /
+              (tf + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)) * 1e6).toLong)
+        }.sum
+      }.filter(_._2 != 0L).toMap
+      val got = TextStats.bm25TopK(
+          Seq((0L, qTerms)).toDF("qid", "terms"),
+          corpus.toDF("doc_id", "text"), "qid", "terms", "doc_id", "text", k = 50)
+        .collect().map(r => r.getLong(2) -> math.rint(r.getDouble(4) * 1e6).toLong).toMap
+      assert(got == exp, s"trial $trial: got $got expected $exp")
+    }
+  }
+
+  test("pageRank invariants on random symmetric graphs: floor, mass bound, reference parity") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val nNodes = 6 + rnd.nextInt(5)
+      val und = (0 until nNodes).map(i =>
+        (i.toLong, ((i + 1 + rnd.nextInt(nNodes - 1)) % nNodes).toLong))
+        .filter(e => e._1 != e._2) ++ (1 until nNodes).map(i => (0L, i.toLong))
+      val dir = (und ++ und.map(_.swap)).distinct
+      val got = Graph.pageRank(dir.toDF("src", "dst"), "src", "dst", 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // same integer rules as RankSpec's reference
+      val deg = dir.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+      var rank: Map[Long, Long] = deg.map { case (k, _) => k -> 1000000L }
+      for (_ <- 1 to 10)
+        rank = dir.groupBy(_._2).map { case (dst, es) =>
+          dst -> (150000L + 85L * es.map { case (s, _) => rank(s) / deg(s) }.sum / 100L)
+        }
+      assert(got == rank, s"trial $trial parity")
+      assert(got.values.forall(_ >= 150000L), s"trial $trial floor")
+      assert(got.values.sum <= got.size * 1000000L, s"trial $trial mass")
+    }
+  }
+
+  test("interpolation: known points exact, interior interpolants within neighbor bounds") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 60L).map { i =>
+      (i, i % 3, i * 7 + rnd.nextInt(5), if (rnd.nextBoolean()) "ok" else "error",
+        rnd.nextDouble() * 100)
+    }
+    val e = rows.toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+      .withColumn("v", when($"event_type" =!= "error", $"value"))
+    val wp = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val pv = last($"v", ignoreNulls = true).over(wp)
+    val nv = first($"v", ignoreNulls = true).over(wn)
+    val pt = last(when($"v".isNotNull, $"ts_sec"), ignoreNulls = true).over(wp)
+    val nt = first(when($"v".isNotNull, $"ts_sec"), ignoreNulls = true).over(wn)
+    val out = e.select($"event_id", $"v", pv.as("pv"), nv.as("nv"),
+      round(when($"v".isNotNull, $"v")
+        .when(pv.isNull, nv).when(nv.isNull, pv)
+        .otherwise(pv + (nv - pv) * (($"ts_sec" - pt) / (nt - pt))), 6).as("vi"))
+      .collect()
+    out.foreach { r =>
+      val vi = Option(r.get(4)).map(_.asInstanceOf[Double])
+      if (!r.isNullAt(1)) {
+        assert(vi.contains(math.rint(r.getDouble(1) * 1e6) / 1e6), "known point must pass through")
+      } else if (!r.isNullAt(2) && !r.isNullAt(3)) {
+        val (lo, hi) = (math.min(r.getDouble(2), r.getDouble(3)) - 1e-6,
+          math.max(r.getDouble(2), r.getDouble(3)) + 1e-6)
+        assert(vi.exists(x => x >= lo && x <= hi),
+          s"interpolant $vi outside neighbor bounds [$lo,$hi]")
+      }
+    }
+  }
 }

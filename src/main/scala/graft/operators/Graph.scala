@@ -112,4 +112,47 @@ object Graph {
     }
     labels
   }
+
+  /** Exact triangle count via DEGREE-ORDERED wedge enumeration — the
+    * standard scalable orientation (compact-forward / Schank 2007):
+    * each undirected edge points from its (degree, id)-smaller endpoint
+    * to the larger, so every triangle has exactly ONE apex (the
+    * orientation-least vertex) and is found once, and — the scale
+    * property — wedge fan-out at any vertex is bounded by its FORWARD
+    * degree: a celebrity hub of degree d generates O(d·√m)-ish wedges
+    * instead of O(d²), because edges into the hub point AT it and
+    * produce no wedges there. Plain id-orientation has no such bound.
+    *
+    * Three relational steps: degree aggregate, wedge self-join on the
+    * apex, closing-edge semi-join — all equi-joins Catalyst/AQE handle
+    * (the oriented edge table is reused three times; localCheckpoint
+    * materializes it once). Input edges are undirected pairs; dups and
+    * self-loops are dropped. Output: 1 row (n_edges, n_triangles). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
+      .distinct()
+    // undirected degree per node (each edge touches both endpoints)
+    val deg = und.select(explode(array(col("x"), col("y"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val o = und
+      .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"), "x")
+      .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"), "y")
+      .select(
+        when(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")),
+          struct(col("x").as("a"), col("y").as("b")))
+          .otherwise(struct(col("y").as("a"), col("x").as("b"))).as("e"))
+      .select(col("e.a"), col("e.b"))
+      .localCheckpoint()
+    val wedges = o.as("ab").join(o.as("ac"),
+        col("ab.a") === col("ac.a") && col("ab.b") =!= col("ac.b"))
+      .select(col("ab.b").as("p"), col("ac.b").as("q"))
+    // closing edge in orientation order closes each wedge pair once
+    val tri = wedges.join(o.as("bc"),
+        col("p") === col("bc.a") && col("q") === col("bc.b"), "left_semi")
+    o.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
 }

@@ -235,6 +235,23 @@ object NorthStar {
       .orderBy($"node_type", $"node_key")
   }
 
+  // Exact triangle count of the co-purchase graph (parts sharing ≥ 2
+  // orders are connected): degree-ordered wedge enumeration — every
+  // triangle found at its unique orientation-least apex, hub fan-out
+  // bounded by forward degree.
+  val trianglesQ: Q = (s, dir) => {
+    import s.implicits._
+    val baskets = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("items"))
+    val pairs = baskets
+      .select(posexplode($"items").as(Seq("i", "a")), $"items")
+      .select($"a", explode(slice($"items", $"i" + 2, size($"items"))).as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+    graft.operators.Graph.triangleCount(pairs, "a", "b")
+  }
+
   // Snapshot delta: old = ids with doc_id % 10 < 8, new = ids with
   // doc_id % 10 > 1, texts of % 7 == 0 docs "edited" in the new
   // snapshot — exercises all four statuses in one diff.
@@ -741,7 +758,8 @@ object NorthStar {
     "ns_bpe_encode" -> bpeEncode,
     "ns_bm25_topk" -> bm25Topk,
     "ns_pagerank" -> pageRankQ,
-    "ns_label_prop" -> labelPropQ
+    "ns_label_prop" -> labelPropQ,
+    "ns_triangles" -> trianglesQ
   )
 
   // ---------------- oracle SQL ----------------
@@ -1516,7 +1534,24 @@ object NorthStar {
         iters +
         " SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type," +
         " node // 2 AS node_key, lbl AS label FROM lp5 ORDER BY node_type, node_key"
-    }
+    },
+    "ns_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS (
+        | SELECT a.pk AS x, b.pk AS y FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), deg AS (
+        | SELECT n, COUNT(*) AS d FROM (SELECT x AS n FROM und UNION ALL SELECT y FROM und)
+        | GROUP BY 1
+        |), o AS (
+        | SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND und.x < und.y) THEN und.x ELSE und.y END AS a,
+        |  CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND und.x < und.y) THEN und.y ELSE und.x END AS b
+        | FROM und JOIN deg dx ON dx.n = und.x JOIN deg dy ON dy.n = und.y
+        |), w AS (
+        | SELECT ab.b AS p, ac.b AS q FROM o ab JOIN o ac ON ab.a = ac.a AND ab.b != ac.b
+        |)
+        |SELECT (SELECT COUNT(*) FROM o) AS n_edges, COUNT(*) AS n_triangles
+        |FROM w WHERE EXISTS (SELECT 1 FROM o bc WHERE bc.a = w.p AND bc.b = w.q)""".sm
   )
 
   implicit private class Sm(private val s: String) {

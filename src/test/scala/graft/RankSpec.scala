@@ -157,6 +157,24 @@ class RankSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("triangleCount: K4 has 4, path has 0, random graphs match brute force") {
+    val k4 = for { u <- 0L to 3L; v <- (u + 1) to 3L } yield (u, v)
+    val got = Graph.triangleCount(k4.toDF("u", "v"), "u", "v").head
+    assert((got.getLong(0), got.getLong(1)) == ((6L, 4L)))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Graph.triangleCount(path.toDF("u", "v"), "u", "v").head.getLong(1) == 0L)
+    val rnd = new scala.util.Random(3)
+    (1 to 3).foreach { trial =>
+      val n = 8L
+      val es = (for { u <- 0L until n; v <- (u + 1) until n if rnd.nextBoolean() }
+        yield (u, v)).toSeq
+      val brute = (for { a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if es.contains((a, b)) && es.contains((b, c)) && es.contains((a, c)) } yield 1).size
+      val g = Graph.triangleCount(es.toDF("u", "v"), "u", "v").head
+      assert(g.getLong(1) == brute.toLong, s"trial $trial")
+    }
+  }
+
   test("pageRank is deterministic under repartitioning") {
     val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
     val dir = (und ++ und.map(_.swap)).toDF("src", "dst")

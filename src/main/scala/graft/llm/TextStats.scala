@@ -214,22 +214,37 @@ object TextStats {
   def bm25TopK(queries: DataFrame, docs: DataFrame, queryIdCol: String,
       queryTermsCol: String, idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (tf, dl, dft, stats) = bm25Index(docs, idCol, textCol)
+    // tf feeds THREE derived relations (dl, df, stats) — materialize it
+    // once here or the tokenize+aggregate pipeline evaluates once per
+    // branch (the ad-hoc path; the steady-state path reads a persisted
+    // index and never re-tokenizes)
+    val tf = bm25Tf(docs, idCol, textCol).localCheckpoint()
+    val (dl, dft, stats) = bm25Derived(tf)
     bm25TopKWith(queries, queryIdCol, queryTermsCol, k, tf, dl, dft, stats, k1, b)
   }
 
   /** The four relations of a BM25 "index": (doc,term,tf), (doc,dl),
-    * (term,df), and the 1-row (n_docs, total_dl) stats. Persist these
-    * at scale; [[bm25TopKWith]] queries them without re-scanning text. */
+    * (term,df), and the 1-row (n_docs, total_dl) stats — dl/df/stats
+    * all derive from the tf table (dl = Σ tf per doc), so the corpus
+    * text is tokenized exactly ONCE. Persist these at scale;
+    * [[bm25TopKWith]] queries them without re-scanning text. */
   def bm25Index(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = bm25Tf(docs, idCol, textCol)
+    val (dl, dft, stats) = bm25Derived(tf)
+    (tf, dl, dft, stats)
+  }
+
+  private def bm25Tf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  private def bm25Derived(tf: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    (tf, dl, dft, stats)
+    (dl, dft, stats)
   }
 
   /** BM25 scoring against a pre-built index — the steady-state path. */
@@ -240,9 +255,12 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(col(queryTermsCol))).as("term"))
-    // prune the posting lists FIRST: only query terms survive the scan
+    // prune the posting lists FIRST: only query terms survive the scan;
+    // the df table prunes the same way (vocab-sized at 100 TB — the
+    // semi-join makes its join side query-term-sized, hence broadcast)
+    val dftQ = dft.join(broadcast(q.select(col("term")).distinct()), Seq("term"), "left_semi")
     val hits = tf.join(broadcast(q), "term")
-      .join(dft, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .join(dftQ, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
       .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))

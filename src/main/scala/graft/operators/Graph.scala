@@ -48,8 +48,10 @@ object Graph {
     val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     // duplicate edges would double-count in deg and in the message sum;
-    // callers that already dedup skip the extra edge-wide shuffle
-    val e = if (assumeDistinct) raw else raw.distinct()
+    // callers that already dedup skip the extra edge-wide shuffle.
+    // e feeds BOTH deg and the message join — materialize once or the
+    // upstream edge-derivation plan runs twice.
+    val e = (if (assumeDistinct) raw else raw.distinct()).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Message table (src, dst, deg): reused every superstep —
     // materialize ONCE, hash-partitioned on src. localCheckpoint
@@ -129,11 +131,14 @@ object Graph {
     * materializes it once). Input edges are undirected pairs; dups and
     * self-loops are dropped. Output: 1 row (n_edges, n_triangles). */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // und feeds the degree aggregate AND the orientation join —
+    // materialize once or the upstream edge-derivation plan runs twice
     val und = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
       .distinct()
+      .localCheckpoint()
     // undirected degree per node (each edge touches both endpoints)
     val deg = und.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))

@@ -929,7 +929,32 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  // A31 top session paths: sessionize by 30-min inactivity gap (lag +
+  // running flag-sum — the gaps-and-islands session id), concatenate
+  // each session's event types in time order, count identical paths,
+  // top 20. The per-user window and the (user, session) aggregate share
+  // one user_id partitioning; the path count is a uniform hash agg and
+  // the top-20 is a TakeOrdered, never a global sort.
+  val a31EventPaths: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val e = t(s, dir, "events")
+      .select($"event_id", $"user_id", tsSec($"ts").as("ts_sec"), $"event_type")
+      .withColumn("new_s",
+        when($"ts_sec" - lag($"ts_sec", 1).over(w) > 1800L, 1).otherwise(0))
+      .withColumn("snum", sum($"new_s").over(
+        Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val paths = e.groupBy($"user_id", $"snum")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"ts_sec", $"event_id", $"event_type"))),
+        x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path").limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "a31_event_paths" -> a31EventPaths,
     "a30_basket_pairs" -> a30BasketPairs,
     "w13_streaks" -> w13Streaks,
     "a28_funnel" -> a28Funnel,
@@ -999,6 +1024,25 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a31_event_paths" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+        | FROM events
+        |), f AS (
+        | SELECT *, CASE WHEN ts_sec - LAG(ts_sec) OVER
+        |   (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800 THEN 1 ELSE 0 END AS new_s
+        | FROM e
+        |), g AS (
+        | SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS snum
+        | FROM f
+        |), paths AS (
+        | SELECT user_id, snum,
+        |  string_agg(event_type, '>' ORDER BY ts_sec, event_id) AS path
+        | FROM g GROUP BY 1, 2
+        |)
+        |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".sm,
     "a30_basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
         |SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders

@@ -89,6 +89,12 @@ object Graph {
     * argmax is `min_by` over the (−count, label) struct — mode with
     * smallest-label ties, no window sort. Requires every node to have
     * an out-edge (pass both directions for undirected graphs).
+    *
+    * Known synchronous-LPA caveat (EdgeSpec pins it): bipartite
+    * structures can oscillate with period 2 — the standard remedies
+    * are an extra iteration (compare both parities) or asynchronous
+    * coloring; fixed `iters` keeps the operator deterministic and
+    * oracle-checkable, which is the contract here.
     * Output: (node, lbl) — lbl is the elected community id. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, checkpointEvery: Int = 2,

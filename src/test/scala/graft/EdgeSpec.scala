@@ -117,6 +117,41 @@ class EdgeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("retrieval/graph operators tolerate empty and degenerate inputs") {
+    import graft.operators.Graph
+    // BM25: query terms absent from the corpus yield no hits, not rows
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val qMiss = Seq((9L, Seq("zeta"))).toDF("qid", "terms")
+    assert(TextStats.bm25TopK(qMiss, docs, "qid", "terms", "doc_id", "text", 5).count() == 0)
+    // BM25: empty query SET is fine (no rows out)
+    val qEmpty = Seq.empty[(Long, Seq[String])].toDF("qid", "terms")
+    assert(TextStats.bm25TopK(qEmpty, docs, "qid", "terms", "doc_id", "text", 5).count() == 0)
+    // pageRank on a 2-cycle: both nodes fixed at 150000 + 85% of 1e6
+    val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(two, "src", "dst", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(1L) == pr(2L), "symmetric 2-cycle must tie")
+    // deg=1 both sides: r = 150000 + (85·r) div 100 has exact fixpoint 1e6
+    assert(pr(1L) == 1000000L, s"integer fixpoint drifted: ${pr(1L)}")
+    // triangleCount: duplicate and reversed duplicate edges collapse
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val t = Graph.triangleCount(dup, "u", "v").head
+    assert((t.getLong(0), t.getLong(1)) == ((3L, 1L)))
+    // triangleCount on an empty edge set
+    val none = Seq.empty[(Long, Long)].toDF("u", "v")
+    val t0 = Graph.triangleCount(none, "u", "v").head
+    assert((t0.getLong(0), t0.getLong(1)) == ((0L, 0L)))
+    // labelPropagation: a single undirected edge OSCILLATES under
+    // synchronous updates (the textbook bipartite caveat — each node
+    // adopts the other's label every round); pin the period-2 behavior
+    val lpEven = Graph.labelPropagation(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      "src", "dst", 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpOdd = Graph.labelPropagation(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      "src", "dst", 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpEven == Map(1L -> 1L, 2L -> 2L), s"got $lpEven")
+    assert(lpOdd == Map(1L -> 2L, 2L -> 1L), s"got $lpOdd")
+  }
+
   test("window queries on a single-row table") {
     val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L, 1.0))
       .toDF("event_id", "ts", "user_id", "value")

@@ -89,6 +89,35 @@ object StreamBench {
     sq.stop()
     println(f"screen_bench: $nd%d docs in $secs2%.1f s = ${nd / secs2}%.0f docs/s " +
       f"($flagged%d flags)")
+
+    // Streaming funnel throughput: SPARK_GRAFT_FUNNEL_N events (default
+    // 200k) over a 10k-user pool, random-ish step mix, same RocksDB +
+    // 8-partition layout as the screen probe.
+    val nf = sys.env.getOrElse("SPARK_GRAFT_FUNNEL_N", "200000").toInt
+    val fBatches = sys.env.getOrElse("SPARK_GRAFT_FUNNEL_BATCHES", "4").toInt
+    val fmem = MemoryStream[(Long, String, Long)](spark)
+    val funnelTypes = Array("view", "click", "purchase", "error", "signup")
+    val adv = graft.stream.StreamFunnel.funnelScreen(
+      fmem.toDF().toDF("user_id", "event_type", "ts_sec"),
+      "user_id", "event_type", "ts_sec",
+      steps = Seq("view", "click", "purchase"), windowSec = 7L * 86400L,
+      stateTtl = None)
+    val fq = adv.writeStream.format("memory").queryName("sbench_funnel")
+      .outputMode("append").start()
+    val t2 = System.nanoTime()
+    val perF = nf / fBatches
+    (0 until fBatches).foreach { b =>
+      val rows = (b * perF until (b + 1) * perF).map { i =>
+        ((i % 10000).toLong, funnelTypes((i * 2654435761L % 5).toInt), i.toLong)
+      }
+      fmem.addData(rows)
+      fq.processAllAvailable()
+    }
+    val secs3 = (System.nanoTime() - t2) / 1e9
+    val advanced = spark.table("sbench_funnel").count()
+    fq.stop()
+    println(f"funnel_bench: $nf%d events in $secs3%.1f s = ${nf / secs3}%.0f events/s " +
+      f"($advanced%d advancements)")
     prevProvider match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.llm.{CorpusPrep, Dedup, Shards, Similarity, TextStats}
@@ -189,28 +189,39 @@ object NorthStar {
       .orderBy($"query_id", $"rank")
   }
 
-  // PageRank over the customer–supplier relationship graph (an order
-  // links its customer to each line's supplier; both directions so no
-  // node dangles). Integer micro-unit ranks — the 10-iteration run is
-  // bit-exact on any engine, oracle = the same iteration unrolled as
-  // 10 CTE stages in DuckDB.
-  val pageRankQ: Q = (s, dir) => {
+  // Customer–supplier relationship graph shared by the pageRank and
+  // label-propagation queries: an order links its customer to each
+  // line's supplier (node id = key·2 for customers, key·2+1 for
+  // suppliers); symmetrized by explode so the join+distinct evaluates
+  // ONCE (a union with the swap would re-run the upstream plan), and
+  // (even, odd) ∪ (odd, even) pairs are disjoint so distinctness holds.
+  private def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = t(s, dir, "orders").select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
     val l = t(s, dir, "lineitem").select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
     val rel = o.join(l, "ok")
       .select(($"ck" * 2).as("a"), ($"sk" * 2 + 1).as("b")).distinct()
-    // symmetrize by explode so rel's join+distinct evaluates ONCE (a
-    // union of rel with its swap would re-run the whole upstream plan);
-    // (even, odd) ∪ (odd, even) pairs are disjoint, so distinctness holds
-    val edges = rel.select(explode(array(
+    rel.select(explode(array(
         struct($"a".as("src"), $"b".as("dst")),
         struct($"b".as("src"), $"a".as("dst")))).as("e"))
       .select($"e.src", $"e.dst")
-    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 10,
-        assumeDistinct = true)
-      .select(when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
-        expr("node div 2").as("node_key"), $"rank")
+  }
+
+  private def decodeNode(s: SparkSession): Seq[Column] = {
+    import s.implicits._
+    Seq(when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+      expr("node div 2").as("node_key"))
+  }
+
+  // PageRank over the customer–supplier graph (both directions so no
+  // node dangles). Integer micro-unit ranks — the 10-iteration run is
+  // bit-exact on any engine, oracle = the same iteration unrolled as
+  // 10 CTE stages in DuckDB.
+  val pageRankQ: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Graph.pageRank(custSuppEdges(s, dir), "src", "dst",
+        iters = 10, assumeDistinct = true)
+      .select(decodeNode(s) :+ $"rank": _*)
       .orderBy($"node_type", $"node_key")
   }
 
@@ -220,18 +231,9 @@ object NorthStar {
   // unrolls the identical rounds as CTE stages.
   val labelPropQ: Q = (s, dir) => {
     import s.implicits._
-    val o = t(s, dir, "orders").select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
-    val l = t(s, dir, "lineitem").select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
-    val rel = o.join(l, "ok")
-      .select(($"ck" * 2).as("a"), ($"sk" * 2 + 1).as("b")).distinct()
-    val edges = rel.select(explode(array(
-        struct($"a".as("src"), $"b".as("dst")),
-        struct($"b".as("src"), $"a".as("dst")))).as("e"))
-      .select($"e.src", $"e.dst")
-    graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 5,
-        assumeDistinct = true)
-      .select(when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
-        expr("node div 2").as("node_key"), $"lbl".as("label"))
+    graft.operators.Graph.labelPropagation(custSuppEdges(s, dir), "src", "dst",
+        iters = 5, assumeDistinct = true)
+      .select(decodeNode(s) :+ $"lbl".as("label"): _*)
       .orderBy($"node_type", $"node_key")
   }
 

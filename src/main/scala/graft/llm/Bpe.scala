@@ -36,6 +36,7 @@ object Bpe {
   def fitMerges(freqs: DataFrame, numMerges: Int,
       checkpointEvery: Int = 10): Seq[(String, String)] = {
     require(numMerges >= 1)
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val merges = Seq.newBuilder[(String, String)]
     var words = freqs
       .select(split(col("word"), "").as("symbols"), col("n"))

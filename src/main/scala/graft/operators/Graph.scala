@@ -45,6 +45,7 @@ object Graph {
       iters: Int = 10, checkpointEvery: Int = 3,
       assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     // duplicate edges would double-count in deg and in the message sum;
@@ -100,6 +101,7 @@ object Graph {
       iters: Int = 5, checkpointEvery: Int = 2,
       assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val d = if (assumeDistinct) raw else raw.distinct()

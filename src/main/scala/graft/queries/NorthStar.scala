@@ -195,7 +195,7 @@ object NorthStar {
   // suppliers); symmetrized by explode so the join+distinct evaluates
   // ONCE (a union with the swap would re-run the upstream plan), and
   // (even, odd) ∪ (odd, even) pairs are disjoint so distinctness holds.
-  private def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = t(s, dir, "orders").select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
     val l = t(s, dir, "lineitem").select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
@@ -241,18 +241,9 @@ object NorthStar {
   // orders are connected): degree-ordered wedge enumeration — every
   // triangle found at its unique orientation-least apex, hub fan-out
   // bounded by forward degree.
-  val trianglesQ: Q = (s, dir) => {
-    import s.implicits._
-    val baskets = t(s, dir, "lineitem")
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"l_partkey")).as("items"))
-    val pairs = baskets
-      .select(posexplode($"items").as(Seq("i", "a")), $"items")
-      .select($"a", explode(slice($"items", $"i" + 2, size($"items"))).as("b"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("n"))
-      .filter($"n" >= 2)
-    graft.operators.Graph.triangleCount(pairs, "a", "b")
-  }
+  val trianglesQ: Q = (s, dir) =>
+    graft.operators.Graph.triangleCount(
+      Relational.basketPairs(t(s, dir, "lineitem"), minOrders = 2), "a", "b")
 
   // Snapshot delta: old = ids with doc_id % 10 < 8, new = ids with
   // doc_id % 10 > 1, texts of % 7 == 0 docs "edited" in the new

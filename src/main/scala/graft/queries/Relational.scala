@@ -898,18 +898,26 @@ object Relational {
   // domain would cap |basket| the way llm.Dedup caps buckets.
   val a30BasketPairs: Q = (s, dir) => {
     import s.implicits._
-    val baskets = t(s, dir, "lineitem")
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"l_partkey")).as("items"))
-    // (i, j) index pairs with i < j via two chained Generates (both
-    // codegen'd; the tail slice keeps only j > i — no wasted structs)
-    val pairs = baskets
-      .select(posexplode($"items").as(Seq("i", "a")), $"items")
-      .select($"a", explode(slice($"items", $"i" + 2, size($"items"))).as("b"))
-    pairs.groupBy($"a".as("part_a"), $"b".as("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter($"n_orders" >= 3)
+    basketPairs(t(s, dir, "lineitem"), minOrders = 3)
+      .select($"a".as("part_a"), $"b".as("part_b"), $"n_orders")
       .orderBy($"part_a", $"part_b")
+  }
+
+  /** Support-thresholded within-basket part pairs (a < b) with their
+    * order counts — shared by `a30_basket_pairs` and the triangle-count
+    * query's co-purchase graph. (i, j) index pairs with i < j expand
+    * via two chained Generates (both codegen'd; the tail slice keeps
+    * only j > i — no wasted structs, no self-join). */
+  private[graft] def basketPairs(lineitem: DataFrame, minOrders: Long): DataFrame = {
+    val baskets = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    baskets
+      .select(posexplode(col("items")).as(Seq("i", "a")), col("items"))
+      .select(col("a"), explode(slice(col("items"), col("i") + 2, size(col("items")))).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
   }
 
   // W13 longest activity streak per user (gaps-and-islands): integer

@@ -65,7 +65,8 @@ object StreamFunnel {
 
     override def handleInputRows(user: Long, in: Iterator[FunnelEvent],
         tv: TimerValues): Iterator[FunnelAdvance] = {
-      var s = if (state.exists()) state.get() else FunnelState(0, Long.MinValue)
+      val prev = if (state.exists()) state.get() else FunnelState(0, Long.MinValue)
+      var s = prev
       val out = Vector.newBuilder[FunnelAdvance]
       // event-time order within the batch (cross-batch late events are
       // at-arrival by design — see scaladoc)
@@ -76,7 +77,10 @@ object StreamFunnel {
           out += FunnelAdvance(user, s.step, steps(s.step - 1), e.ts_sec)
         }
       }
-      state.update(s)
+      // write only on change: a user who never matches step 1 stores
+      // NOTHING (no per-user bloat for non-funnel traffic), and TTL
+      // refreshes only on progress, so abandoned funnels really evict
+      if (s != prev) state.update(s)
       out.result().iterator
     }
   }

@@ -108,7 +108,9 @@ object StreamBench {
     val perF = nf / fBatches
     (0 until fBatches).foreach { b =>
       val rows = (b * perF until (b + 1) * perF).map { i =>
-        ((i % 10000).toLong, funnelTypes((i * 2654435761L % 5).toInt), i.toLong)
+        // mix AFTER the multiply (2654435761 ≡ 1 mod 5, so a bare % 5
+        // would degenerate to i % 5 and lock each user to one type)
+        ((i % 10000).toLong, funnelTypes((((i * 2654435761L) >>> 13) % 5).toInt), i.toLong)
       }
       fmem.addData(rows)
       fq.processAllAvailable()

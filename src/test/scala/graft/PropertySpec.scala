@@ -223,9 +223,11 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       val exp = toks.map { case (id, tk) =>
         id -> qTerms.flatMap { t =>
           val tf = tk.count(_ == t)
-          if (tf == 0) None else Some(math.rint(
+          // HALF_UP to match Spark round() (math.rint is half-to-even)
+          if (tf == 0) None else Some(BigDecimal(
             math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * (tf * 2.2) /
-              (tf + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)) * 1e6).toLong)
+              (tf + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
         }.sum
       }.filter(_._2 != 0L).toMap
       val got = TextStats.bm25TopK(

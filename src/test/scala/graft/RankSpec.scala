@@ -12,6 +12,11 @@ class RankSpec extends AnyFunSuite with SparkSuite {
 
   // ---- BM25 ----
 
+  /** Spark round() is HALF_UP (away from zero on ties) — math.rint is
+    * half-to-even and would diverge on exact .5 micro-unit boundaries. */
+  private def roundHalfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   /** Sequential reference: same Lucene idf, same micro-unit rounding. */
   private def refBm25(corpus: Seq[(Long, String)], qTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): Map[Long, Long] = {
@@ -27,8 +32,8 @@ class RankSpec extends AnyFunSuite with SparkSuite {
         if (tf == 0) None
         else {
           val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
-          Some(math.rint(idf * (tf * (k1 + 1)) /
-            (tf + k1 * ((1 - b) + b * dl(id) / avgdl)) * 1e6).toLong)
+          Some(roundHalfUp(idf * (tf * (k1 + 1)) /
+            (tf + k1 * ((1 - b) + b * dl(id) / avgdl)) * 1e6))
         }
       }.sum
       id -> s6

@@ -90,6 +90,34 @@ object Shards {
       .drop("__w", "__tot")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * each row draws the "exponential race" key −ln(u)/w from a
+    * deterministic uniform u and its weight w; the k SMALLEST keys are
+    * a weighted sample without replacement (inclusion probability
+    * proportional to weight, exactly the A-ES guarantee). u derives
+    * from the first EIGHT hex digits of md5(key) — a 32-bit uniform,
+    * (v + 0.5)/2³², the reproducible/engine-portable coin the other
+    * samplers here use (16 bits there, 32 here: the race key needs the
+    * resolution). Scale: the selection is `TakeOrderedAndProject` —
+    * per-partition partial top-k then a k-row merge on the driver — so
+    * NO global sort and NO shuffle of the corpus, the only weighted
+    * sampler shape that holds at 10¹² rows. The race key is returned
+    * in integer micro-units for exact cross-engine comparison. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    val hex = md5(col(keyCol).cast("string"))
+    val v = (0 until 8).map { d =>
+      (instr(lit("0123456789abcdef"), substring(hex, d + 1, 1)) - 1).cast("long") *
+        lit(1L << (4 * (7 - d)))
+    }.reduce(_ + _)
+    val u = (v.cast("double") + 0.5) / 4294967296.0
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key"), col(keyCol))
+      .limit(k)
+      .select(col(keyCol), col(weightCol),
+        round(col("es_key") * 1e6, 0).cast("long").as("es_key6"))
+  }
+
   /** Exact per-group quotas (rank-based): keep the first `quota(g)`
     * rows of each group in deterministic md5-of-key order. Needs one
     * shuffle + per-group sort — use for bounded group counts (label

@@ -374,6 +374,49 @@ object TextStats {
         round(col("sum6").cast("double") / col("n_tokens") / 1e6, 4).as("avg_nll"))
   }
 
+  /** Per-source token-distribution diagnostics: Shannon entropy of each
+    * source's unigram distribution plus its KL divergence from the
+    * whole-corpus distribution — the standard mixture-QA pair for
+    * training-data curation (a low-entropy source is repetitive/
+    * templated; a high-KL source is distributionally unlike the rest
+    * of the mix and will shift the trained model).
+    *   H(p_s)      = −Σ_t (c_st/T_s) ln(c_st/T_s)
+    *   KL(p_s‖q)   =  Σ_t (c_st/T_s) ln((c_st/T_s)/(c_t/T))
+    * KL is computed over the source's own support, where q > 0 always
+    * holds (every source token is a corpus token) — no smoothing needed.
+    * Engine-exactness: the per-(source,token) ln terms quantize to
+    * integer micro-nats and are weighted by the INTEGER count c_st, so
+    * both sums are order-independent BIGINT arithmetic (the
+    * [[unigramLogProb]] trick, weighted). The weighted products stay in
+    * long range while c_st·20e6 < 2⁶³ — i.e. per-(source,token) counts
+    * up to ~4.6e11 occurrences, far past any real corpus cell.
+    * Scale shape: ONE (source, token) aggregate off the tokenize scan;
+    * everything after is vocab-sized (the per-source and per-token
+    * rollups re-aggregate that table; the per-source totals and the
+    * grand total broadcast). The only corpus-wide job is the first agg. */
+  def sourceEntropy(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"),
+      explode(split(col(textCol), " ")).as("token"))
+    val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt_st"))
+    val perSrc = st.groupBy(col("source")).agg(sum(col("cnt_st")).as("tot_s"))
+    val perTok = st.groupBy(col("token")).agg(sum(col("cnt_st")).as("cnt_t"))
+    val total = perTok.agg(sum(col("cnt_t")).as("total"))
+    st.join(broadcast(perSrc), Seq("source")).join(perTok, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("h6",
+        round(-log(col("cnt_st").cast("double") / col("tot_s")) * 1e6, 0).cast("long"))
+      .withColumn("kl6",
+        round(log((col("cnt_st").cast("double") / col("tot_s")) /
+          (col("cnt_t").cast("double") / col("total"))) * 1e6, 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_tokens"), max(col("tot_s")).as("n_tokens"),
+        sum(col("cnt_st") * col("h6")).as("hsum6"),
+        sum(col("cnt_st") * col("kl6")).as("klsum6"))
+      .select(col("source"), col("n_distinct_tokens"), col("n_tokens"),
+        round(col("hsum6").cast("double") / col("n_tokens") / 1e6, 4).as("entropy_nats"),
+        round(col("klsum6").cast("double") / col("n_tokens") / 1e6, 4).as("kl_vs_corpus"))
+  }
+
   /** Bigram LM surprisal — the conditional-probability upgrade of
     * [[unigramLogProb]] (the CCNet-style LM quality screen, one order
     * up): per doc, the mean −ln P(w_i | w_{i−1}) under an add-1

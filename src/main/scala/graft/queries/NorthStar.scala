@@ -513,6 +513,14 @@ object NorthStar {
       .orderBy($"shard")
   }
 
+  // A-ES weighted sampling without replacement: 20 docs, inclusion
+  // probability proportional to length — partial top-k, no shuffle.
+  val weightedSampleQ: Q = (s, dir) => {
+    import s.implicits._
+    Shards.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", k = 20)
+      .orderBy($"es_key6", $"doc_id")
+  }
+
   // Deterministic mixture sampling by source (data mixing): hash-rate
   // filter, zero shuffle — src0 kept at 25 %, src1 at 75 %, rest 50 %.
   val mixtureSample: Q = (s, dir) => {
@@ -602,6 +610,13 @@ object NorthStar {
     import s.implicits._
     TextStats.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
       .orderBy($"doc_id")
+  }
+
+  // Per-source entropy + KL vs the corpus mix (mixture QA).
+  val sourceEntropyQ: Q = (s, dir) => {
+    import s.implicits._
+    TextStats.sourceEntropy(t(s, dir, "documents"), "source", "text")
+      .orderBy($"source")
   }
 
   // PQ ANN: fit codebooks on a hash-ordered sample, encode the corpus
@@ -716,6 +731,7 @@ object NorthStar {
     "ns_dedup_embedding" -> dedupEmbedding,
     "ns_shard_assign" -> shardAssign,
     "ns_mixture_sample" -> mixtureSample,
+    "ns_weighted_sample" -> weightedSampleQ,
     "ns_dedup_keepers" -> dedupKeepers,
     "ns_chunk_dedup" -> chunkDedup,
     "ns_chunk_strip" -> chunkStrip,
@@ -727,6 +743,7 @@ object NorthStar {
     "ns_ivfpq_topk" -> ivfPqTopk,
     "ns_incremental_dedup" -> incrementalDedup,
     "ns_unigram_nll" -> unigramNll,
+    "ns_source_entropy" -> sourceEntropyQ,
     "ns_bigram_nll" -> bigramNll,
     "ns_exact_substr" -> exactSubstr,
     "ns_compression_ratio" -> compressionRatio,
@@ -1261,6 +1278,27 @@ object NorthStar {
         |  AS INTEGER) AS shard
         | FROM documents)
         |GROUP BY shard ORDER BY shard""".sm,
+    "ns_weighted_sample" ->
+      """WITH v AS (
+        | SELECT doc_id, n_chars,
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)) AS h
+        | FROM documents WHERE n_chars > 0
+        |), r AS (
+        | SELECT doc_id, n_chars,
+        |  -LN((CAST(h AS DOUBLE) + 0.5) / 4294967296.0) / n_chars AS es_key
+        | FROM v
+        |)
+        |SELECT * FROM (
+        | SELECT doc_id, n_chars, CAST(ROUND(es_key * 1000000, 0) AS BIGINT) AS es_key6
+        | FROM r ORDER BY es_key, doc_id LIMIT 20
+        |) ORDER BY es_key6, doc_id""".sm,
     "ns_mixture_sample" ->
       """SELECT doc_id, source FROM (
         | SELECT doc_id, source,
@@ -1359,6 +1397,20 @@ object NorthStar {
         | ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_nll
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".sm,
+    "ns_source_entropy" ->
+      """WITH tok AS (
+        | SELECT source, toks[i + 1] AS token
+        | FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+        | CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) WHERE i < len(toks)
+        |), st AS (SELECT source, token, COUNT(*) AS cnt_st FROM tok GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(cnt_st) AS BIGINT) AS tot_s FROM st GROUP BY 1),
+        |tq AS (SELECT token, CAST(SUM(cnt_st) AS BIGINT) AS cnt_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS total FROM tq)
+        |SELECT source, COUNT(*) AS n_distinct_tokens, MAX(tot_s) AS n_tokens,
+        | ROUND(CAST(SUM(cnt_st * CAST(ROUND(-LN(CAST(cnt_st AS DOUBLE) / tot_s) * 1000000, 0) AS BIGINT)) AS DOUBLE) / MAX(tot_s) / 1000000.0, 4) AS entropy_nats,
+        | ROUND(CAST(SUM(cnt_st * CAST(ROUND(LN((CAST(cnt_st AS DOUBLE) / tot_s) / (CAST(cnt_t AS DOUBLE) / total)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / MAX(tot_s) / 1000000.0, 4) AS kl_vs_corpus
+        |FROM st JOIN s USING (source) JOIN tq USING (token) CROSS JOIN tot
+        |GROUP BY source ORDER BY source""".sm,
     "ns_exact_substr" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, i AS s, md5(array_to_string(tk[i + 1 : i + 8], ' ')) AS h

@@ -961,7 +961,68 @@ object Relational {
       .orderBy($"n_sessions".desc, $"path").limit(20)
   }
 
+  // A32 interval coalescing (gaps-and-islands over ranges): each event
+  // opens a 10-minute activity interval [ts, ts+600); overlapping or
+  // touching intervals per user merge into maximal covered spans. The
+  // island flag is `start > max(end) over preceding rows` — one window
+  // pass, and the window's user_id partitioning is reused by BOTH
+  // downstream aggregates (no further Exchange). Classic warehouse op
+  // (room bookings, machine uptime, session coverage); at 100 TB the
+  // only shuffle is the per-key sort the semantics require.
+  val a32IntervalMerge: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .select($"user_id", tsSec($"ts").as("st"))
+      .withColumn("en", $"st" + 600L)
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"en")
+    val isl = e
+      .withColumn("pmax", max($"en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_i", when($"pmax".isNull || $"st" > $"pmax", 1).otherwise(0))
+      .withColumn("inum", sum($"new_i").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy($"user_id", $"inum")
+      .agg(min($"st").as("ist"), max($"en").as("ien"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"), sum($"ien" - $"ist").as("covered_sec"))
+      .orderBy($"user_id")
+  }
+
+  // A33 first-/last-touch attribution: sessionize by 30-min gap (the
+  // a31 island trick), then per purchase credit (a) the session's FIRST
+  // event type and (b) the LAST non-purchase event type strictly before
+  // it. The (user, snum) windows re-sort but do NOT re-shuffle — hash
+  // partitioning on user_id satisfies the (user_id, snum) clustering —
+  // so the whole credit assignment rides ONE user_id Exchange; the two
+  // channel rollups are channel-cardinality tables that full-outer join
+  // broadcast-style. Exact money via the DECIMAL(18,2) sum.
+  val a33Attribution: Q = (s, dir) => {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val wS = Window.partitionBy($"user_id", $"snum").orderBy($"ts_sec", $"event_id")
+    val e = t(s, dir, "events")
+      .select($"event_id", $"user_id", tsSec($"ts").as("ts_sec"), $"event_type", $"value")
+      .withColumn("new_s",
+        when($"ts_sec" - lag($"ts_sec", 1).over(wOrd) > 1800L, 1).otherwise(0))
+      .withColumn("snum", sum($"new_s").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val p = e
+      .withColumn("first_ch",
+        first($"event_type").over(wS.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("last_ch",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
+          .over(wS.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter($"event_type" === "purchase")
+    val ft = p.groupBy($"first_ch".as("channel"))
+      .agg(count(lit(1)).as("ft_purchases"), dsum($"value").as("ft_value"))
+    val lt = p.filter($"last_ch".isNotNull).groupBy($"last_ch".as("channel"))
+      .agg(count(lit(1)).as("lt_purchases"), dsum($"value").as("lt_value"))
+    ft.join(lt, Seq("channel"), "full_outer")
+      .na.fill(0L, Seq("ft_purchases", "lt_purchases"))
+      .na.fill(0.0, Seq("ft_value", "lt_value"))
+      .orderBy($"channel")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a33_attribution" -> a33Attribution,
+    "a32_interval_merge" -> a32IntervalMerge,
     "a31_event_paths" -> a31EventPaths,
     "a30_basket_pairs" -> a30BasketPairs,
     "w13_streaks" -> w13Streaks,
@@ -1032,6 +1093,53 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a33_attribution" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value
+        | FROM events
+        |), f AS (
+        | SELECT *, CASE WHEN ts_sec - LAG(ts_sec) OVER
+        |   (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800 THEN 1 ELSE 0 END AS new_s
+        | FROM e
+        |), g AS (
+        | SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS snum FROM f
+        |), h AS (
+        | SELECT *,
+        |  FIRST_VALUE(event_type) OVER (PARTITION BY user_id, snum ORDER BY ts_sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ch,
+        |  LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id, snum ORDER BY ts_sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch
+        | FROM g
+        |), p AS (SELECT * FROM h WHERE event_type = 'purchase'),
+        |ft AS (SELECT first_ch AS channel, COUNT(*) AS ft_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ft_value FROM p GROUP BY 1),
+        |lt AS (SELECT last_ch AS channel, COUNT(*) AS lt_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lt_value
+        | FROM p WHERE last_ch IS NOT NULL GROUP BY 1)
+        |SELECT channel, COALESCE(ft_purchases, 0) AS ft_purchases,
+        | COALESCE(ft_value, 0.0) AS ft_value,
+        | COALESCE(lt_purchases, 0) AS lt_purchases,
+        | COALESCE(lt_value, 0.0) AS lt_value
+        |FROM ft FULL OUTER JOIN lt USING (channel) ORDER BY channel""".sm,
+    "a32_interval_merge" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT) + 600 AS en FROM events
+        |), f AS (
+        | SELECT *, MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM e
+        |), g AS (
+        | SELECT *, CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS new_i FROM f
+        |), h AS (
+        | SELECT *, SUM(new_i) OVER (PARTITION BY user_id ORDER BY st, en
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS inum FROM g
+        |), m AS (
+        | SELECT user_id, inum, MIN(st) AS ist, MAX(en) AS ien FROM h GROUP BY 1, 2
+        |)
+        |SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(ien - ist) AS BIGINT) AS covered_sec
+        |FROM m GROUP BY 1 ORDER BY user_id""".sm,
     "a31_event_paths" ->
       """WITH e AS (
         | SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, event_type

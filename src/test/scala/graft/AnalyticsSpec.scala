@@ -90,6 +90,57 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(n == 2, s"expected 2 Exchanges (distinct + window), got $n:\n$plan")
   }
 
+  test("interval merge: overlap and touch coalesce, gaps split, dups collapse") {
+    // user 1: [0,600) + [300,900) overlap -> [0,900); [900,1500) touches
+    // -> extends to [0,1500); [3000,3600) is a new island. user 2: two
+    // events at the SAME second collapse into one interval.
+    val e = Seq((1L, 0L), (1L, 300L), (1L, 900L), (1L, 3000L),
+        (2L, 50L), (2L, 50L))
+      .toDF("user_id", "st").withColumn("en", $"st" + 600L)
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"en")
+    val isl = e
+      .withColumn("pmax", max($"en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_i", when($"pmax".isNull || $"st" > $"pmax", 1).otherwise(0))
+      .withColumn("inum", sum($"new_i").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val got = isl.groupBy($"user_id", $"inum")
+      .agg(min($"st").as("ist"), max($"en").as("ien"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"ien" - $"ist").as("cov"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 1500L + 600L)), got.toString) // [0,1500)+[3000,3600)
+    assert(got(2L) == ((1L, 600L)), got.toString)
+  }
+
+  test("attribution: first touch is session-start, last touch skips purchases") {
+    // session A (user 1): view(0) click(100) purchase(200,$10) purchase(300,$5)
+    //   -> both purchases ft=view; lt=click for BOTH (purchase at 200 is
+    //      not a creditable last touch for the one at 300)
+    // session B (user 1, after a >30min gap): lone purchase(10000,$7)
+    //   -> ft credits "purchase" itself (direct conversion), lt absent
+    val rows = Seq(
+      (1L, 1L, 0L, "view", 0.0), (2L, 1L, 100L, "click", 0.0),
+      (3L, 1L, 200L, "purchase", 10.0), (4L, 1L, 300L, "purchase", 5.0),
+      (5L, 1L, 10000L, "purchase", 7.0))
+    val e = rows.toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val wS = Window.partitionBy($"user_id", $"snum").orderBy($"ts_sec", $"event_id")
+    val g = e
+      .withColumn("new_s",
+        when($"ts_sec" - lag($"ts_sec", 1).over(wOrd) > 1800L, 1).otherwise(0))
+      .withColumn("snum", sum($"new_s").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("first_ch",
+        first($"event_type").over(wS.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("last_ch",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
+          .over(wS.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"first_ch", $"last_ch", $"value")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(g(3L) == (("view", Some("click"))))
+    assert(g(4L) == (("view", Some("click"))))
+    assert(g(5L) == (("purchase", None)))
+  }
+
   test("basket pairs: hand-counted co-occurrence with threshold") {
     // the query's formulation: sorted distinct arrays + double Generate
     // (duplicate line items for part 10 in order 1 must not double-count)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.{CorpusPrep, Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{CorpusPrep, Dedup, Multimodal, Shards, Similarity, TextStats}
 
 /** North-star operator semantics on crafted fixtures. */
 class LlmSpec extends AnyFunSuite with SparkSuite {
@@ -155,6 +155,39 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(m(0L) - (-math.log(15.0 / 16))) < 1e-3, m(0L).toString)
   }
 
+  test("source entropy: uniform beats skewed; identical-mix source has zero KL") {
+    // src a: 4 distinct tokens uniformly -> H = ln 4; its distribution
+    // differs from the corpus mix -> KL > 0.
+    // src b/c: the SAME skewed distribution (x x x y); with only b and c
+    // the corpus mix equals each source's own, but a shifts it, so pin
+    // exact values against a sequential fold instead.
+    val d = Seq(
+      (0L, "p q r s", "a"), (1L, "x x x y", "b"), (2L, "x x x y", "c")
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.sourceEntropy(d, "source", "text")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // sequential reference over the same counts
+    val counts = Map(
+      "a" -> Map("p" -> 1L, "q" -> 1L, "r" -> 1L, "s" -> 1L),
+      "b" -> Map("x" -> 3L, "y" -> 1L),
+      "c" -> Map("x" -> 3L, "y" -> 1L))
+    val corpus = counts.values.flatten.groupBy(_._1).map { case (t, kv) => t -> kv.map(_._2).sum }
+    val total = corpus.values.sum.toDouble
+    for ((src, cs) <- counts) {
+      val ts = cs.values.sum.toDouble
+      val h = cs.values.map { c => -c / ts * math.log(c / ts) }.sum
+      val kl = cs.map { case (t, c) => c / ts * math.log((c / ts) / (corpus(t) / total)) }.sum
+      val (nd, nt, gh, gkl) = got(src)
+      assert(nd == cs.size && nt == ts.toLong, s"$src counts: $nd/$nt")
+      assert(math.abs(gh - h) < 1e-3, s"$src entropy $gh vs $h")
+      assert(math.abs(gkl - kl) < 1e-3, s"$src kl $gkl vs $kl")
+    }
+    assert(got("a")._3 > got("b")._3)      // uniform > skewed entropy
+    assert(got("b") == got("c"))           // identical sources identical
+    assert(got("a")._4 > 0.0)              // a diverges from the mix
+  }
+
   test("gopher filter names each failed rule; clean docs keep") {
     val d = Seq(
       (0L, "the cat sat on the mat and then the dog sat on the cat while it was raining outside today"), // clean
@@ -180,6 +213,29 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(w("big")._1 == 64L && w("small")._1 == 16L)
     assert(math.abs(w("big")._2 - 8.0 / 12) < 1e-6, w.toString)
     assert(math.abs(w("big")._2 + w("small")._2 - 1.0) < 1e-5)
+  }
+
+  test("weighted sample matches the sequential A-ES fold; heavy doc always in") {
+    val docs = (0L until 200L).map(i => (i, if (i == 42L) 100000L else 10L))
+      .toDF("doc_id", "n_chars")
+    val got = Shards.weightedSample(docs, "doc_id", "n_chars", k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // sequential reference: same md5-derived 32-bit uniform, same race key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    val ref = (0L until 200L).map { i =>
+      val w = if (i == 42L) 100000L else 10L
+      (i, -math.log(u32(i)) / w)
+    }.sortBy { case (id, key) => (key, id) }.take(15)
+      .map { case (id, key) => (id, math.round(key * 1e6)) }
+    assert(got.toSeq == ref, s"got ${got.toSeq}\nref $ref")
+    // weight 10,000x everyone else -> the race key is ~10^-4 of the
+    // field's; doc 42 must be in the sample
+    assert(got.exists(_._1 == 42L))
   }
 
   test("brute-force cosine top-k ranks by true cosine") {

@@ -991,32 +991,40 @@ object Relational {
   // event type and (b) the LAST non-purchase event type strictly before
   // it. The (user, snum) windows re-sort but do NOT re-shuffle — hash
   // partitioning on user_id satisfies the (user_id, snum) clustering —
-  // so the whole credit assignment rides ONE user_id Exchange; the two
-  // channel rollups are channel-cardinality tables that full-outer join
-  // broadcast-style. Exact money via the DECIMAL(18,2) sum.
+  // so credit assignment rides ONE user_id Exchange off ONE scan. Each
+  // purchase then EXPLODES into (kind, channel) credit rows and a
+  // single conditional aggregate produces both rollups — branching the
+  // purchase table into two groupBys would re-evaluate the whole
+  // sessionize pipeline per branch (double scan + double window sort,
+  // the classic shared-relation trap). Exact money via DECIMAL(18,2).
   val a33Attribution: Q = (s, dir) => {
     import s.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
     val wS = Window.partitionBy($"user_id", $"snum").orderBy($"ts_sec", $"event_id")
-    val e = t(s, dir, "events")
+    val credits = t(s, dir, "events")
       .select($"event_id", $"user_id", tsSec($"ts").as("ts_sec"), $"event_type", $"value")
       .withColumn("new_s",
         when($"ts_sec" - lag($"ts_sec", 1).over(wOrd) > 1800L, 1).otherwise(0))
       .withColumn("snum", sum($"new_s").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-    val p = e
       .withColumn("first_ch",
         first($"event_type").over(wS.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("last_ch",
         last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
           .over(wS.rowsBetween(Window.unboundedPreceding, -1)))
       .filter($"event_type" === "purchase")
-    val ft = p.groupBy($"first_ch".as("channel"))
-      .agg(count(lit(1)).as("ft_purchases"), dsum($"value").as("ft_value"))
-    val lt = p.filter($"last_ch".isNotNull).groupBy($"last_ch".as("channel"))
-      .agg(count(lit(1)).as("lt_purchases"), dsum($"value").as("lt_value"))
-    ft.join(lt, Seq("channel"), "full_outer")
-      .na.fill(0L, Seq("ft_purchases", "lt_purchases"))
-      .na.fill(0.0, Seq("ft_value", "lt_value"))
+      .select(explode(array(
+        struct(lit("ft").as("kind"), $"first_ch".as("channel"), $"value"),
+        struct(lit("lt").as("kind"), $"last_ch".as("channel"), $"value"))).as("c"))
+      .select($"c.kind", $"c.channel", $"c.value")
+      .filter($"channel".isNotNull)
+    credits.groupBy($"channel")
+      .agg(
+        sum(when($"kind" === "ft", 1L).otherwise(0L)).as("ft_purchases"),
+        coalesce(sum(when($"kind" === "ft", $"value").cast(DecimalType(18, 2)))
+          .cast("double"), lit(0.0)).as("ft_value"),
+        sum(when($"kind" === "lt", 1L).otherwise(0L)).as("lt_purchases"),
+        coalesce(sum(when($"kind" === "lt", $"value").cast(DecimalType(18, 2)))
+          .cast("double"), lit(0.0)).as("lt_value"))
       .orderBy($"channel")
   }
 

@@ -141,6 +141,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(g(5L) == (("purchase", None)))
   }
 
+  test("interval merge and attribution plan shapes: one scan, minimal Exchanges") {
+    // a32: window Exchange + final orderBy Exchange, nothing else — both
+    // aggregates must reuse the window's user_id partitioning
+    val a32 = graft.queries.Relational.a32IntervalMerge(spark, sf0001)
+    val p32 = a32.queryExecution.executedPlan.toString
+    val n32 = "Exchange".r.findAllIn(p32).length
+    assert(n32 == 2, s"a32 expected 2 Exchanges, got $n32:\n$p32")
+    // a33: the credit explode must NOT re-evaluate the sessionize
+    // pipeline per rollup — exactly ONE parquet scan; Exchanges are the
+    // user window + channel aggregate + output sort
+    val a33 = graft.queries.Relational.a33Attribution(spark, sf0001)
+    val p33 = a33.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p33).length
+    val n33 = "Exchange".r.findAllIn(p33).length
+    assert(scans == 1, s"a33 expected 1 scan, got $scans:\n$p33")
+    assert(n33 == 3, s"a33 expected 3 Exchanges, got $n33:\n$p33")
+  }
+
   test("basket pairs: hand-counted co-occurrence with threshold") {
     // the query's formulation: sorted distinct arrays + double Generate
     // (duplicate line items for part 10 in order 1 must not double-count)

@@ -236,6 +236,11 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     // weight 10,000x everyone else -> the race key is ~10^-4 of the
     // field's; doc 42 must be in the sample
     assert(got.exists(_._1 == 42L))
+    // scale pin: selection must be a shuffle-free partial top-k
+    val plan = Shards.weightedSample(docs, "doc_id", "n_chars", k = 15)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), s"weighted sample must not shuffle:\n$plan")
   }
 
   test("brute-force cosine top-k ranks by true cosine") {

@@ -1,28 +1,45 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Testdata table loaders (see TESTDATA.md / FIXTURES.md §E).
   *
   * All tables are parquet under `/root/testdata/sfN/<name>.parquet`. The
-  * `events` table carries a parquet TIMESTAMP(NANOS) column which Spark's
-  * micros-based TimestampType cannot hold natively; with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` Spark reads it as LongType
-  * nanoseconds and we normalize to a micros TimestampType column here, in
-  * one place, so every query sees a plain `ts: timestamp`.
+  * `events.ts` column has shipped under several parquet encodings across
+  * testdata regenerations — TIMESTAMP(NANOS) (read as LongType nanos via
+  * `spark.sql.legacy.parquet.nanosAsLong=true`) and TIMESTAMP(MICROS)
+  * with `isAdjustedToUTC=false` (read by Spark 4 as TIMESTAMP_NTZ). Both
+  * are normalized HERE, in one place, to a plain session-zoned
+  * `ts: timestamp` so no downstream query ever sees the drift. The
+  * session time zone is pinned UTC ([[configure]]), so the NTZ→LTZ cast
+  * reinterprets the same wall-clock instant without shifting it.
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
     // Integer `div`, not `/`: the double division rounds 1.7e18 ns to the
     // nearest 256 ns before dividing, which can flip a floor-to-second
     // boundary vs an engine computing from exact nanos.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    // Any NTZ column (parquet micros with isAdjustedToUTC=false) becomes
+    // session-zoned TimestampType — identity under the pinned-UTC session —
+    // so the whole engine keeps ONE timestamp type regardless of how the
+    // testdata generator encoded it.
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
+
+  /** Canonical timestamp→epoch-seconds conversion. All query-side epoch
+    * math routes through here so a future type drift is absorbed in one
+    * place: the leading cast to TimestampType is a no-op for the
+    * already-normalized loader output and converts NTZ (session TZ is
+    * UTC) if a caller ever feeds a raw column. */
+  def tsSec(c: Column): Column = c.cast(TimestampType).cast(LongType)
 
   /** All testdata table names. */
   val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",

@@ -34,15 +34,31 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failures must be VISIBLE in the artifact, not just on stderr: round 4
+    // lost 21 red queries from the correctness denominator because a throw
+    // left no output dir at all. On failure we (a) write _ERROR.txt into
+    // the query's output dir and (b) accumulate everything into errors.json
+    // beside oracle_sql.json so the driver can surface `err` rows.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors.put(name, msg)
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg + "\n")
       }
     }
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }
 }

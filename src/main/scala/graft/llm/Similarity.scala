@@ -512,8 +512,22 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], nProbe: Int = 2): DataFrame = {
-    val bcCent = queries.sparkSession.sparkContext.broadcast(centroids.zipWithIndex)
-    val nearestCells = org.apache.spark.sql.functions.udf { (v: Seq[Double], m: Int) =>
+    val nearestCells = nearestCellsUdf(queries, centroids)
+    val cells = corpus.select(col(idCol), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("cell", nearestCells(col("__cv"), lit(1)).getItem(0))
+      .select(col(idCol), col("cell"))
+    val coded = pqEncode(corpus, idCol, vecCol, codebooks)
+      .join(cells, Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("code"))
+    ivfPqQuery(queries, coded, idCol, vecCol, k, centroids, codebooks, nProbe)
+  }
+
+  /** Broadcast-centroid m-nearest-cell assignment UDF shared by the
+    * build and query sides of IVF-PQ. */
+  private def nearestCellsUdf(df: DataFrame,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bcCent = df.sparkSession.sparkContext.broadcast(centroids.zipWithIndex)
+    org.apache.spark.sql.functions.udf { (v: Seq[Double], m: Int) =>
       bcCent.value.map { case (cent, i) =>
         var d = 0.0; var j = 0
         while (j < cent.length && j < v.length) {
@@ -522,6 +536,17 @@ object Similarity {
         (i, d)
       }.sortBy(_._2).take(m).map(_._1)
     }
+  }
+
+  /** The QUERY phase of IVF-PQ against an already-encoded code table
+    * (`neighbor_id`, `cell`, `code`) — per-query ADC distance table,
+    * nProbe cell probes, broadcast scoring join. [[ivfPqTopK]] and the
+    * persisted-index path both end here, so their results agree by
+    * construction. */
+  private def ivfPqQuery(queries: DataFrame, coded: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nProbe: Int): DataFrame = {
+    val nearestCells = nearestCellsUdf(queries, centroids)
     val bcBooks = queries.sparkSession.sparkContext.broadcast(codebooks)
     val nK = codebooks(0).length
     val dtab = org.apache.spark.sql.functions.udf { (q: Seq[Double]) =>
@@ -548,12 +573,6 @@ object Similarity {
       while (j < code.length) { s += tab(j * nK + code(j)); j += 1 }
       s
     }
-    val cells = corpus.select(col(idCol), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("cell", nearestCells(col("__cv"), lit(1)).getItem(0))
-      .select(col(idCol), col("cell"))
-    val coded = pqEncode(corpus, idCol, vecCol, codebooks)
-      .join(cells, Seq(idCol))
-      .select(col(idCol).as("neighbor_id"), col("cell"), col("code"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qtab", dtab(col("qv")))
       .withColumn("cell", explode(nearestCells(col("qv"), lit(nProbe))))
@@ -567,6 +586,80 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
   }
+
+  /** A persisted IVF-PQ index: the distributed code table
+    * (`neighbor_id`, `cell`, `code` — m small ints per vector) plus the
+    * driver-scale coarse centroids and PQ codebooks. This is the stored
+    * layout of a production ANN deployment — encode once, write,
+    * reload, and serve query batches forever without touching the raw
+    * vectors again (the [[TextStats.bm25Index]] build-once/query-many
+    * contract, for vectors). */
+  final case class IvfPqIndex(codes: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Fit quantizers (sample-bounded, never over the full corpus) and
+    * encode the corpus: ONE broadcast map pass emits (id, cell, code).
+    * The heavy product — the code table — is a DataFrame, so a 100 TB
+    * corpus encodes with zero shuffle and writes partitioned. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 8, m: Int = 8, kCodes: Int = 16, seed: Long = 42L,
+      fitSampleRows: Int = 100000): IvfPqIndex = {
+    val centroids = fitIvfCentroids(corpus, idCol, vecCol, nCells, seed, fitSampleRows)
+    val codebooks = fitPqCodebooks(corpus, idCol, vecCol, m, kCodes, seed, fitSampleRows)
+    val nearestCells = nearestCellsUdf(corpus, centroids)
+    val cells = corpus.select(col(idCol), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("cell", nearestCells(col("__cv"), lit(1)).getItem(0))
+      .select(col(idCol), col("cell"))
+    val coded = pqEncode(corpus, idCol, vecCol, codebooks)
+      .join(cells, Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("code"))
+    IvfPqIndex(coded, centroids, codebooks)
+  }
+
+  /** Persist an index under `path`: `codes/` is the distributed table
+    * (partitioned by cell so a probe prunes to the probed cells'
+    * files), `centroids/` and `codebooks/` are tiny parquet sidecars —
+    * everything is plain parquet, readable by any engine. */
+  def writeIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    index.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vector")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.codebooks.zipWithIndex
+      .flatMap { case (book, j) => book.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) } }
+      .toSeq.toDF("subspace", "code", "vector")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Reload a persisted index. The code table stays lazy/distributed;
+    * only the two driver-scale sidecars collect. */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("code"))
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("vector")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("code"), col("vector")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+    IvfPqIndex(codes, centroids, codebooks)
+  }
+
+  /** Query a (possibly reloaded) index — the steady-state serving path:
+    * no quantizer fit, no corpus encode, just the probe-pruned ADC scan
+    * over the stored code table. */
+  def ivfPqTopKIndexed(queries: DataFrame, index: IvfPqIndex, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 2): DataFrame =
+    ivfPqQuery(queries, index.codes, idCol, vecCol, k,
+      index.centroids, index.codebooks, nProbe)
 
   /** Per-group embedding centroids: mean vector per `groupCol` — the
     * building block behind class prototypes, cluster labeling, and

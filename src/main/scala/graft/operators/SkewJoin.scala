@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Manual skew mitigation for shuffle joins (SURVEY.md §2 scale
@@ -40,4 +40,16 @@ object SkewJoin {
       explode(sequence(lit(0), lit(factor - 1))))
     f.join(d, keys :+ "__salt").drop("__salt")
   }
+
+  /** Two-phase skew-safe aggregation (the agg twin of [[saltedEquiJoin]]):
+    * count per (key, salt) partially, then merge per key — caps any single
+    * reducer's load at ~1/factor of the hottest key. AQE cannot split a
+    * single key inside one aggregate, so this stays a manual tool.
+    * `saltSource` should be any roughly-uniform companion column (an id);
+    * it steers only shuffle placement, never the result. */
+  def saltedCount(df: DataFrame, key: String, factor: Int,
+      saltSource: Column): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltSource), lit(factor)))
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key)).agg(sum(col("__partial")).as("n"))
 }

@@ -40,7 +40,7 @@ object Funcs {
     import s.implicits._
     t(s, dir, "events")
       .select($"event_id",
-        $"ts".cast("long").as("ts_sec"),
+        Tables.tsSec($"ts").as("ts_sec"),
         hour($"ts").as("hod"),
         dayofweek($"ts").as("dow"),
         dayofmonth($"ts").as("dom"),
@@ -193,7 +193,7 @@ object Funcs {
     val w10 = byKey.rangeBetween(-600, 0)
     val w1h = byKey.rangeBetween(-3600, 0)
     t(s, dir, "events")
-      .withColumn("ts_sec", $"ts".cast("long"))
+      .withColumn("ts_sec", Tables.tsSec($"ts"))
       .withColumn("lat1", $"value" % 89.0 - 44.0)
       .withColumn("lon1", ($"value" * 7.3) % 179.0 - 89.0)
       .withColumn("lat2", ($"user_id" % 89 - 44).cast("double"))

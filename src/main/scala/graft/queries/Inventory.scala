@@ -27,7 +27,7 @@ object Inventory {
     val w = Window.partitionBy($"user_id").orderBy($"ts_sec")
       .rangeBetween(-600, 0)
     t(s, dir, "events")
-      .withColumn("ts_sec", $"ts".cast("long"))
+      .withColumn("ts_sec", Tables.tsSec($"ts"))
       .select($"event_id", $"user_id", $"ts_sec",
         count(lit(1)).over(w).as("cnt_10m"))
       .orderBy($"event_id")

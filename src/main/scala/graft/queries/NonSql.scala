@@ -204,7 +204,7 @@ object NonSql {
   val slidingWindowBatch: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "events")
-      .withColumn("tsec", timestamp_seconds($"ts".cast("long")))
+      .withColumn("tsec", timestamp_seconds(Tables.tsSec($"ts")))
       .groupBy(window($"tsec", "120 seconds", "20 seconds"), $"user_id")
       .agg(count(lit(1)).as("txn_count"))
       .select($"window.start".cast("long").as("win_start"), $"user_id", $"txn_count")

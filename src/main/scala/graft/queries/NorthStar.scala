@@ -152,7 +152,11 @@ object NorthStar {
     val vocab = graft.llm.Tokenize.fitVocab(docs, "text", 256)
     graft.llm.Tokenize.tokenize(docs, "text", vocab)
       .select($"doc_id", $"n_tokens", $"n_unk",
-        slice($"token_ids", 1, 8).as("head_ids"))
+        // CSV, not raw ArrayType: the driver's pandas compare sorts cells
+        // and can't hash numpy arrays (r4 `err`); same pattern as
+        // centroid_micro_csv above.
+        array_join(transform(slice($"token_ids", 1, 8), _.cast("string")), ",")
+          .as("head_ids_csv"))
       .orderBy($"doc_id")
   }
 
@@ -170,7 +174,9 @@ object NorthStar {
       graft.llm.Bpe.wordFreqs(docs, "text"), numMerges = 12)
     val ab = graft.llm.Bpe.alphabet(docs, "text")
     graft.llm.Bpe.encode(docs, "text", merges, ab)
-      .select($"doc_id", $"n_tokens", slice($"token_ids", 1, 8).as("head_ids"))
+      .select($"doc_id", $"n_tokens",
+        array_join(transform(slice($"token_ids", 1, 8), _.cast("string")), ",")
+          .as("head_ids_csv"))
       .orderBy($"doc_id")
   }
 
@@ -263,7 +269,7 @@ object NorthStar {
   // trailing-6-observation mean/std — flag z > 3.
   val eventBursts: Q = (s, dir) => {
     import s.implicits._
-    val sec = $"ts".cast("long")
+    val sec = Tables.tsSec($"ts")
     val counts = t(s, dir, "events")
       .groupBy((sec - sec % 3600).as("hour_start"), $"event_type")
       .agg(count(lit(1)).as("n"))

@@ -28,7 +28,7 @@ object Relational {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  private def tsSec(c: Column): Column = c.cast("long")
+  private def tsSec(c: Column): Column = Tables.tsSec(c)
 
   // ====================== P: projections / filters ======================
 
@@ -680,7 +680,7 @@ object Relational {
   val a14SessionWindow: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "events")
-      .withColumn("tsec", timestamp_seconds($"ts".cast("long")))
+      .withColumn("tsec", timestamp_seconds(tsSec($"ts")))
       .groupBy($"user_id", session_window($"tsec", "300 seconds").as("w"))
       .agg(count(lit(1)).as("n"))
       .select($"user_id", $"w.start".cast("long").as("session_start"),
@@ -692,7 +692,7 @@ object Relational {
   val a15TumblingWindow: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "events")
-      .withColumn("tsec", timestamp_seconds($"ts".cast("long")))
+      .withColumn("tsec", timestamp_seconds(tsSec($"ts")))
       .groupBy($"user_id", window($"tsec", "3600 seconds").as("w"))
       .agg(count(lit(1)).as("n"),
         sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))

@@ -59,7 +59,7 @@ class OnlineStore(spark: SparkSession, path: String, ttlSeconds: Long = 86400L) 
     // the last_update bound then trims the boundary date exactly.
     val horizonDate = to_date(timestamp_seconds(lit(asOfEpochSec - ttlSeconds)))
     log.filter(col("ingest_date") >= horizonDate)
-      .filter(col("last_update").cast("long") >= asOfEpochSec - ttlSeconds)
+      .filter(graft.Tables.tsSec(col("last_update")) >= asOfEpochSec - ttlSeconds)
       .dropDuplicates() // replay idempotency: identical rows collapse
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

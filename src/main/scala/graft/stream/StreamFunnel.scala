@@ -39,7 +39,7 @@ object StreamFunnel {
     import spark.implicits._
     val typed = events.select(col(userCol).cast("long").as("user_id"),
         col(typeCol).cast("string").as("event_type"),
-        col(tsSecCol).cast("long").as("ts_sec"))
+        graft.Tables.tsSec(col(tsSecCol)).as("ts_sec"))
       .as[FunnelEvent]
     val timeMode =
       if (stateTtl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()

@@ -629,6 +629,32 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
       f"pruned-probe overlap with probe-all collapsed: ${overlap.sum / overlap.size}%.2f")
   }
 
+  test("ivf-pq persisted index: write → reload → query equals the direct path") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val qs = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    val built = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCells = 4, m = 8, kCodes = 16)
+    Similarity.writeIvfPqIndex(built, dir)
+    val reloaded = Similarity.readIvfPqIndex(spark, dir)
+    // sidecars survive the round-trip bit-exactly
+    assert(reloaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+    assert(reloaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      built.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // and the reloaded index answers queries identically to the
+    // fit-and-encode-inline path with the same quantizers
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = pairs(Similarity.ivfPqTopK(qs, emb, "vec_id", "embedding",
+      k = 10, built.centroids, built.codebooks, nProbe = 2))
+    val served = pairs(Similarity.ivfPqTopKIndexed(qs, reloaded, "vec_id",
+      "embedding", k = 10, nProbe = 2))
+    assert(served == direct,
+      s"reloaded-index results diverged: ${(served -- direct).take(3)} / ${(direct -- served).take(3)}")
+    // the probe prunes at the FILE level: cell is a partition column
+    assert(new java.io.File(s"$dir/codes").listFiles().exists(_.getName.startsWith("cell=")))
+  }
+
   test("residual PQ: reconstruction error drops vs raw-vector codebooks") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val vecs = emb.select($"vec_id", $"embedding").collect()

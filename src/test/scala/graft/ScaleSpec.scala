@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.expr.Skew
+import graft.operators.SkewJoin
 import graft.llm.TextStats
 
 /** Scale-readiness mechanics: salting preserves join/agg semantics,
@@ -16,8 +16,8 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       .withColumnRenamed("c_custkey", "o_custkey")
     val plain = orders.join(customer, Seq("o_custkey"))
       .select($"o_orderkey", $"c_name")
-    val salted = Skew.saltedJoin(orders, customer, "o_custkey",
-        nSalts = 7, saltSource = $"o_orderkey")
+    val salted = SkewJoin.saltedEquiJoin(orders, customer,
+        Seq("o_custkey"), factor = 7)
       .select($"o_orderkey", $"c_name")
     assert(plain.exceptAll(salted).count() == 0)
     assert(salted.exceptAll(plain).count() == 0)
@@ -26,7 +26,7 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
   test("salted count equals plain groupBy count") {
     val li = Tables.load(spark, sf0001, "lineitem")
     val plain = li.groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
-    val salted = Skew.saltedCount(li, "l_suppkey", 7, $"l_orderkey")
+    val salted = SkewJoin.saltedCount(li, "l_suppkey", 7, $"l_orderkey")
     val diff = plain.join(salted.withColumnRenamed("n", "n2"), "l_suppkey")
       .filter($"n" =!= $"n2").count()
     assert(diff == 0)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{CorpusPrep, Dedup, Shards, Similarity, TextStats}
+import graft.llm.{Chunker, CorpusPrep, Dedup, Shards, Similarity, TextStats}
 
 /** North-star LLM-data-pipeline inventory (SURVEY.md §2.12): dedup,
   * similarity search, text analysis, multimodal plumbing — each an
@@ -712,7 +712,49 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  // Overlapping token-window chunking (RAG passage prep / long-doc
+  // split): window 32, stride 24 → 8-token overlap, tails kept. Pure
+  // zero-shuffle array projection (llm.Chunker).
+  val chunkText: Q = (s, dir) => {
+    import s.implicits._
+    Chunker.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+      window = 32, stride = 24)
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  // Incremental distinct-count rollup: per-(event_type, day) HLL sketch
+  // slices union up to per-type totals WITHOUT re-reading events — the
+  // mergeable-sketch table a 100 TB deployment stores instead of
+  // rescanning for every distinct question. Rows-checked (DataSketches
+  // estimates are engine-specific); SketchSpec pins tolerance vs exact
+  // and slice-union == whole-table equality.
+  val sketchRollup: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .withColumn("day", to_date(timestamp_seconds(Tables.tsSec($"ts"))))
+    val slices = graft.operators.Sketches.distinctSketchTable(
+      e, Seq("event_type", "day"), "user_id")
+    graft.operators.Sketches.rollupDistinct(slices, Seq("event_type"))
+      .select($"event_type", $"distinct_est")
+      .orderBy($"event_type")
+  }
+
+  // Count-min point estimates for a fixed probe key set: ONE constant-
+  // size frequency sketch over all events answers per-user counts
+  // without a per-user groupBy. Rows-checked; SketchSpec pins the
+  // one-sided error bound (est >= exact, overshoot <= eps·N).
+  val cmsEstimate: Q = (s, dir) => {
+    import s.implicits._
+    val sketch = graft.operators.Sketches.cmsBuild(
+      t(s, dir, "events"), "user_id")
+    graft.operators.Sketches.cmsEstimates(sketch, Seq.range(0L, 20L))
+      .toDF("user_id", "est_count").orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ns_chunk_text" -> chunkText,
+    "ns_sketch_rollup" -> sketchRollup,
+    "ns_cms_estimate" -> cmsEstimate,
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_token_set" -> tokenSetDedup,
     "ns_dedup_minhash" -> dedupMinhash,
@@ -825,6 +867,21 @@ object NorthStar {
   private val rpCsv = (0 until 16).map(j => s"p$j").mkString("concat_ws(',', ", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // range's exclusive stop mirrors Spark's inclusive sequence bound
+    // (starts <= least(n-1, n-(W-S)-1 floored at 0) ⟺ starts <
+    // least(n, greatest(1, n-(W-S)))); list slicing clamps at the tail
+    // on both engines, so the short final chunk agrees.
+    "ns_chunk_text" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |), starts AS (
+        | SELECT doc_id, t,
+        |  unnest(range(0, least(len(t), greatest(1, len(t) - 8)), 24)) AS i FROM toks
+        |)
+        |SELECT doc_id, CAST(i // 24 AS INT) AS chunk_id, CAST(i AS INT) AS chunk_start,
+        | CAST(LEAST(32, len(t) - i) AS INT) AS n_chunk_tokens,
+        | array_to_string(t[i+1:i+32], ' ') AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_id""".sm,
     "ns_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY fp""".sm,

@@ -655,6 +655,47 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(new java.io.File(s"$dir/codes").listFiles().exists(_.getName.startsWith("cell=")))
   }
 
+  test("chunker: hand-traced windows, tail kept, overlap = window - stride") {
+    import graft.llm.Chunker
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "p q r")).toDF("doc_id", "text")
+    val got = Chunker.chunkByTokens(docs, "doc_id", "text", window = 3, stride = 2)
+      .orderBy($"doc_id", $"chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      // n=7: starts stop at 4 — the first window reaching the end;
+      // no redundant "g" tail chunk at start 6
+      (1L, 0, 0, 3, "a b c"), (1L, 1, 2, 3, "c d e"), (1L, 2, 4, 3, "e f g"),
+      (2L, 0, 0, 1, "x"),
+      (3L, 0, 0, 3, "p q r")), got.mkString("; "))
+    // n=8: the final chunk is short but the end is covered exactly once
+    val eight = Chunker.chunkByTokens(
+      Seq((9L, "a b c d e f g h")).toDF("doc_id", "text"), "doc_id", "text", 3, 2)
+      .orderBy($"chunk_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(eight.toSeq == Seq((0, 0, 3, "a b c"), (1, 2, 3, "c d e"),
+      (2, 4, 3, "e f g"), (3, 6, 2, "g h")), eight.mkString("; "))
+  }
+
+  test("chunker: every token position is covered and the pass never shuffles") {
+    import graft.llm.Chunker
+    val docs = Tables.load(spark, sf0001, "documents")
+    val window = 32; val stride = 24
+    val chunks = Chunker.chunkByTokens(docs, "doc_id", "text", window, stride)
+    // coverage: per doc, chunk spans [start, start+n) tile 0..n_tokens
+    val bad = chunks.groupBy($"doc_id")
+      .agg(max($"chunk_start" + $"n_chunk_tokens").as("covered_to"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs.select($"doc_id",
+        size(split(trim($"text"), "\\s+")).as("n_tokens")), "doc_id")
+      .filter($"covered_to" =!= $"n_tokens" ||
+        $"n_chunks" =!= (ceil(greatest($"n_tokens" - window, lit(0)) /
+          lit(stride.toDouble)) + 1).cast("long"))
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+    // the whole derivation is a scan-side projection — zero Exchange
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("residual PQ: reconstruction error drops vs raw-vector codebooks") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val vecs = emb.select($"vec_id", $"embedding").collect()

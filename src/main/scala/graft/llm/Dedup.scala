@@ -121,15 +121,7 @@ object Dedup {
     // collapses each doc to one row map-side and the exchange carries
     // n_docs rows, not n_docs × n. The (doc, i, mh) row shape the band
     // join needs is recovered by exploding the tiny signature table.
-    val nMd5 = (n + 3) / 4
-    val withH = shingleRowsRaw(docs, idCol, textCol).select(
-      col("doc_id") +: (0 until nMd5).map(j =>
-        md5(concat(lit(j.toString), lit("|"), col("sh"))).as(s"h$j")): _*)
-    val minCols = (0 until n).map(i =>
-      min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m$i"))
-    val sigsAll = withH.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until n).map(i => col(s"m$i")): _*)).as(Seq("i", "mh")))
+    val sigsAll = minhashSigRows(docs, idCol, textCol, n)
     val sigs =
       if (maxBucket == Int.MaxValue) sigsAll
       else {
@@ -145,6 +137,50 @@ object Dedup {
     a.join(b, col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_matches"))
+      .filter(col("n_matches") >= minMatches)
+  }
+
+  /** (doc_id, i, mh) minhash signature rows, i ∈ [0, n). The hash
+    * family and aggregate shape are documented in
+    * [[minhashCandidatePairs]] (n COLUMN minima through one doc-keyed
+    * hash-agg, ceil(n/4) md5s per shingle; the row shape is recovered
+    * by exploding the tiny signature table). */
+  def minhashSigRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val nMd5 = (n + 3) / 4
+    val withH = shingleRowsRaw(docs, idCol, textCol).select(
+      col("doc_id") +: (0 until nMd5).map(j =>
+        md5(concat(lit(j.toString), lit("|"), col("sh"))).as(s"h$j")): _*)
+    val minCols = (0 until n).map(i =>
+      min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m$i"))
+    withH.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until n).map(i => col(s"m$i")): _*)).as(Seq("i", "mh")))
+  }
+
+  /** Cross-corpus NEAR-dup screen: for every probe doc (an eval/benchmark
+    * set), the corpus docs agreeing on ≥ `minMatches` of `n` minhashes —
+    * decontamination's fuzzy complement to the exact n-gram overlap of
+    * [[contaminationFlags]] (verbatim leaks caught there; paraphrased/
+    * truncated near-copies caught here).
+    *
+    * 100 TB shape: the probe side is benchmark-sized, so its signature
+    * table (nProbes × n rows) BROADCASTS — the corpus-side signatures
+    * join in place and the corpus is never shuffled for the screen; the
+    * only exchange is the final (probe, corpus-doc)-keyed count, whose
+    * input is already pruned to bucket collisions. Returns
+    * (probe_id, corpus_id, n_matches). Probes drawn from the corpus id
+    * space match themselves — filter `probe_id =!= corpus_id` at the
+    * call site if self-hits are noise. */
+  def crossCorpusNearDups(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      minMatches: Int = 6): DataFrame = {
+    val c = minhashSigRows(corpus, idCol, textCol, n)
+    val p = minhashSigRows(probes, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "probe_id")
+    c.join(broadcast(p), Seq("i", "mh"))
+      .groupBy(col("probe_id"), col("doc_id").as("corpus_id"))
       .agg(count(lit(1)).as("n_matches"))
       .filter(col("n_matches") >= minMatches)
   }

@@ -751,7 +751,21 @@ object NorthStar {
       .toDF("user_id", "est_count").orderBy($"user_id")
   }
 
+  // Cross-corpus near-dup decontamination: probes = every 7th doc (a
+  // benchmark-set stand-in), screened
+  // against the whole corpus by minhash band collisions; self-hits
+  // excluded. The fuzzy complement of ns_contamination's exact n-grams.
+  val crossNearDups: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val probes = docs.filter($"doc_id" % 7 === 0)
+    Dedup.crossCorpusNearDups(docs, probes, "doc_id", "text", n = 8, minMatches = 6)
+      .filter($"probe_id" =!= $"corpus_id")
+      .orderBy($"probe_id", $"corpus_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ns_cross_near_dups" -> crossNearDups,
     "ns_chunk_text" -> chunkText,
     "ns_sketch_rollup" -> sketchRollup,
     "ns_cms_estimate" -> cmsEstimate,
@@ -899,6 +913,17 @@ object NorthStar {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_matches
         |FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 6 ORDER BY doc_a, doc_b""").sm,
+    "ns_cross_near_dups" ->
+      (shinglesCte + """, sh AS (
+        | SELECT doc_id, UNNEST(shs) AS sh FROM d
+        |), sig AS (
+        | SELECT doc_id, i, MIN(substr(md5(CAST(i // 4 AS VARCHAR) || '|' || sh), CAST(i % 4 AS INTEGER) * 8 + 1, 8)) AS mh
+        | FROM sh CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) GROUP BY doc_id, i
+        |)
+        |SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id, COUNT(*) AS n_matches
+        |FROM sig p JOIN sig c ON p.i = c.i AND p.mh = c.mh
+        |WHERE p.doc_id % 7 = 0 AND c.doc_id != p.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 6 ORDER BY probe_id, corpus_id""").sm,
     "ns_dedup_groups" ->
       (shinglesCte.replace("WITH toks", "WITH RECURSIVE toks") + """, sh AS (
         | SELECT doc_id, UNNEST(shs) AS sh FROM d

@@ -1028,7 +1028,31 @@ object Relational {
       .orderBy($"channel")
   }
 
+  // A34 event-transition matrix (first-order Markov counts): per-user
+  // time-ordered event stream → (prev_type, type) transition counts and
+  // row-normalized probabilities — the session-analytics primitive
+  // behind next-action prediction, anomaly screens, and path models.
+  // ONE user_id-partitioned window (lag) + ONE uniform hash aggregate
+  // over at most |types|² keys; probabilities derive from a window sum
+  // over the tiny aggregated table, not a second scan. Probabilities
+  // are exact integer ratios rounded to 6 dp — engine-portable.
+  val a34Transitions: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val counts = t(s, dir, "events")
+      .select($"event_id", $"user_id", tsSec($"ts").as("ts_sec"), $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round($"n" / sum($"n").over(
+        Window.partitionBy($"prev_type")), 6))
+      .orderBy($"prev_type", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a34_transitions" -> a34Transitions,
     "a33_attribution" -> a33Attribution,
     "a32_interval_merge" -> a32IntervalMerge,
     "a31_event_paths" -> a31EventPaths,
@@ -1101,6 +1125,19 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a34_transitions" ->
+      """WITH e AS (
+        | SELECT user_id, event_type,
+        |  LAG(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS prev_type
+        | FROM events
+        |), c AS (
+        | SELECT prev_type, event_type, COUNT(*) AS n FROM e
+        | WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, event_type, n,
+        | ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c ORDER BY prev_type, event_type""".sm,
     "a33_attribution" ->
       """WITH e AS (
         | SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value

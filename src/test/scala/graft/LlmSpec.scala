@@ -655,6 +655,37 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(new java.io.File(s"$dir/codes").listFiles().exists(_.getName.startsWith("cell=")))
   }
 
+  test("cross-corpus near-dups equal the within-corpus pairs restricted to probes") {
+    import graft.llm.Dedup
+    val docs = Tables.load(spark, sf0001, "documents")
+    val probes = docs.filter($"doc_id" % 7 === 0)
+    val cross = Dedup.crossCorpusNearDups(docs, probes, "doc_id", "text", n = 8, minMatches = 6)
+      .filter($"probe_id" =!= $"corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // within-corpus pairs emit each pair once (a < b); the cross screen
+    // emits (probe, other) — restrict pairs to those touching a probe
+    // and orient them probe-first (both directions when both are probes)
+    val probeIds = probes.select($"doc_id").as[Long].collect().toSet
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", n = 8, minMatches = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = pairs.flatMap { case (a, b, m) =>
+      Seq(a -> b, b -> a).collect {
+        case (p, c) if probeIds.contains(p) => (p, c, m)
+      }
+    }.toSet
+    assert(cross == expected,
+      s"missing: ${(expected -- cross).take(3)}; extra: ${(cross -- expected).take(3)}")
+  }
+
+  test("cross-corpus screen broadcasts the probe signatures (corpus never shuffles for the join)") {
+    import graft.llm.Dedup
+    val docs = Tables.load(spark, sf0001, "documents")
+    val probes = docs.filter($"doc_id" % 7 === 0)
+    val plan = Dedup.crossCorpusNearDups(docs, probes, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$plan")
+  }
+
   test("chunker: hand-traced windows, tail kept, overlap = window - stride") {
     import graft.llm.Chunker
     val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "p q r")).toDF("doc_id", "text")

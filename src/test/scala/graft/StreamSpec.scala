@@ -49,6 +49,35 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(out.filter(_._1 == 9L).isEmpty || out.nonEmpty)
   }
 
+  test("windowed approx-distinct: per-window HLL user counts on the stream") {
+    // The streaming face of the sketch family (operators.Sketches is the
+    // batch side): distinct users per tumbling event-time window via
+    // approx_count_distinct — sketch-sized state per open window instead
+    // of a per-user key set, the only distinct-count shape that survives
+    // unbounded cardinality on a stream.
+    val mem = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    val counts = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "60 seconds"))
+      .agg(approx_count_distinct($"user_id").as("n_users"))
+    val q = counts.writeStream.format("memory").queryName("wad_t").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 10:00:05"), 1L), (t("2024-01-01 10:00:10"), 1L),
+      (t("2024-01-01 10:00:20"), 2L), (t("2024-01-01 10:00:30"), 3L),
+      (t("2024-01-01 10:01:10"), 4L))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 12:00:00"), 9L)) // advance watermark, close windows
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("wad_t")
+      .select($"window.start".cast("string").as("ws"), $"n_users")
+      .as[(String, Long)].collect().toMap
+    // 3 distinct users in the 10:00 window, 1 in the 10:01 window —
+    // exact at this cardinality (HLL error is ~2% at lgK defaults)
+    assert(out("2024-01-01 10:00:00") == 3L, s"got $out")
+    assert(out("2024-01-01 10:01:00") == 1L, s"got $out")
+  }
+
   test("stateful merge is latest-wins and only emits when all slots present") {
     val mem = MemoryStream[StreamPipeline.Slot](spark)
     val merged = StreamPipeline.mergeStats(mem.toDS(),

@@ -79,4 +79,20 @@ object Scd {
       .unionByName(closedNow)
       .unionByName(opened)
   }
+
+  /** Plain MERGE (type-1 upsert, no history): rows of `updates` replace
+    * same-key rows of `target`; new keys append — update-else-insert,
+    * the standing warehouse MERGE. Schemas must match.
+    *
+    * Scale shape: ONE left-anti join of the big target against the
+    * (daily-increment-sized) update KEY set — AQE broadcasts it — plus
+    * a union; the target is never shuffled and never scanned twice.
+    * Last-writer-wins within a batch is the caller's contract (collapse
+    * multi-version batches with a latest-per-key window first, as in
+    * [[scd2Merge]]). */
+  def mergeUpsert(target: DataFrame, updates: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    target.join(updates.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+      .unionByName(updates.select(target.columns.map(col): _*))
 }

@@ -231,6 +231,20 @@ object NorthStar {
       .orderBy($"node_type", $"node_key")
   }
 
+  // Personalized PageRank over the same graph, seeded on every
+  // customer node with custkey % 10 == 0 that appears in the graph —
+  // proximity-to-seed scores (related-entity retrieval). 5 rounds of
+  // the same integer rule, oracle = the identical iteration unrolled.
+  val pprQ: Q = (s, dir) => {
+    import s.implicits._
+    val edges = custSuppEdges(s, dir)
+    val seeds = edges.select($"src").distinct().filter($"src" % 20 === 0)
+    graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds, "src", iters = 5, assumeDistinct = true)
+      .select(decodeNode(s) :+ $"rank": _*)
+      .orderBy($"node_type", $"node_key")
+  }
+
   // Label-propagation communities over the same customer–supplier
   // graph: 5 synchronous rounds of mode-of-neighbor-labels with
   // smallest-label ties — integer/argmin rules only, so the oracle
@@ -830,6 +844,7 @@ object NorthStar {
     "ns_bpe_encode" -> bpeEncode,
     "ns_bm25_topk" -> bm25Topk,
     "ns_pagerank" -> pageRankQ,
+    "ns_ppr" -> pprQ,
     "ns_label_prop" -> labelPropQ,
     "ns_triangles" -> trianglesQ
   )
@@ -1652,6 +1667,24 @@ object NorthStar {
         iters +
         " SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type," +
         " node // 2 AS node_key, rank FROM pr10 ORDER BY node_type, node_key"
+    },
+    "ns_ppr" -> {
+      val iters = (1 to 5).map { i =>
+        s"pp$i AS (SELECT e.dst AS node, CAST(" +
+          "CASE WHEN e.dst IN (SELECT node FROM seeds) THEN (SELECT base FROM b) ELSE 0 END" +
+          " + (85 * SUM(p.rank // d.deg)) // 100 AS BIGINT) AS rank" +
+          s" FROM pp${i - 1} p JOIN deg d ON d.src = p.node JOIN edges e ON e.src = p.node GROUP BY e.dst)"
+      }.mkString(", ")
+      "WITH rel AS (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b" +
+        " FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)," +
+        " edges AS (SELECT a AS src, b AS dst FROM rel UNION ALL SELECT b AS src, a AS dst FROM rel)," +
+        " deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1)," +
+        " seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 20 = 0)," +
+        " b AS (SELECT 150000 * (SELECT COUNT(*) FROM deg) // (SELECT COUNT(*) FROM seeds) AS base)," +
+        " pp0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg), " +
+        iters +
+        " SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type," +
+        " node // 2 AS node_key, rank FROM pp5 ORDER BY node_type, node_key"
     },
     "ns_label_prop" -> {
       val iters = (1 to 5).map { i =>

@@ -77,7 +77,25 @@ object Ops {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  // M4: plain MERGE upsert (type-1, no history) — updates reprice every
+  // 13th order (+1.00 exact in IEEE, so both engines produce the same
+  // double bit-for-bit) and add new orders under shifted keys.
+  val mergeUpsert: Q = (s, dir) => {
+    import s.implicits._
+    val target = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val updates = target.filter($"o_orderkey" % 13 === 0)
+      .select($"o_orderkey", $"o_custkey", lit("U").as("o_orderstatus"),
+        ($"o_totalprice" + 1.0).as("o_totalprice"))
+      .unionByName(target.filter($"o_orderkey" % 1009 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
+          lit("N").as("o_orderstatus"), $"o_totalprice"))
+    Scd.mergeUpsert(target, updates, Seq("o_orderkey"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m4_merge_upsert" -> mergeUpsert,
     "m1_scd2_merge" -> scd2Merge,
     "m2_profile_table" -> profileTable,
     "m3_validate_rules" -> validateRules,
@@ -85,6 +103,22 @@ object Ops {
   )
 
   val oracle: Map[String, String] = Map(
+    "m4_merge_upsert" ->
+      """WITH tgt AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |        o_totalprice + 1.0 AS o_totalprice
+        | FROM tgt WHERE o_orderkey % 13 = 0
+        | UNION ALL
+        | SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        | FROM tgt WHERE o_orderkey % 1009 = 0)
+        |SELECT * FROM (
+        | SELECT t.* FROM tgt t LEFT JOIN (SELECT DISTINCT o_orderkey FROM upd) u
+        |  ON t.o_orderkey = u.o_orderkey WHERE u.o_orderkey IS NULL
+        | UNION ALL
+        | SELECT * FROM upd)
+        |ORDER BY o_orderkey""".sm,
     "m1_scd2_merge" ->
       """WITH hist AS (
         | SELECT c_custkey, c_mktsegment, c_nationkey,

@@ -1051,7 +1051,24 @@ object Relational {
       .orderBy($"prev_type", $"event_type")
   }
 
+  // A35 hourly seasonality profile: per event type, the hour-of-day
+  // activity distribution (count + share of the type's events) — the
+  // load-shape/seasonality-index analytic behind capacity planning and
+  // anomaly baselines. ONE hash aggregate over ≤ |types|·24 keys; the
+  // share derives from a window over that tiny table, never a second
+  // scan. hour() avoids the dow-convention mismatch between engines.
+  val a35HourlySeason: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type", hour($"ts").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round($"n" / sum($"n").over(
+        Window.partitionBy($"event_type")), 6))
+      .orderBy($"event_type", $"hod")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a35_hourly_season" -> a35HourlySeason,
     "a34_transitions" -> a34Transitions,
     "a33_attribution" -> a33Attribution,
     "a32_interval_merge" -> a32IntervalMerge,
@@ -1125,6 +1142,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a35_hourly_season" ->
+      """WITH c AS (
+        | SELECT event_type, CAST(hour(ts) AS INT) AS hod, COUNT(*) AS n
+        | FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, hod, n,
+        | ROUND(n / SUM(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM c ORDER BY event_type, hod""".sm,
     "a34_transitions" ->
       """WITH e AS (
         | SELECT user_id, event_type,

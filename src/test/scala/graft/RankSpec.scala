@@ -126,6 +126,52 @@ class RankSpec extends AnyFunSuite with SparkSuite {
     assert(total <= 9L * 1000000L && total > 8L * 1000000L, total.toString)
   }
 
+  /** Sequential PPR reference with the identical integer update rule. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val base = 150000L * deg.size / seeds.size
+    var rank: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = in.map { case (n, m) =>
+        n -> ((if (seeds.contains(n)) base else 0L) + 85L * m / 100L)
+      }
+    }
+    rank
+  }
+
+  test("personalized pageRank matches the sequential reference; rank concentrates near seeds") {
+    // path 1-2-3-4-5 (undirected), seed at node 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val dir = und ++ und.map(_.swap)
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRank(dir.toDF("src", "dst"), "src", "dst",
+        seeds, "node", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPpr(dir, Set(1L), 10))
+    // proximity to the seed orders the ranks: the seed's neighbor
+    // outranks the far end of the path
+    assert(got(2L) > got(4L), got.toString)
+    assert(got(2L) > got(5L), got.toString)
+  }
+
+  test("personalized pageRank with ALL nodes as seeds equals plain pageRank") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L))
+    val dir = und ++ und.map(_.swap)
+    val allNodes = dir.map(_._1).distinct.toDF("node")
+    val ppr = Graph.personalizedPageRank(dir.toDF("src", "dst"), "src", "dst",
+        allNodes, "node", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.pageRank(dir.toDF("src", "dst"), "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base = 150000·n/n = 150000 per node — the uniform teleport
+    assert(ppr == pr, s"ppr $ppr vs pr $pr")
+  }
+
   /** Sequential LPA reference: identical mode/min-tie rules. */
   private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val e = edges.distinct

@@ -116,6 +116,35 @@ object Scratch {
         emb.filter(col("vec_id") < 25), emb, "vec_id", "embedding", "label", 5).count())
       emb.unpersist()
     }
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.llm.Chunker
+      import graft.operators.Sketches
+      time("chunkByTokens(32/24)")(
+        Chunker.chunkByTokens(docs, "doc_id", "text", 32, 24).count())
+      // Probes drawn from the original id range (see corpusPrep note)
+      time("crossCorpusNearDups")(
+        Dedup.crossCorpusNearDups(docs,
+          docs.filter(col("doc_id") < 1000000L && col("doc_id") % 7 === 0),
+          "doc_id", "text", 8, 6).count())
+      val ev = Tables.load(spark, dir, "events")
+      val evx = (if (scaleX == 1) ev
+        else (0 until scaleX).map(i => ev.select(
+          (col("event_id") + lit(i * 100000000L)).as("event_id"), col("ts"),
+          (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props")))
+          .reduce(_ union _)).cache()
+      println(s"events: ${evx.count()} (scaleX=$scaleX)")
+      val evd = evx.withColumn("day",
+        to_date(timestamp_seconds(graft.Tables.tsSec(col("ts")))))
+      time("hllSliceTable")(Sketches.distinctSketchTable(
+        evd, Seq("event_type", "day"), "user_id").count())
+      time("hllSliceAndRollup")(Sketches.rollupDistinct(
+        Sketches.distinctSketchTable(evd, Seq("event_type", "day"), "user_id"),
+        Seq("event_type")).count())
+      time("cmsBuild") { Sketches.cmsBuild(evx, "user_id"); 1L }
+      evx.unpersist()
+    }
     spark.stop()
   }
 }

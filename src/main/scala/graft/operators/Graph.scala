@@ -119,6 +119,48 @@ object Graph {
     rank
   }
 
+  /** k-hop neighborhood expansion: for every seed, all nodes within
+    * `k` hops with `hop` = the BFS shortest distance — the
+    * related-entity / feature-neighborhood primitive ("suppliers
+    * within 2 hops of this customer"). BFS-by-joins: each round joins
+    * the frontier against the once-materialized edge table, dedups,
+    * and anti-joins the visited set so a node is emitted exactly once
+    * at its first (shortest) hop.
+    *
+    * Scale shape: edges materialize ONCE hash-partitioned on src; per
+    * round only (seed, node) frontier rows move, and the anti-join
+    * keys on the same (seed, node) the dedup just shuffled. Frontiers
+    * are checkpoint-truncated per hop, so the plan stays O(1) deep for
+    * any k. Output: (seed, node, hop), hop 0 = the seed itself. */
+  def kHopNeighborhood(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, k: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
+    require(k >= 1)
+    val raw = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val e = (if (assumeDistinct) raw else raw.distinct()).localCheckpoint()
+    val ed = e.repartition(col("src")).localCheckpoint()
+    var visited = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0).as("hop"))
+      .localCheckpoint()
+    var frontier = visited
+    var h = 1
+    while (h <= k) {
+      val next = ed.join(frontier, ed("src") === frontier("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint()
+      // visited stays a LAZY union of checkpointed frontiers: each hop's
+      // anti-join rereads only materialized blocks (an eager checkpoint
+      // of the growing union re-copied all of visited every hop)
+      visited = visited.unionByName(next)
+      frontier = next
+      h += 1
+    }
+    visited
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) with
     * deterministic tie-breaking: every node starts labeled with its own
     * id; each round a node adopts the MODE of its neighbors' labels,

@@ -245,6 +245,20 @@ object NorthStar {
       .orderBy($"node_type", $"node_key")
   }
 
+  // 2-hop neighborhoods from sparse customer seeds (custkey % 100 == 0
+  // in-graph): hop 1 = the customer's suppliers, hop 2 = co-customers
+  // of those suppliers — the related-entity expansion, oracle =
+  // BFS unrolled as anti-joined CTE stages.
+  val kHopQ: Q = (s, dir) => {
+    import s.implicits._
+    val edges = custSuppEdges(s, dir)
+    val seeds = edges.select($"src").distinct().filter($"src" % 200 === 0)
+    graft.operators.Graph.kHopNeighborhood(edges, "src", "dst",
+        seeds, "src", k = 2, assumeDistinct = true)
+      .select((expr("seed div 2").as("seed_key") +: decodeNode(s) :+ $"hop"): _*)
+      .orderBy($"seed_key", $"hop", $"node_type", $"node_key")
+  }
+
   // Label-propagation communities over the same customer–supplier
   // graph: 5 synchronous rounds of mode-of-neighbor-labels with
   // smallest-label ties — integer/argmin rules only, so the oracle
@@ -845,6 +859,7 @@ object NorthStar {
     "ns_bm25_topk" -> bm25Topk,
     "ns_pagerank" -> pageRankQ,
     "ns_ppr" -> pprQ,
+    "ns_khop" -> kHopQ,
     "ns_label_prop" -> labelPropQ,
     "ns_triangles" -> trianglesQ
   )
@@ -1686,6 +1701,32 @@ object NorthStar {
         " SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type," +
         " node // 2 AS node_key, rank FROM pp5 ORDER BY node_type, node_key"
     },
+    "ns_khop" ->
+      ("""WITH rel AS (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT a AS src, b AS dst FROM rel UNION ALL SELECT b AS src, a AS dst FROM rel),
+        |seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 200 = 0),
+        |h0 AS (SELECT node AS seed, node, 0 AS hop FROM seeds),
+        |h1 AS (
+        | SELECT f.seed, e.dst AS node, 1 AS hop
+        | FROM h0 f JOIN edges e ON e.src = f.node
+        | GROUP BY f.seed, e.dst
+        |),
+        |h1c AS (SELECT h1.* FROM h1 LEFT JOIN h0 v ON v.seed = h1.seed AND v.node = h1.node
+        |        WHERE v.node IS NULL),
+        |vis1 AS (SELECT seed, node FROM h0 UNION ALL SELECT seed, node FROM h1c),
+        |h2 AS (
+        | SELECT f.seed, e.dst AS node, 2 AS hop
+        | FROM h1c f JOIN edges e ON e.src = f.node
+        | GROUP BY f.seed, e.dst
+        |),
+        |h2c AS (SELECT h2.* FROM h2 LEFT JOIN vis1 v ON v.seed = h2.seed AND v.node = h2.node
+        |        WHERE v.node IS NULL),
+        |allh AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1c UNION ALL SELECT * FROM h2c)
+        |SELECT seed // 2 AS seed_key,
+        | CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+        | node // 2 AS node_key, hop
+        |FROM allh ORDER BY seed_key, hop, node_type, node_key""").sm,
     "ns_label_prop" -> {
       val iters = (1 to 5).map { i =>
         s"lp$i AS (SELECT dst AS node, lbl FROM (" +

@@ -71,6 +71,19 @@ object RankProbe {
       graft.operators.Graph.pageRank(edges, "src", "dst", 10,
         assumeDistinct = true).count())
 
+    // Seeds from the BASE copy only — the fixed-probe convention: the
+    // seed count stays constant while the graph scales.
+    val seeds = edges.select(col("src")).distinct()
+      .filter(col("src") % 20 === 0 && col("src") < 10000000L)
+    time("personalizedPageRank(5)")(
+      graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds, "src", iters = 5, assumeDistinct = true).count())
+    val khopSeeds = edges.select(col("src")).distinct()
+      .filter(col("src") % 200 === 0 && col("src") < 10000000L)
+    time("kHopNeighborhood(k=2)")(
+      graft.operators.Graph.kHopNeighborhood(edges, "src", "dst",
+        khopSeeds, "src", k = 2, assumeDistinct = true).count())
+
     spark.stop()
   }
 }

@@ -234,4 +234,38 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(laid.schema == df.schema)
     assert(laid.exceptAll(df).isEmpty && df.exceptAll(laid).isEmpty)
   }
+
+  // The hive-style partitioned layout is THE 100 TB table format: one
+  // directory per partition value, scans prune at the directory level
+  // before reading a byte, and incremental loads rewrite only the
+  // partitions they touch. OnlineStore already ships it for ingest_date;
+  // this pins the three contract points generically.
+  test("partitioned layout: directory layout, partition-pruned scan, dynamic overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    // 1. hive layout on disk
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("lang=")))
+    // 2. a lang filter becomes a PartitionFilter — pruned BEFORE the
+    // scan, no row-level filtering of other languages
+    val scan = spark.read.parquet(dir).filter($"lang" === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"),
+      s"lang filter must prune partitions:\n$plan")
+    val enCount = scan.count()
+    assert(enCount == docs.filter($"lang" === "en").count())
+    // 3. dynamic partition overwrite: rewriting ONE lang's rows leaves
+    // every other partition untouched (static mode would drop them)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      docs.filter($"lang" === "en").limit(3)
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      val after = spark.read.parquet(dir)
+      assert(after.filter($"lang" === "en").count() == 3)
+      assert(after.filter($"lang" =!= "en").count() ==
+        docs.filter($"lang" =!= "en").count(),
+        "dynamic overwrite must not touch unwritten partitions")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
 }

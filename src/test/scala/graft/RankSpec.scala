@@ -172,6 +172,20 @@ class RankSpec extends AnyFunSuite with SparkSuite {
     assert(ppr == pr, s"ppr $ppr vs pr $pr")
   }
 
+  test("k-hop neighborhood: BFS hops are shortest distances, seeds independent") {
+    // path 1-2-3-4-5 plus chord 1-3 (undirected): from seed 1, node 3
+    // is reachable at hop 1 (chord) AND hop 2 (via 2) — must appear
+    // ONCE at hop 1; node 4 at hop 2; node 5 outside k=2.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+    val dir = und ++ und.map(_.swap)
+    val got = Graph.kHopNeighborhood(dir.toDF("src", "dst"), "src", "dst",
+        Seq(1L, 5L).toDF("node"), "node", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 2),
+      (5L, 5L, 0), (5L, 4L, 1), (5L, 3L, 2)), got.toString)
+  }
+
   /** Sequential LPA reference: identical mode/min-tie rules. */
   private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val e = edges.distinct

@@ -78,6 +78,29 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(out("2024-01-01 10:01:00") == 1L, s"got $out")
   }
 
+  test("stream-static enrichment join: each micro-batch joins the static dim") {
+    // The dimension-enrichment shape: an unbounded stream left-joins a
+    // static (batch) table — stateless, no watermark needed; Spark
+    // re-plans the join per micro-batch and broadcasts the small dim.
+    // At 100 TB the dim is the broadcast side by construction (a user
+    // table next to an event firehose).
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)](spark)
+    val enriched = mem.toDF().toDF("user_id", "amount")
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
+      .withColumn("tier", coalesce($"tier", lit("unknown")))
+    val q = enriched.writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    mem.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    q.processAllAvailable()
+    mem.addData((1L, 40.0)) // second batch joins the same static snapshot
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssj_t").select($"user_id", $"amount", $"tier")
+      .as[(Long, Double, String)].collect().toSet
+    assert(out == Set((1L, 10.0, "gold"), (2L, 20.0, "basic"),
+      (3L, 30.0, "unknown"), (1L, 40.0, "gold")), out.toString)
+  }
+
   test("stateful merge is latest-wins and only emits when all slots present") {
     val mem = MemoryStream[StreamPipeline.Slot](spark)
     val merged = StreamPipeline.mergeStats(mem.toDS(),

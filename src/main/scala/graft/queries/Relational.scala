@@ -1067,7 +1067,23 @@ object Relational {
       .orderBy($"event_type", $"hod")
   }
 
+  // A36 exact per-group quantiles: p25/median/p75/p95 of event value
+  // per event type via percentile_cont (linear interpolation — the
+  // same rule DuckDB's quantile_cont applies, so the compare is
+  // rounding-tolerant-free at 6 dp). ONE sort-based aggregate per
+  // group; the approx twin for 100 TB is a13's sketch path.
+  val a36GroupQuantiles: Q = (s, dir) => {
+    import s.implicits._
+    def pc(p: Double, name: String) =
+      round(expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY value)"), 6).as(name)
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(pc(0.25, "p25"), pc(0.5, "p50"), pc(0.75, "p75"), pc(0.95, "p95"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a36_group_quantiles" -> a36GroupQuantiles,
     "a35_hourly_season" -> a35HourlySeason,
     "a34_transitions" -> a34Transitions,
     "a33_attribution" -> a33Attribution,
@@ -1142,6 +1158,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a36_group_quantiles" ->
+      """SELECT event_type,
+        | ROUND(quantile_cont(value, 0.25), 6) AS p25,
+        | ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        | ROUND(quantile_cont(value, 0.75), 6) AS p75,
+        | ROUND(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".sm,
     "a35_hourly_season" ->
       """WITH c AS (
         | SELECT event_type, CAST(hour(ts) AS INT) AS hod, COUNT(*) AS n

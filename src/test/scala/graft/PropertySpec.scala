@@ -296,4 +296,39 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("chunker invariants hold for random window/stride/doc-length combinations") {
+    import graft.llm.Chunker
+    val rnd = new scala.util.Random(31)
+    (1 to 5).foreach { trial =>
+      val window = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(12) // may exceed window (gap sampling)
+      val docs = (0 until 40).map { i =>
+        val n = 1 + rnd.nextInt(40)
+        (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val chunks = Chunker.chunkByTokens(docs, "doc_id", "text", window, stride)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      val byDoc = chunks.groupBy(_._1)
+      val nTokens = docs.collect().map(r =>
+        r.getLong(0) -> r.getString(1).split(" ").length).toMap
+      byDoc.foreach { case (id, cs) =>
+        val n = nTokens(id)
+        // chunk ids are dense from 0; starts are stride multiples
+        assert(cs.map(_._2).sorted.toSeq == cs.indices.toSeq)
+        cs.foreach { case (_, cid, start, len, text) =>
+          assert(start == cid * stride)
+          assert(len >= 1 && len <= window)
+          assert(text.split(" ").length == len, s"$text len != $len")
+        }
+        // when stride <= window the doc is fully covered and the last
+        // chunk reaches the end; never a chunk fully inside another
+        if (stride <= window) {
+          val covered = cs.map(c => c._3 + c._4).max
+          assert(covered == n, s"doc $id covered $covered of $n")
+        }
+      }
+      assert(byDoc.keySet == nTokens.keySet, s"trial $trial lost docs")
+    }
+  }
 }

@@ -186,6 +186,36 @@ class RankSpec extends AnyFunSuite with SparkSuite {
       (5L, 5L, 0), (5L, 4L, 1), (5L, 3L, 2)), got.toString)
   }
 
+  test("k-hop neighborhood matches sequential BFS on random graphs") {
+    val rnd = new scala.util.Random(47)
+    (1 to 3).foreach { trial =>
+      val n = 12 + rnd.nextInt(10)
+      val und = (0 until n * 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val dir = (und ++ und.map(_.swap)).distinct
+      val nodes = dir.map(_._1).distinct
+      val seeds = nodes.take(3)
+      val k = 1 + rnd.nextInt(3)
+      // sequential BFS reference
+      val adj = dir.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expected = seeds.flatMap { s =>
+        var dist = Map(s -> 0)
+        var frontier = Set(s)
+        for (h <- 1 to k) {
+          val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+          dist ++= next.map(_ -> h)
+          frontier = next
+        }
+        dist.map { case (node, hop) => (s, node, hop) }
+      }.toSet
+      val got = Graph.kHopNeighborhood(dir.toDF("src", "dst"), "src", "dst",
+          seeds.toDF("node"), "node", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected,
+        s"trial $trial (n=$n k=$k): missing ${(expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
+    }
+  }
+
   /** Sequential LPA reference: identical mode/min-tie rules. */
   private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val e = edges.distinct

@@ -37,7 +37,15 @@ object Verify {
     val json = oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // errors.json exists from the START and is rewritten after every
+    // failure — a mid-loop driver kill (the round-2 scenario that moved
+    // oracle_sql.json above the loop) still leaves a complete record of
+    // everything that failed up to that point.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def writeErrors(): Unit = Files.writeString(
+      Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    writeErrors()
     queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -49,11 +57,9 @@ object Verify {
         errors.put(name, msg)
         new java.io.File(s"$outDir/$name").mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg + "\n")
+        writeErrors()
       }
     }
-    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     errors.toMap
   }
 

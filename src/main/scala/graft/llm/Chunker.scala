@@ -29,8 +29,12 @@ object Chunker {
       window: Int, stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1,
       s"window/stride must be >= 1: $window/$stride")
-    val toks = docs.select(col(idCol),
-      split(trim(col(textCol)), "\\s+").as("__toks"))
+    // Empty/whitespace-only docs have ZERO tokens and emit NO chunks —
+    // without the filter, split(trim(''), "\\s+") returns [""] and a
+    // phantom 1-token empty chunk would flow into embedding/packing.
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
       .withColumn("__n", size(col("__toks")))
     toks
       .select(col(idCol), col("__toks"), col("__n"),

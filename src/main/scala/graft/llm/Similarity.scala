@@ -177,11 +177,21 @@ object Similarity {
     // instead of scheduling nCells × iters distributed jobs over a
     // sample that fits in memory. The CORPUS-side work — cell
     // assignment — stays a distributed broadcast-centroid map pass.
+    val rows = fitSample(corpus, idCol, vecCol, fitSampleRows)
+    localKMeans(rows, nCells, iters = 10, seed = seed)
+  }
+
+  /** The deterministic quantizer-fit sample every fitter here draws:
+    * hash-ordered (partition-unbiased, layout-independent), collected
+    * once to the driver. Extracted so [[buildIvfPqIndex]] pays ONE
+    * sampling job for both the coarse centroids and the PQ codebooks. */
+  private def fitSample(corpus: DataFrame, idCol: String, vecCol: String,
+      fitSampleRows: Int): Array[Array[Double]] = {
     val rows = hashOrderedSample(
         corpus.select(col(idCol), asDouble(col(vecCol)).as("__v")), idCol, fitSampleRows)
       .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "empty corpus")
-    localKMeans(rows, nCells, iters = 10, seed = seed)
+    rows
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
@@ -251,10 +261,11 @@ object Similarity {
     // pure scheduling at bench scale) to do what a local Lloyd loop
     // does in milliseconds; FAISS trains PQ codebooks in-memory for the
     // same reason. Lower fitSampleRows for very wide vectors.
-    val rows = hashOrderedSample(
-        corpus.select(col(idCol), asDouble(col(vecCol)).as("__v")), idCol, fitSampleRows)
-      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
-    require(rows.nonEmpty, "empty corpus")
+    fitPqCodebooksFrom(fitSample(corpus, idCol, vecCol, fitSampleRows), m, k, seed)
+  }
+
+  private def fitPqCodebooksFrom(rows: Array[Array[Double]], m: Int, k: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
     val dim = rows(0).length
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
@@ -511,15 +522,24 @@ object Similarity {
     * pins this parity). */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]], nProbe: Int = 2): DataFrame = {
-    val nearestCells = nearestCellsUdf(queries, centroids)
+      codebooks: Array[Array[Array[Double]]], nProbe: Int = 2): DataFrame =
+    ivfPqQuery(queries, encodeCorpus(corpus, idCol, vecCol, centroids, codebooks),
+      idCol, vecCol, k, centroids, codebooks, nProbe)
+
+  /** The corpus-encode phase of IVF-PQ — cell assignment + PQ code in
+    * one broadcast map pass, emitted as (neighbor_id, cell, code).
+    * Shared by the inline [[ivfPqTopK]] and [[buildIvfPqIndex]] so the
+    * two paths can never diverge on the stored layout. */
+  private def encodeCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val nearestCells = nearestCellsUdf(corpus, centroids)
     val cells = corpus.select(col(idCol), asDouble(col(vecCol)).as("__cv"))
       .withColumn("cell", nearestCells(col("__cv"), lit(1)).getItem(0))
       .select(col(idCol), col("cell"))
-    val coded = pqEncode(corpus, idCol, vecCol, codebooks)
+    pqEncode(corpus, idCol, vecCol, codebooks)
       .join(cells, Seq(idCol))
       .select(col(idCol).as("neighbor_id"), col("cell"), col("code"))
-    ivfPqQuery(queries, coded, idCol, vecCol, k, centroids, codebooks, nProbe)
   }
 
   /** Broadcast-centroid m-nearest-cell assignment UDF shared by the
@@ -605,16 +625,13 @@ object Similarity {
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 8, m: Int = 8, kCodes: Int = 16, seed: Long = 42L,
       fitSampleRows: Int = 100000): IvfPqIndex = {
-    val centroids = fitIvfCentroids(corpus, idCol, vecCol, nCells, seed, fitSampleRows)
-    val codebooks = fitPqCodebooks(corpus, idCol, vecCol, m, kCodes, seed, fitSampleRows)
-    val nearestCells = nearestCellsUdf(corpus, centroids)
-    val cells = corpus.select(col(idCol), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("cell", nearestCells(col("__cv"), lit(1)).getItem(0))
-      .select(col(idCol), col("cell"))
-    val coded = pqEncode(corpus, idCol, vecCol, codebooks)
-      .join(cells, Seq(idCol))
-      .select(col(idCol).as("neighbor_id"), col("cell"), col("code"))
-    IvfPqIndex(coded, centroids, codebooks)
+    // ONE sampling job serves both quantizer fits (identical draw by
+    // construction — same hash order, same cap)
+    val sample = fitSample(corpus, idCol, vecCol, fitSampleRows)
+    val centroids = localKMeans(sample, nCells, iters = 10, seed = seed)
+    val codebooks = fitPqCodebooksFrom(sample, m, kCodes, seed)
+    IvfPqIndex(encodeCorpus(corpus, idCol, vecCol, centroids, codebooks),
+      centroids, codebooks)
   }
 
   /** Persist an index under `path`: `codes/` is the distributed table

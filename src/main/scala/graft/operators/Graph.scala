@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Canonical edge-table prep shared by every iterative operator here:
+    * cast (src, dst) to long, optionally distinct (duplicate edges
+    * would double-count degrees and messages), and `localCheckpoint`
+    * so the upstream edge-derivation plan never re-runs per superstep.
+    * One definition — a change to canonicalization (null handling,
+    * checkpoint strategy) applies to every operator at once. */
+  private def normEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      assumeDistinct: Boolean, repartitionBySrc: Boolean = false): DataFrame = {
+    val raw = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val d = if (assumeDistinct) raw else raw.distinct()
+    (if (repartitionBySrc) d.repartition(col("src")) else d).localCheckpoint()
+  }
+
+  /** Out-degrees plus the once-materialized (src, dst, deg) message
+    * table hash-partitioned on src — reused every superstep;
+    * `localCheckpoint` preserves the partitioning so each round's join
+    * reuses it and only the node-sized rank table moves (AQE usually
+    * broadcasts it). The edge table never re-shuffles after this. */
+  private def messageTable(e: DataFrame): (DataFrame, DataFrame) = {
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    (deg, e.join(deg, "src").repartition(col("src")).localCheckpoint())
+  }
+
   /** PageRank with INTEGER micro-unit ranks — deterministic on any
     * engine and any partition order, so a fixed-iteration run is
     * DuckDB-oracle-checkable (the same quantization trick as
@@ -46,20 +70,7 @@ object Graph {
       assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    val raw = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    // duplicate edges would double-count in deg and in the message sum;
-    // callers that already dedup skip the extra edge-wide shuffle.
-    // e feeds BOTH deg and the message join — materialize once or the
-    // upstream edge-derivation plan runs twice.
-    val e = (if (assumeDistinct) raw else raw.distinct()).localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // Message table (src, dst, deg): reused every superstep —
-    // materialize ONCE, hash-partitioned on src. localCheckpoint
-    // preserves the partitioning, so each round's join reuses it and
-    // only the node-sized rank table moves (AQE usually broadcasts it);
-    // the EDGE table never re-shuffles after this line.
-    val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val (deg, ed) = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct))
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
     var i = 1
     while (i <= iters) {
@@ -92,11 +103,7 @@ object Graph {
       checkpointEvery: Int = 3, assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    val raw = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val e = (if (assumeDistinct) raw else raw.distinct()).localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val (deg, ed) = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct))
     val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().localCheckpoint()
     val nNodes = deg.count()
@@ -136,10 +143,7 @@ object Graph {
       seeds: DataFrame, seedCol: String, k: Int,
       assumeDistinct: Boolean = false): DataFrame = {
     require(k >= 1)
-    val raw = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val e = (if (assumeDistinct) raw else raw.distinct()).localCheckpoint()
-    val ed = e.repartition(col("src")).localCheckpoint()
+    val ed = normEdges(edges, srcCol, dstCol, assumeDistinct, repartitionBySrc = true)
     var visited = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0).as("hop"))
       .localCheckpoint()
@@ -189,10 +193,7 @@ object Graph {
       assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    val raw = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val d = if (assumeDistinct) raw else raw.distinct()
-    val e = d.repartition(col("src")).localCheckpoint()
+    val e = normEdges(edges, srcCol, dstCol, assumeDistinct, repartitionBySrc = true)
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     var i = 1

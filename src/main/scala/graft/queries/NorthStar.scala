@@ -918,6 +918,7 @@ object NorthStar {
     "ns_chunk_text" ->
       """WITH toks AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        | WHERE len(trim(text)) > 0
         |), starts AS (
         | SELECT doc_id, t,
         |  unnest(range(0, least(len(t), greatest(1, len(t) - 8)), 24)) AS i FROM toks

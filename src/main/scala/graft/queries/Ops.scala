@@ -79,7 +79,9 @@ object Ops {
 
   // M4: plain MERGE upsert (type-1, no history) — updates reprice every
   // 13th order (+1.00 exact in IEEE, so both engines produce the same
-  // double bit-for-bit) and add new orders under shifted keys.
+  // double bit-for-bit) and add new orders under NEGATED keys (disjoint
+  // from the positive orderkey space at ANY scale factor — a fixed
+  // +10M offset would collide with real keys once SF ≥ ~1.7).
   val mergeUpsert: Q = (s, dir) => {
     import s.implicits._
     val target = t(s, dir, "orders")
@@ -88,7 +90,7 @@ object Ops {
       .select($"o_orderkey", $"o_custkey", lit("U").as("o_orderstatus"),
         ($"o_totalprice" + 1.0).as("o_totalprice"))
       .unionByName(target.filter($"o_orderkey" % 1009 === 0)
-        .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
+        .select((-$"o_orderkey").as("o_orderkey"), $"o_custkey",
           lit("N").as("o_orderstatus"), $"o_totalprice"))
     Scd.mergeUpsert(target, updates, Seq("o_orderkey"))
       .orderBy($"o_orderkey")
@@ -111,7 +113,7 @@ object Ops {
         |        o_totalprice + 1.0 AS o_totalprice
         | FROM tgt WHERE o_orderkey % 13 = 0
         | UNION ALL
-        | SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        | SELECT -o_orderkey, o_custkey, 'N', o_totalprice
         | FROM tgt WHERE o_orderkey % 1009 = 0)
         |SELECT * FROM (
         | SELECT t.* FROM tgt t LEFT JOIN (SELECT DISTINCT o_orderkey FROM upd) u

@@ -688,7 +688,8 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
 
   test("chunker: hand-traced windows, tail kept, overlap = window - stride") {
     import graft.llm.Chunker
-    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "p q r")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "p q r"),
+      (4L, ""), (5L, "   ")).toDF("doc_id", "text")
     val got = Chunker.chunkByTokens(docs, "doc_id", "text", window = 3, stride = 2)
       .orderBy($"doc_id", $"chunk_id")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
@@ -697,7 +698,7 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
       // no redundant "g" tail chunk at start 6
       (1L, 0, 0, 3, "a b c"), (1L, 1, 2, 3, "c d e"), (1L, 2, 4, 3, "e f g"),
       (2L, 0, 0, 1, "x"),
-      (3L, 0, 0, 3, "p q r")), got.mkString("; "))
+      (3L, 0, 0, 3, "p q r")), got.mkString("; ")) // docs 4/5: zero tokens → no chunks
     // n=8: the final chunk is short but the end is covered exactly once
     val eight = Chunker.chunkByTokens(
       Seq((9L, "a b c d e f g h")).toDF("doc_id", "text"), "doc_id", "text", 3, 2)

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Chunker, CorpusPrep, Similarity, Tokenize}
 import graft.ml.FraudModel
 import graft.schema.StreamTxn
 import graft.serve.FeatureStore
@@ -91,5 +92,53 @@ class SystemSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getAs[Long]("cc_num") -> r.getAs[Int]("fraud_pred")).toMap
     assert(byCard(3L) == 1, s"high-amount card not flagged: $byCard")
     assert(byCard(1L) == 0, s"normal card flagged: $byCard")
+  }
+
+  /** The LLM data plane chained end-to-end the way a training-data
+    * pipeline runs it: corpus prep (gate → dedup → decontaminate →
+    * mixture → shard) → chunking → tokenizer fit/apply → sequence
+    * packing, plus the ANN serving side (IVF-PQ index build → persist →
+    * reload → query). Each stage has its own deep spec; this pins the
+    * SEAMS — ids, schemas, and token accounting survive every hop. */
+  test("LLM data plane: prep -> chunk -> tokenize -> pack; index -> persist -> serve") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val benchmark = docs.filter($"doc_id" % 37 === 0)
+    // 1. corpus prep — survivors keep their ids; shards well-formed
+    val prepped = CorpusPrep.prepare(docs, benchmark, "doc_id", "text", "source",
+      rates = Map("cc" -> 1.0), defaultRate = 0.5, minOverlap = 6, nShards = 8)
+    val nPrep = prepped.count()
+    assert(nPrep > 0 && nPrep < docs.count())
+    assert(prepped.select($"shard").distinct().count() <= 8)
+    // 2. chunk the survivors (ids flow through the prep join)
+    val survivors = docs.join(prepped.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val chunks = Chunker.chunkByTokens(survivors, "doc_id", "text", 64, 48)
+    assert(chunks.select($"doc_id").distinct().count() == nPrep)
+    // 3. tokenizer fit on the survivors, applied to the CHUNK texts —
+    // chunk token counts must tile the doc token counts exactly when
+    // stride == window (repartition-free seam: n_chunk_tokens is the
+    // whitespace count tokenize also sees)
+    val vocab = Tokenize.fitVocab(survivors, "text", 128)
+    val tokenized = Tokenize.tokenize(
+      chunks.select($"doc_id", $"chunk_id", $"chunk_text"), "chunk_text", vocab)
+    assert(tokenized.filter($"n_tokens" <= 0).isEmpty)
+    assert(tokenized.count() == chunks.count())
+    // 4. pack chunk token counts into 256-token training rows; packing
+    // conserves every chunk exactly once
+    val withKey = tokenized.select(
+      ($"doc_id" * 10000L + $"chunk_id").as("ck"), $"n_tokens")
+    val packs = graft.llm.Shards.packGreedy(withKey, "ck", "n_tokens", maxTokens = 256)
+    assert(packs.count() == withKey.count())
+    assert(packs.groupBy($"pack_id").agg(sum($"n_tokens").as("s"))
+      .filter($"s" > 256).isEmpty)
+    // 5. serving side: build the ANN index over embeddings, persist,
+    // reload, and answer a query batch
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sys_idx_").toString
+    Similarity.writeIvfPqIndex(
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", nCells = 4), dir)
+    val served = Similarity.ivfPqTopKIndexed(
+      emb.filter($"vec_id" < 5), Similarity.readIvfPqIndex(spark, dir),
+      "vec_id", "embedding", k = 5)
+    assert(served.groupBy($"query_id").count().collect().forall(_.getLong(1) == 5L))
   }
 }

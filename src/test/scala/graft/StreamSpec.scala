@@ -78,6 +78,30 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
     assert(out("2024-01-01 10:01:00") == 1L, s"got $out")
   }
 
+  test("chunker runs unchanged as a streaming projection (zero-shuffle ops are stream-ready)") {
+    // chunkByTokens is a pure scan-side projection (no shuffle, no
+    // state), so the SAME operator chunks documents as they arrive —
+    // no streaming variant needed. This is the payoff of keeping batch
+    // operators shuffle-free: they compose into readStream pipelines
+    // as-is.
+    val mem = MemoryStream[(Long, String)](spark)
+    val chunks = graft.llm.Chunker.chunkByTokens(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", window = 3, stride = 2)
+    val q = chunks.writeStream.format("memory").queryName("schunk_t")
+      .outputMode("append").start()
+    mem.addData((1L, "a b c d e"), (2L, "x y"))
+    q.processAllAvailable()
+    mem.addData((3L, "p q r s"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("schunk_t")
+      .select($"doc_id", $"chunk_id", $"chunk_text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0, "a b c"), (1L, 1, "c d e"),
+      (2L, 0, "x y"),
+      (3L, 0, "p q r"), (3L, 1, "r s")), out.toString)
+  }
+
   test("stream-static enrichment join: each micro-batch joins the static dim") {
     // The dimension-enrichment shape: an unbounded stream left-joins a
     // static (batch) table — stateless, no watermark needed; Spark

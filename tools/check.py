@@ -38,6 +38,15 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify writes errors.json from the start of its run; surface any
+    # recorded query failures here so a broken query reads as ERR with
+    # its message, not as a bare "no spark output".
+    try:
+        errors = json.load(open(f"{out_dir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
+    for name, msg in sorted(errors.items()):
+        print(f"ERR  {name}: {msg.splitlines()[0][:120]}")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -77,8 +86,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS {name} ({len(exp)} rows, {len(exp.columns)} cols)")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
-    return 1 if n_fail else 0
+    print(f"== {n_pass} pass / {n_fail} fail / {len(errors)} err ==")
+    return 1 if (n_fail or errors) else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -43,6 +43,19 @@ object Sketches {
     merged.withColumn("distinct_est", hll_sketch_estimate(col("sketch")))
   }
 
+  /** Merge a delta of sketch rows into a stored slice table: same-key
+    * sketches UNION (HLL registers max-merge, so re-delivering a delta
+    * is idempotent), new keys append. This is the maintenance op of the
+    * incremental-distinct loop: a streaming `foreachBatch` sketches
+    * each micro-batch with [[distinctSketchTable]] and merges the
+    * result here — the stored table stays one 4 KB row per (group,
+    * slice) forever, and no question ever re-reads raw history. */
+  def mergeSliceTables(stored: DataFrame, delta: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    stored.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+
   /** Build ONE count-min sketch over `valueCol` — a fixed-size frequency
     * summary answering point queries for ANY key with a one-sided error
     * (never under-counts; over-counts by ≤ eps·N with prob ≥ confidence).

@@ -42,9 +42,16 @@ object Verify {
     // oracle_sql.json above the loop) still leaves a complete record of
     // everything that failed up to that point.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def writeErrors(): Unit = Files.writeString(
-      Paths.get(s"$outDir/errors.json"),
-      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // atomic replace (temp + move): a kill mid-rewrite must never leave
+    // truncated JSON — the reader would crash instead of seeing errors
+    def writeErrors(): Unit = {
+      val tmp = Paths.get(s"$outDir/errors.json.tmp")
+      Files.writeString(tmp,
+        errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+      Files.move(tmp, Paths.get(s"$outDir/errors.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     writeErrors()
     queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -51,10 +51,19 @@ object Sketches {
     * result here — the stored table stays one 4 KB row per (group,
     * slice) forever, and no question ever re-reads raw history. */
   def mergeSliceTables(stored: DataFrame, delta: DataFrame,
-      keyCols: Seq[String]): DataFrame =
-    stored.unionByName(delta)
-      .groupBy(keyCols.map(col): _*)
-      .agg(hll_union_agg(col("sketch")).as("sketch"))
+      keyCols: Seq[String]): DataFrame = {
+    // Only keys the delta actually touches re-aggregate; everything
+    // else streams through untouched. A blanket union+groupBy would
+    // deserialize/re-union/re-serialize EVERY stored sketch per merge —
+    // O(history) per micro-batch instead of O(delta keys).
+    val dk = delta.select(keyCols.map(col): _*).distinct()
+    val untouched = stored.join(dk, keyCols, "left_anti")
+    val touched = stored.join(dk, keyCols, "left_semi")
+    untouched.unionByName(
+      touched.unionByName(delta)
+        .groupBy(keyCols.map(col): _*)
+        .agg(hll_union_agg(col("sketch")).as("sketch")))
+  }
 
   /** Build ONE count-min sketch over `valueCol` — a fixed-size frequency
     * summary answering point queries for ANY key with a one-sided error

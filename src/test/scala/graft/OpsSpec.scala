@@ -250,8 +250,11 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     // scan, no row-level filtering of other languages
     val scan = spark.read.parquet(dir).filter($"lang" === "en")
     val plan = scan.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"),
-      s"lang filter must prune partitions:\n$plan")
+    // NON-EMPTY PartitionFilters naming lang — `PartitionFilters: []`
+    // with a row-level Filter above the scan would mean pruning
+    // regressed (and would still satisfy a bare contains check)
+    assert("""PartitionFilters: \[[^\]]*lang""".r.findFirstIn(plan).isDefined,
+      s"lang filter must appear INSIDE PartitionFilters:\n$plan")
     val enCount = scan.count()
     assert(enCount == docs.filter($"lang" === "en").count())
     // 3. dynamic partition overwrite: rewriting ONE lang's rows leaves

@@ -45,6 +45,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         errors = json.load(open(f"{out_dir}/errors.json"))
     except FileNotFoundError:
         errors = {}
+    except json.JSONDecodeError as e:
+        # a kill mid-rewrite can truncate the file; degrade to a visible
+        # marker rather than crashing before any compare output
+        errors = {"_errors_json": f"unreadable ({e})"}
     for name, msg in sorted(errors.items()):
         print(f"ERR  {name}: {msg.splitlines()[0][:120]}")
     n_pass = n_fail = 0

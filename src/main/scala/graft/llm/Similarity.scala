@@ -654,19 +654,54 @@ object Similarity {
   }
 
   /** Reload a persisted index. The code table stays lazy/distributed;
-    * only the two driver-scale sidecars collect. */
+    * only the two driver-scale sidecars collect. Sidecar shapes are
+    * VALIDATED at read time — a mismatched or corrupted reload (wrong
+    * subspace count vs the codes' `m`, centroid/codebook dim drift,
+    * ragged codebooks, non-contiguous cell ids) otherwise surfaces
+    * only later as an opaque ADC error mid-query; the require()s here
+    * name the mismatch at the moment it is introduced. */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
     val codes = spark.read.parquet(s"$path/codes")
       .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("code"))
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroidRows = spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("vector")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
+      .sortBy(_._1)
+    require(centroidRows.nonEmpty, s"readIvfPqIndex($path): centroids sidecar is empty")
+    require(centroidRows.map(_._1).sameElements(centroidRows.indices),
+      s"readIvfPqIndex($path): centroid cell ids are not contiguous 0..n-1: " +
+        centroidRows.map(_._1).mkString(","))
+    val centroids = centroidRows.map(_._2)
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      s"readIvfPqIndex($path): ragged centroid dims (expected $dim)")
     val codebooks = spark.read.parquet(s"$path/codebooks")
       .select(col("subspace"), col("code"), col("vector")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+    require(codebooks.nonEmpty, s"readIvfPqIndex($path): codebooks sidecar is empty")
+    val m = codebooks.length
+    val kCodes = codebooks.head.length
+    require(codebooks.forall(_.length == kCodes),
+      s"readIvfPqIndex($path): ragged codebooks (subspace code counts " +
+        codebooks.map(_.length).mkString(",") + ")")
+    val subWidth = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == subWidth)),
+      s"readIvfPqIndex($path): ragged codebook entry widths (expected $subWidth)")
+    require(m * subWidth == dim,
+      s"readIvfPqIndex($path): codebooks cover $m x $subWidth = ${m * subWidth} dims " +
+        s"but centroids are $dim-dimensional — sidecars are from different builds")
+    // One cheap head() guards the codes/codebooks contract without a full scan.
+    codes.select(col("code"), col("cell")).limit(1).collect().foreach { r =>
+      val codeLen = r.getSeq[Int](0).length
+      require(codeLen == m,
+        s"readIvfPqIndex($path): codes table has $codeLen sub-codes per vector " +
+          s"but codebooks define $m subspaces — sidecars are from different builds")
+      require(r.getInt(1) >= 0 && r.getInt(1) < centroids.length,
+        s"readIvfPqIndex($path): codes reference cell ${r.getInt(1)} outside " +
+          s"the ${centroids.length} stored centroids")
+    }
     IvfPqIndex(codes, centroids, codebooks)
   }
 

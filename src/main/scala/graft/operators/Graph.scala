@@ -97,16 +97,29 @@ object Graph {
     * Scale shape identical to [[pageRank]] — the edge table
     * materializes once, only node-sized tables move per round; the
     * seed set is broadcast into each round's base-mass join. Seeds
-    * must be nodes of the (symmetrized, non-dangling) graph. */
+    * must be nodes of the (symmetrized, non-dangling) graph — ENFORCED:
+    * a seed outside the node set would receive no teleport mass via the
+    * message-side left_outer and silently vanish from the rank table,
+    * so the precondition is checked (cheap: anti-join of the tiny seed
+    * set against the degree table) instead of documented-only.
+    *
+    * `knownNodeCount`: repeated-query callers can pass the node count
+    * (e.g. from a prior run or catalog stats) to skip the one
+    * `deg.count()` driver job per invocation. */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, iters: Int = 10,
-      checkpointEvery: Int = 3, assumeDistinct: Boolean = false): DataFrame = {
+      checkpointEvery: Int = 3, assumeDistinct: Boolean = false,
+      knownNodeCount: Option[Long] = None): DataFrame = {
     require(iters >= 1)
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val (deg, ed) = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct))
     val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().localCheckpoint()
-    val nNodes = deg.count()
+    val strays = seedSet.join(deg, seedSet("node") === deg("src"), "left_anti").count()
+    require(strays == 0,
+      s"personalizedPageRank: $strays seed(s) are not nodes of the graph — " +
+        "an isolated seed would lose its teleport mass; add its edges or drop it")
+    val nNodes = knownNodeCount.getOrElse(deg.count())
     val nSeeds = seedSet.count()
     require(nSeeds > 0, "seed set is empty")
     val base = (150000L * nNodes) / nSeeds

@@ -89,10 +89,18 @@ object Scd {
     * a union; the target is never shuffled and never scanned twice.
     * Last-writer-wins within a batch is the caller's contract (collapse
     * multi-version batches with a latest-per-key window first, as in
-    * [[scd2Merge]]). */
+    * [[scd2Merge]]).
+    *
+    * Key matching is NULL-SAFE (`<=>`): a NULL key value is one key,
+    * so a NULL-keyed update REPLACES the NULL-keyed target row instead
+    * of appending a duplicate (plain-equality anti-joins match NULL to
+    * nothing, which would keep both). */
   def mergeUpsert(target: DataFrame, updates: DataFrame,
-      keyCols: Seq[String]): DataFrame =
-    target.join(updates.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_anti")
+      keyCols: Seq[String]): DataFrame = {
+    val uk = updates
+      .select(keyCols.map(c => col(c).as(s"__u_$c")): _*).distinct()
+    val cond = keyCols.map(c => col(c) <=> col(s"__u_$c")).reduce(_ && _)
+    target.join(uk, cond, "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))
+  }
 }

@@ -52,17 +52,28 @@ object Sketches {
     * slice) forever, and no question ever re-reads raw history. */
   def mergeSliceTables(stored: DataFrame, delta: DataFrame,
       keyCols: Seq[String]): DataFrame = {
-    // Only keys the delta actually touches re-aggregate; everything
-    // else streams through untouched. A blanket union+groupBy would
-    // deserialize/re-union/re-serialize EVERY stored sketch per merge —
-    // O(history) per micro-batch instead of O(delta keys).
-    val dk = delta.select(keyCols.map(col): _*).distinct()
-    val untouched = stored.join(dk, keyCols, "left_anti")
-    val touched = stored.join(dk, keyCols, "left_semi")
-    untouched.unionByName(
-      touched.unionByName(delta)
-        .groupBy(keyCols.map(col): _*)
-        .agg(hll_union_agg(col("sketch")).as("sketch")))
+    // Single pass over the stored table: the delta pre-reduces to one
+    // sketch per key, then a null-safe (<=>) full-outer join pairs it
+    // with the stored row for that key. Untouched stored keys stream
+    // through (delta side null), new delta keys append (stored side
+    // null), collisions union via the two-argument `hll_union`. This
+    // keeps the per-micro-batch cost O(stored + delta-keys) with ONE
+    // stored-side scan — the earlier anti/semi split read it twice —
+    // and <=> means a NULL key value merges as one key instead of
+    // duplicating (plain-equality joins match NULL to nothing).
+    // delta keys rename to __d_* so stored/delta stay unambiguous even
+    // when both sides derive from the same source lineage (self-join)
+    val deltaAgg = delta.groupBy(keyCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("delta_sketch"))
+      .select(keyCols.map(c => col(c).as(s"__d_$c")) :+ col("delta_sketch"): _*)
+    val cond = keyCols.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    val keyOut = keyCols.map(k => coalesce(col(k), col(s"__d_$k")).as(k))
+    val sketchOut = when(col("sketch").isNull, col("delta_sketch"))
+      .when(col("delta_sketch").isNull, col("sketch"))
+      .otherwise(hll_union(col("sketch"), col("delta_sketch")))
+      .as("sketch")
+    stored.join(deltaAgg, cond, "full_outer")
+      .select(keyOut :+ sketchOut: _*)
   }
 
   /** Build ONE count-min sketch over `valueCol` — a fixed-size frequency
@@ -73,6 +84,36 @@ object Sketches {
       confidence: Double = 0.99, seed: Int = 42): Array[Byte] =
     df.agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
       lit(seed)).as("cms")).head().getAs[Array[Byte]](0)
+
+  /** One count-min sketch row per key group — the CMS twin of
+    * [[distinctSketchTable]]. All rows share (eps, confidence, seed),
+    * so any subset of slices merges exactly via [[cmsMergeSlices]]:
+    * CMS cells are counters, and counter addition is associative and
+    * commutative, so slice-wise build + merge equals a one-shot build
+    * over the concatenated rows. The sketch column is plain binary and
+    * parquet round-trips, mirroring the HLL slice-table contract. */
+  def cmsSliceTable(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+        lit(seed)).as("cms"))
+
+  /** Merge serialized CMS slices into one sketch
+    * (`CountMinSketch.mergeInPlace`, public Spark API). Driver-scale by
+    * design: each slice is width×depth longs, and the caller hands the
+    * kilobyte sketch rows, never raw data. Throws on shape/seed
+    * mismatch (incompatible sketches cannot be merged meaningfully). */
+  def cmsMergeSlices(slices: Seq[Array[Byte]]): Array[Byte] = {
+    require(slices.nonEmpty, "cmsMergeSlices: no slices to merge")
+    val merged = slices.map { b =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b))
+    }.reduce { (a, b) => a.mergeInPlace(b); a }
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
 
   /** Point-estimate frequencies for `keys` from a serialized sketch.
     * Addition is commutative, so the estimates are deterministic

@@ -1069,13 +1069,18 @@ object Relational {
 
   // A36 exact per-group quantiles: p25/median/p75/p95 of event value
   // per event type via percentile_cont (linear interpolation — the
-  // same rule DuckDB's quantile_cont applies, so the compare is
-  // rounding-tolerant-free at 6 dp). ONE sort-based aggregate per
-  // group; the approx twin for 100 TB is a13's sketch path.
+  // same rule DuckDB's quantile_cont applies). Compared on integer
+  // MICRO-UNITS (round(x*1e6) as long, the repo's standing pattern
+  // for double-sensitive queries): the two engines' interpolation
+  // expressions can differ by an ULP, and a decimal-string round of
+  // two doubles one ULP apart near a rounding boundary could flip —
+  // a long compare absorbs that. ONE sort-based aggregate per group;
+  // the approx twin for 100 TB is a13's sketch path.
   val a36GroupQuantiles: Q = (s, dir) => {
     import s.implicits._
     def pc(p: Double, name: String) =
-      round(expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY value)"), 6).as(name)
+      round(expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY value)") * 1e6, 0)
+        .cast("long").as(name)
     t(s, dir, "events")
       .groupBy($"event_type")
       .agg(pc(0.25, "p25"), pc(0.5, "p50"), pc(0.75, "p75"), pc(0.95, "p95"))
@@ -1160,10 +1165,10 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "a36_group_quantiles" ->
       """SELECT event_type,
-        | ROUND(quantile_cont(value, 0.25), 6) AS p25,
-        | ROUND(quantile_cont(value, 0.5), 6) AS p50,
-        | ROUND(quantile_cont(value, 0.75), 6) AS p75,
-        | ROUND(quantile_cont(value, 0.95), 6) AS p95
+        | CAST(ROUND(quantile_cont(value, 0.25) * 1e6) AS BIGINT) AS p25,
+        | CAST(ROUND(quantile_cont(value, 0.5) * 1e6) AS BIGINT) AS p50,
+        | CAST(ROUND(quantile_cont(value, 0.75) * 1e6) AS BIGINT) AS p75,
+        | CAST(ROUND(quantile_cont(value, 0.95) * 1e6) AS BIGINT) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".sm,
     "a35_hourly_season" ->
       """WITH c AS (

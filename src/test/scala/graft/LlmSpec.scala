@@ -655,6 +655,27 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(new java.io.File(s"$dir/codes").listFiles().exists(_.getName.startsWith("cell=")))
   }
 
+  test("ivf-pq reload rejects mismatched sidecars by name, not with a later ADC error") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_bad_").toString
+    val built = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCells = 4, m = 8, kCodes = 16)
+    Similarity.writeIvfPqIndex(built, dir)
+    // corrupt the codebooks sidecar: drop a subspace so m no longer
+    // matches the codes table / centroid dim — as if a different
+    // build's sidecar were copied in
+    val trimmed = spark.read.parquet(s"$dir/codebooks").filter($"subspace" < 4)
+      .collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(trimmed.toIndexedSeq),
+      spark.read.parquet(s"$dir/codebooks").schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readIvfPqIndex(spark, dir)
+    }
+    assert(ex.getMessage.contains("different builds"), ex.getMessage)
+  }
+
   test("cross-corpus near-dups equal the within-corpus pairs restricted to probes") {
     import graft.llm.Dedup
     val docs = Tables.load(spark, sf0001, "documents")
@@ -1182,6 +1203,39 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(first == again, "resize not deterministic")
     val meta = Multimodal.decodeMeta(small).collect()
     assert(meta.forall(_.n_bytes > 0))
+  }
+
+  test("multimodal decode reads REAL image dimensions via javax.imageio") {
+    // syntheticPngs renders actual PNG bytes; the decoder must report
+    // the true per-id geometry and 3 RGB channels — not byte-derived
+    // placeholders — and label the row with the codec that decoded it
+    val meta = Multimodal.decodeMeta(Multimodal.syntheticPngs(spark, 20))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(meta.size == 20)
+    meta.foreach { case (id, m) =>
+      assert(m.decoder == "imageio", s"id $id decoded by ${m.decoder}")
+      assert(m.width == 4 + (id % 5).toInt, s"id $id width ${m.width}")
+      assert(m.height == 3 + (id % 4).toInt, s"id $id height ${m.height}")
+      assert(m.channels == 3, s"id $id channels ${m.channels}")
+      assert(m.n_frames == 1 && m.sample_rate == 0)
+    }
+    // text payloads are NOT silently mis-decoded: they take the
+    // labeled fallback path
+    val fb = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()
+    assert(fb.nonEmpty && fb.forall(_.decoder == "fallback"))
+  }
+
+  test("multimodal resize really rescales decodable images (re-decode confirms)") {
+    val media = Multimodal.syntheticPngs(spark, 12) // widths 4..8
+    val small = Multimodal.resize(media, targetWidth = 5)
+    val meta = Multimodal.decodeMeta(small).collect().map(m => m.media_id -> m).toMap
+    meta.foreach { case (id, m) =>
+      val srcW = 4 + (id % 5).toInt
+      val expW = math.min(srcW, 5) // wider images shrink, narrower pass through
+      assert(m.decoder == "imageio", s"id $id no longer decodable after resize")
+      assert(m.width == expW, s"id $id width ${m.width}, expected $expW")
+      assert(m.height >= 1)
+    }
   }
 
   test("multimodal decode is deterministic with stable checksums") {

@@ -88,6 +88,27 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
 
   // ---------------- profiling ----------------
 
+  test("mergeUpsert: basic update-else-insert semantics") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val updates = Seq((2L, "B2"), (3L, "c")).toDF("k", "v")
+    val out = Scd.mergeUpsert(target, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
+  test("mergeUpsert: NULL key upserts as one key, not a duplicate append") {
+    // plain-equality anti-joins match NULL to nothing: the NULL-keyed
+    // target row would always survive AND the NULL-keyed update would
+    // always append. The null-safe <=> condition replaces instead.
+    val target = Seq((Some(1L), "a"), (None, "old")).toDF("k", "v")
+    val updates = Seq((Option.empty[Long], "new")).toDF("k", "v")
+    val out = Scd.mergeUpsert(target, updates, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+      .toMap
+    assert(out == Map(Some(1L) -> "a", None -> "new"),
+      s"expected the null-keyed row replaced, got $out")
+  }
+
   test("profile: exact metrics match hand-computed values; one job") {
     val df = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, None), (3L, Some("a"))

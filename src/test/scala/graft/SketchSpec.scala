@@ -124,6 +124,58 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     assert(estMap == Map("click" -> 3L, "view" -> 1L), estMap.toString)
   }
 
+  test("merge treats a NULL key value as ONE key (null-safe join)") {
+    // to_date of a null ts yields a null day — with plain-equality
+    // anti/semi joins the null-keyed stored and delta rows would BOTH
+    // survive as separate rows; the null-safe full-outer merges them.
+    val keys = Seq("event_type", "day")
+    def rows(users: Seq[Long]) = users.toDF("user_id")
+      .withColumn("event_type", lit("click"))
+      .withColumn("day", lit(null).cast("date"))
+    val stored = Sketches.distinctSketchTable(rows(Seq(1L, 2L)), keys, "user_id")
+    val delta = Sketches.distinctSketchTable(rows(Seq(2L, 3L)), keys, "user_id")
+    val merged = Sketches.mergeSliceTables(stored, delta, keys)
+    assert(merged.count() == 1L,
+      "null-keyed stored and delta rows must merge to one row, not duplicate")
+    val est = Sketches.rollupDistinct(merged, Seq("event_type"))
+      .select($"distinct_est").head().getLong(0)
+    assert(est == 3L)
+  }
+
+  test("merge scans the stored table ONCE (plan assertion)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_scan_").toString
+    val keys = Seq("event_type", "day")
+    Sketches.distinctSketchTable(events.filter($"day" <= "2024-01-10"), keys, "user_id")
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val delta = Sketches.distinctSketchTable(
+      events.filter($"day" > "2024-01-10"), keys, "user_id")
+    val merged = Sketches.mergeSliceTables(stored, delta, keys)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scans = merged.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation if h.location.rootPaths.exists(_.toString.contains(dir)) => 1
+        case _ => 0
+      }
+    }.sum
+    assert(scans == 1,
+      s"stored table scanned $scans times — the merge is specified as one pass")
+  }
+
+  test("cms slice merge == one-shot build") {
+    // CMS cells are plain counters: building per-day slices and
+    // merging them (mergeInPlace) must estimate identically to one
+    // sketch over the whole table — the contract that lets frequency
+    // tables maintain incrementally like the HLL slice tables.
+    val slices = Sketches.cmsSliceTable(events, Seq("day"), "user_id")
+      .select($"cms").collect().map(_.getAs[Array[Byte]](0)).toSeq
+    assert(slices.size > 1, "need multiple day slices for a meaningful merge")
+    val merged = Sketches.cmsMergeSlices(slices)
+    val oneShot = Sketches.cmsBuild(events, "user_id")
+    val keys = Seq.range(0L, 50L)
+    assert(Sketches.cmsEstimates(merged, keys) == Sketches.cmsEstimates(oneShot, keys))
+  }
+
   test("cms estimates are one-sided: never below exact, overshoot within eps·N") {
     val eps = 0.001
     val n = events.count()

@@ -50,7 +50,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         # marker rather than crashing before any compare output
         errors = {"_errors_json": f"unreadable ({e})"}
     for name, msg in sorted(errors.items()):
-        print(f"ERR  {name}: {msg.splitlines()[0][:120]}")
+        print(f"ERR  {name}: {(str(msg).splitlines() or [''])[0][:120]}")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:

@@ -44,6 +44,40 @@ object NonSql {
       .orderBy($"l_returnflag")
   }
 
+  // S5 via the in-repo Kafka-shaped log source (graft.sources
+  // .LogTopicProvider): a subset of events is produced as keyed JSON
+  // wire records into a partitioned append-log topic, read back through
+  // `format("graft-log")` (Kafka-compatible schema: key/value/topic/
+  // partition/offset/timestamp), JSON-parsed, and aggregated — so the
+  // ingress path the reference serves from Kafka
+  // (stream_processing/pipeline.py:38-44) is oracle-checked end to end
+  // against the same aggregate straight off the parquet table. The
+  // driver-side produce mirrors production, where producers are
+  // external processes; only the ~2k-row demo subset collects.
+  val s5LogRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_logtopic_").toString
+    graft.sources.LogTopic.createTopic(tmp, 4)
+    val recs = t(s, dir, "events").filter($"event_id" < 2000)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .collect().map { r =>
+        graft.sources.LogTopic.ProducerRecord(
+          Some(r.getLong(1).toString), // keyed by user: per-user ordering
+          s"""{"event_id":${r.getLong(0)},"user_id":${r.getLong(1)},""" +
+            s""""event_type":"${r.getString(2)}","value":${r.getDouble(3)}}""",
+          tsMillis = 1700000000000L + r.getLong(0))
+      }
+    graft.sources.LogTopic.produce(tmp, recs.toSeq)
+    s.read.format("graft-log").option("path", tmp).load()
+      .select(from_json($"value".cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id LONG, user_id LONG, event_type STRING, value DOUBLE")).as("r"))
+      .groupBy($"r.event_type".as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum($"r.value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   // S13: ORC sink → scan round-trip — the second columnar format the
   // engine serves natively (same aggregate contract as S1's CSV path;
   // ORC scans get the same predicate-pushdown + column pruning as
@@ -234,12 +268,16 @@ object NonSql {
       .orderBy($"event_id")
   }
 
-  // Multimodal: stubbed batched decode over binary payloads
+  // Multimodal batched decode over binary payloads: a mixed table of
+  // real PNGs (decoded by javax.imageio to true width/height/channels,
+  // decoder="imageio") and text-as-binary rows (byte-level fallback,
+  // decoder="fallback") — both paths of the production decode plumbing
+  // in one result.
   val mmDecode: Q = (s, dir) => {
     import s.implicits._
-    Multimodal.sampleFrames(
-        Multimodal.decodeMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")),
-        everyN = 4)
+    val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      .unionByName(Multimodal.syntheticPngs(s, 100, idOffset = 1000000L))
+    Multimodal.sampleFrames(Multimodal.decodeMeta(media), everyN = 4)
       .orderBy($"media_id")
   }
 
@@ -260,7 +298,8 @@ object NonSql {
     "a13_approx_quantiles" -> aQuantiles,
     "a3_sliding_window_batch" -> slidingWindowBatch,
     "ml_feature_transform" -> mlFeatureTransform,
-    "mm_decode_meta" -> mmDecode
+    "mm_decode_meta" -> mmDecode,
+    "s5_log_roundtrip" -> s5LogRoundtrip
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -295,6 +334,11 @@ object NonSql {
         "FROM orders ORDER BY h, o_orderkey LIMIT 100"),
     "a13b_exact_quantiles" ->
       ("SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
-        "ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99 FROM lineitem")
+        "ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99 FROM lineitem"),
+    "s5_log_roundtrip" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events WHERE event_id < 2000 " +
+        "GROUP BY event_type ORDER BY event_type")
   )
 }

@@ -73,6 +73,21 @@ object StreamPipeline {
       .load()
   }
 
+  /** The in-repo Kafka-shaped source ([[graft.sources.LogTopicProvider]],
+    * format `graft-log`): same row schema and offset/admission-control
+    * contract as [[kafkaSource]], backed by a partitioned append-only
+    * log on shared storage — the ingress the streaming tests drive END
+    * TO END (consume → parse → window → merge → sink, checkpointed
+    * restart included), since no Kafka broker/connector exists in this
+    * environment. Deployment swaps this `format` for "kafka"; nothing
+    * downstream changes. */
+  def logTopicSource(spark: SparkSession, dir: String,
+      maxRecordsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-log").option("path", dir)
+    maxRecordsPerTrigger.fold(r)(n => r.option("maxRecordsPerTrigger", n.toString))
+      .load()
+  }
+
   /** Stateless distance enrichment (pipeline.py:51-57). */
   def withDistance(txns: DataFrame): DataFrame =
     txns.withColumn("distance_to_merchant",

@@ -84,6 +84,47 @@ object RankProbe {
       graft.operators.Graph.kHopNeighborhood(edges, "src", "dst",
         khopSeeds, "src", k = 2, assumeDistinct = true).count())
 
+    // ---- power-law HUB probe (round 6, VERDICT r5 #1) ----
+    // Copy-scaling grows |E| but not max degree; this grows BOTH: node
+    // ids are Zipf(1)-sampled (inverse-CDF of log-uniform: P(k) ∝ 1/k),
+    // so the top hub holds ~|E|/ln(n) endpoints — degree grows linearly
+    // with the edge count, the celebrity layout that stresses the
+    // per-superstep join's shuffle key. Fixed node count across
+    // SPARK_GRAFT_HUB_EDGES sweeps → hub degree scales with the sweep.
+    val hubN = sys.env.getOrElse("SPARK_GRAFT_HUB_NODES", "20000").toLong
+    val hubE = sys.env.getOrElse("SPARK_GRAFT_HUB_EDGES", "2000000").toLong
+    def zipf(h: org.apache.spark.sql.Column) =
+      least(lit(hubN), greatest(lit(1L),
+        floor(exp(pmod(h, lit(1000000L)).cast("double") / 1000000.0
+          * log(lit(hubN.toDouble)))))).cast("long")
+    val half = spark.range(hubE).select(
+      zipf(xxhash64(col("id"), lit("s"))).as("a"),
+      zipf(xxhash64(col("id"), lit("d"))).as("b"))
+      .filter(col("a") =!= col("b"))
+    val hubEdges = half.select(col("a").as("src"), col("b").as("dst"))
+      .union(half.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    val degs = hubEdges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("maxd"), count(lit(1)).as("nodes")).head()
+    println(s"hub graph: ${hubEdges.count()} directed edges, " +
+      s"${degs.getLong(1)} nodes, max degree ${degs.getLong(0)}")
+    time("HUB pageRank(10)")(
+      graft.operators.Graph.pageRank(hubEdges, "src", "dst", 10,
+        assumeDistinct = true).count())
+    val hubSeeds = hubEdges.select(col("src")).distinct()
+      .filter(col("src") % 100 === 0)
+    time("HUB personalizedPageRank(5)")(
+      graft.operators.Graph.personalizedPageRank(hubEdges, "src", "dst",
+        hubSeeds, "src", iters = 5, assumeDistinct = true).count())
+    time("HUB labelPropagation(5)")(
+      graft.operators.Graph.labelPropagation(hubEdges, "src", "dst", 5,
+        assumeDistinct = true).count())
+    val hubKhopSeeds = hubEdges.select(col("src")).distinct()
+      .filter(col("src") % 1000 === 0)
+    time("HUB kHop(k=2)")(
+      graft.operators.Graph.kHopNeighborhood(hubEdges, "src", "dst",
+        hubKhopSeeds, "src", k = 2, assumeDistinct = true).count())
+
     spark.stop()
   }
 }

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.schema.StreamTxn
+import graft.sources.LogTopic
+import graft.stream.StreamPipeline
+
+/** The `graft-log` Kafka-shaped DataSourceV2 source: batch + streaming
+  * reads, per-key partition routing, admission control, and the
+  * checkpointed restart that proves offsets AND operator state recover
+  * with no duplicate emissions — the S5 ingress contract executed end
+  * to end (no broker exists in this environment; the row schema and
+  * offset semantics match Kafka's so deployment swaps formats only). */
+class LogSourceSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def newTopic(nPartitions: Int): String = {
+    val dir = Files.createTempDirectory("graft_log_topic_").toString
+    LogTopic.createTopic(dir, nPartitions)
+    dir
+  }
+
+  private def wireJson(id: String, cc: Long, amt: Double, at: String): String =
+    s"""{"txn_id":"$id","cc_num":"$cc","amount":"$amt","lat":"40.0","long":"-74.0",""" +
+      s""""merch_lat":"40.1","merch_long":"-74.1","timestamp":"$at"}"""
+
+  test("batch read: all records, kafka-compatible schema, keyed routing, contiguous offsets") {
+    val dir = newTopic(3)
+    val recs = (0 until 30).map { i =>
+      LogTopic.ProducerRecord(Some(s"card-${i % 5}"), s"v$i", 1700000000000L + i)
+    }
+    LogTopic.produce(dir, recs)
+    val df = spark.read.format("graft-log").option("path", dir).load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("key", "value", "topic", "partition", "offset", "timestamp"))
+    val rows = df.select($"key".cast("string"), $"value".cast("string"),
+        $"partition", $"offset")
+      .as[(String, String, Int, Long)].collect()
+    assert(rows.length == 30)
+    assert(rows.map(_._2).toSet == recs.map(_.value).toSet)
+    // kafka contract: one key never straddles partitions
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._3).distinct.length)
+    assert(byKey.values.forall(_ == 1), s"key straddled partitions: $byKey")
+    // offsets are contiguous 0..n-1 within each partition
+    rows.groupBy(_._3).foreach { case (p, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (0L until rs.length).toSeq,
+        s"partition $p offsets not contiguous")
+    }
+  }
+
+  test("stream consume → wire parse → typed rows (the S5 ingress, executed)") {
+    val dir = newTopic(2)
+    LogTopic.produce(dir, Seq(
+      LogTopic.ProducerRecord(Some("7"), wireJson("t1", 7L, 12.5, "2024-01-01T10:00:00.000000"), 1700000000000L),
+      LogTopic.ProducerRecord(Some("9"), wireJson("t2", 9L, 80.0, "2024-01-01T10:00:05.000000"), 1700000000001L)))
+    val parsed = StreamPipeline.parse(StreamPipeline.logTopicSource(spark, dir))
+    val q = parsed.writeStream.format("memory").queryName("log_parse_t")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // late-produced records are picked up by the SAME running query
+    LogTopic.produce(dir, Seq(
+      LogTopic.ProducerRecord(Some("7"), wireJson("t3", 7L, 99.0, "2024-01-01T10:00:10.000000"), 1700000000002L)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("log_parse_t").as[StreamTxn].collect().sortBy(_.txn_id)
+    assert(rows.map(_.txn_id).toSeq == Seq("t1", "t2", "t3"))
+    assert(rows.head.cc_num == 7L && rows.head.amount == 12.5)
+  }
+
+  test("admission control: maxRecordsPerTrigger bounds each micro-batch like Kafka's maxOffsetsPerTrigger") {
+    val dir = newTopic(2)
+    LogTopic.produce(dir, (0 until 10).map { i =>
+      LogTopic.ProducerRecord(Some(s"k$i"), s"v$i", 1700000000000L + i)
+    })
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = StreamPipeline.logTopicSource(spark, dir, maxRecordsPerTrigger = Some(3L))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.add(b.count()): Unit
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val batches = sizes.asScala.toSeq.filter(_ > 0)
+    assert(batches.sum == 10, s"all records consumed exactly once: $batches")
+    assert(batches.forall(_ <= 3), s"a micro-batch exceeded the admission limit: $batches")
+    assert(batches.length >= 4, s"backlog should drain over several triggers: $batches")
+  }
+
+  /** The queries on both sides of the restart must be built identically
+    * (same checkpoint → same plan), so the construction is shared. */
+  private def countsQuery(dir: String, ckpt: String,
+      sink: (Long, Seq[(Long, Long)]) => Unit) =
+    StreamPipeline.parse(StreamPipeline.logTopicSource(spark, dir))
+      .groupBy($"cc_num").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink(id, b.select($"cc_num", $"n").as[(Long, Long)].collect().toSeq)
+      }.start()
+
+  test("checkpointed restart: offsets resume, state rehydrates, no duplicate emissions") {
+    val dir = newTopic(2)
+    val ckpt = Files.createTempDirectory("graft_log_ckpt_").toString
+    // idempotent sink: keyed by batchId, so a crash-replayed batch
+    // overwrites itself instead of double-counting (the foreachBatch
+    // exactly-once recipe); run 2 records which batchIds it delivered
+    val emitted = scala.collection.concurrent.TrieMap[Long, Seq[(Long, Long)]]()
+    val run2Batches = scala.collection.mutable.Set[Long]()
+
+    LogTopic.produce(dir, Seq(
+      LogTopic.ProducerRecord(Some("7"), wireJson("a", 7L, 10.0, "2024-01-01T10:00:00.000000"), 1L),
+      LogTopic.ProducerRecord(Some("7"), wireJson("b", 7L, 20.0, "2024-01-01T10:00:01.000000"), 2L),
+      LogTopic.ProducerRecord(Some("9"), wireJson("c", 9L, 30.0, "2024-01-01T10:00:02.000000"), 3L)))
+    val q1 = countsQuery(dir, ckpt, (id, rows) => emitted.put(id, rows): Unit)
+    q1.processAllAvailable(); q1.stop()
+    assert(emitted.values.flatten.toSeq.contains((7L, 2L)),
+      s"run 1 should have counted card 7 twice: $emitted")
+
+    // stop → more data arrives while down → restart from the SAME checkpoint
+    LogTopic.produce(dir, Seq(
+      LogTopic.ProducerRecord(Some("7"), wireJson("d", 7L, 40.0, "2024-01-01T10:00:03.000000"), 4L)))
+    val q2 = countsQuery(dir, ckpt, { (id, rows) =>
+      run2Batches.synchronized { run2Batches += id }
+      emitted.put(id, rows): Unit
+    })
+    q2.processAllAvailable(); q2.stop()
+
+    // state REHYDRATED: card 7's count continues 2 → 3 (a fresh-state
+    // rerun over only the new record would say 1; a full re-read with
+    // fresh state would also say 3 — the offset assertion below
+    // separates those)
+    val finalCounts = emitted.toSeq.sortBy(_._1).flatMap(_._2)
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    assert(finalCounts == Map(7L -> 3L, 9L -> 1L), s"got $finalCounts")
+    // offsets RESUMED: run 2 only processed genuinely-new batchIds, and
+    // their union (by idempotent batchId keying) emitted card 7 exactly
+    // once more — no batch from run 1 was re-delivered with a new id
+    val run1Ids = emitted.keySet -- run2Batches
+    assert(run2Batches.forall(id => !run1Ids.contains(id)))
+    val run2Rows = run2Batches.toSeq.flatMap(emitted(_))
+    assert(run2Rows.count(_._1 == 7L) == 1,
+      s"run 2 must emit card 7 once (the new record), got $run2Rows")
+    assert(!run2Rows.contains((9L, 1L)) || run2Rows.isEmpty,
+      s"card 9 had no new data — an update-mode re-emission means offsets were re-read: $run2Rows")
+  }
+
+  test("same key keeps per-partition ORDER across produce calls (offsets monotone in time)") {
+    val dir = newTopic(4)
+    (0 until 6).foreach { i =>
+      LogTopic.produce(dir, Seq(
+        LogTopic.ProducerRecord(Some("onekey"), s"m$i", 1700000000000L + i)))
+    }
+    val rows = spark.read.format("graft-log").option("path", dir).load()
+      .filter($"key".cast("string") === "onekey")
+      .select($"value".cast("string"), $"partition", $"offset")
+      .as[(String, Int, Long)].collect().sortBy(_._3)
+    assert(rows.map(_._2).distinct.length == 1, "one key, one partition")
+    assert(rows.map(_._1).toSeq == (0 until 6).map(i => s"m$i"),
+      "append order preserved within the partition")
+  }
+}

@@ -126,6 +126,26 @@ class RankSpec extends AnyFunSuite with SparkSuite {
     assert(total <= 9L * 1000000L && total > 8L * 1000000L, total.toString)
   }
 
+  test("pageRank on a power-law hub graph matches the sequential reference (skew correctness)") {
+    // Zipf-ish layout: node 1 touches ~half of all edges — the
+    // celebrity shape the 100 TB probes stress. Distributed join/agg
+    // supersteps must produce bit-identical ranks no matter how AQE
+    // splits the hub's partition. Deterministic generator, 600 edges.
+    val rnd = new scala.util.Random(7)
+    val und = (0 until 600).map { _ =>
+      def zipf(): Long = math.min(50L, math.max(1L,
+        math.exp(rnd.nextDouble() * math.log(50.0)).toLong))
+      (zipf(), zipf())
+    }.filter { case (a, b) => a != b }.distinct
+    val dir = (und ++ und.map(_.swap)).distinct
+    val hubDeg = dir.groupBy(_._1).map(_._2.size).max
+    assert(hubDeg >= 20, s"generator degenerate: max degree $hubDeg")
+    val got = Graph.pageRank(dir.toDF("src", "dst").repartition(16), "src", "dst",
+        iters = 10, assumeDistinct = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(dir, 10))
+  }
+
   /** Sequential PPR reference with the identical integer update rule. */
   private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
       iters: Int): Map[Long, Long] = {
@@ -157,6 +177,29 @@ class RankSpec extends AnyFunSuite with SparkSuite {
     // outranks the far end of the path
     assert(got(2L) > got(4L), got.toString)
     assert(got(2L) > got(5L), got.toString)
+  }
+
+  test("personalized pageRank rejects seeds outside the graph's node set") {
+    // an isolated seed would silently lose its teleport mass through
+    // the message-side left_outer — the precondition is enforced, not
+    // just documented
+    val und = Seq((1L, 2L), (2L, 3L))
+    val dir = und ++ und.map(_.swap)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(dir.toDF("src", "dst"), "src", "dst",
+        Seq(1L, 99L).toDF("node"), "node", iters = 2)
+    }
+    assert(ex.getMessage.contains("not nodes of the graph"), ex.getMessage)
+  }
+
+  test("personalized pageRank with a precomputed node count matches the self-counting form") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val dir = und ++ und.map(_.swap)
+    def run(known: Option[Long]) =
+      Graph.personalizedPageRank(dir.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), "node", iters = 5, knownNodeCount = known)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Some(4L)) == run(None))
   }
 
   test("personalized pageRank with ALL nodes as seeds equals plain pageRank") {

@@ -115,6 +115,46 @@ object Sketches {
     out.toByteArray
   }
 
+  /** Typed Aggregator merging serialized CMS blobs — the
+    * `hll_union_agg` analogue Spark's SQL surface lacks for count-min.
+    * Buffer is the serialized form (parquet-safe binary), merge is
+    * `mergeInPlace`: associative + commutative counter addition, so
+    * partial aggregation and AQE re-planning compose exactly like the
+    * HLL path. Empty buffer = identity. */
+  object CmsMergeAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = Array.empty
+    private def m(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else {
+        val s1 = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(a))
+        val s2 = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(b))
+        s1.mergeInPlace(s2)
+        val out = new java.io.ByteArrayOutputStream()
+        s1.writeTo(out)
+        out.toByteArray
+      }
+    override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = m(buf, in)
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = m(b1, b2)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Roll a CMS slice table up to coarser keys DISTRIBUTED — the
+    * [[rollupDistinct]] twin for frequency sketches: group-wise blob
+    * merge via [[CmsMergeAgg]], no driver collect, no raw-row rescan.
+    * `keepCols` empty → one global sketch row. */
+  def cmsRollup(sliceTable: DataFrame, keepCols: Seq[String]): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(CmsMergeAgg)
+    if (keepCols.isEmpty) sliceTable.agg(agg(col("cms")).as("cms"))
+    else sliceTable.groupBy(keepCols.map(col): _*).agg(agg(col("cms")).as("cms"))
+  }
+
   /** Point-estimate frequencies for `keys` from a serialized sketch.
     * Addition is commutative, so the estimates are deterministic
     * across partition orders — only the (sketch-bounded) collision

@@ -198,12 +198,20 @@ object Funcs {
       .withColumn("lon1", ($"value" * 7.3) % 179.0 - 89.0)
       .withColumn("lat2", ($"user_id" % 89 - 44).cast("double"))
       .withColumn("lon2", ($"user_id" * 13 % 179 - 89).cast("double"))
+      .withColumn("__age_n",
+        lit(1704067200L) + $"user_id" * 10000000L - lit(631152000L))
       .select(
         $"event_id", $"user_id", $"value".as("amt"),
         hour($"ts").as("hour_of_day"),
         dayofweek($"ts").as("day_of_week"),
-        round(((lit(1704067200L) + $"user_id" * 10000000L - lit(631152000L)) / Functions.SecondsPerYear), 6)
-          .as("age_years"),
+        // age in EXACT integer micro-years, then one IEEE double divide:
+        // the numerator reaches ~9e15 at sf1 (shifted user_ids), where a
+        // double divide + 6-dp decimal round can split on an ULP between
+        // engines; split-div integer arithmetic stays in BIGINT range
+        // ((n mod y)·1e6 < 3.2e13) and is bit-identical anywhere, and
+        // micro/1e6 is exactly representable (< 2^53) on both sides.
+        (expr("(__age_n div 31557600) * 1000000 + ((__age_n % 31557600) * 1000000) div 31557600")
+          .cast("double") / 1e6).as("age_years"),
         round(Haversine.haversineMiles($"lat1", $"lon1", $"lat2", $"lon2"), 6)
           .as("distance_to_merchant"),
         count(lit(1)).over(w10).as("txn_count_last_10_min"),
@@ -314,11 +322,12 @@ object Funcs {
       s"""SELECT event_id, user_id, value AS amt,
         | CAST(hour(ts) AS INTEGER) AS hour_of_day,
         | CAST(dayofweek(ts) + 1 AS INTEGER) AS day_of_week,
-        | ROUND((1704067200 + user_id * 10000000 - 631152000) / 31557600.0, 6) AS age_years,
+        | ((n // 31557600) * 1000000 + ((n % 31557600) * 1000000) // 31557600) / 1000000.0 AS age_years,
         | ROUND($hav, 6) AS distance_to_merchant,
         | COUNT(*) OVER w10 AS txn_count_last_10_min,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w1h AS DOUBLE) / COUNT(*) OVER w1h AS avg_amt_last_1_hour
-        |FROM (SELECT event_id, user_id, value, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, $coords FROM events)
+        |FROM (SELECT event_id, user_id, value, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  1704067200 + user_id * 10000000 - 631152000 AS n, $coords FROM events)
         |WINDOW
         | w10 AS (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 600 PRECEDING AND CURRENT ROW),
         | w1h AS (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)

@@ -190,20 +190,36 @@ class LogTopicMicroBatchStream(path: String, maxPerTrigger: Option[Long])
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   /** Advance each partition toward the live end, spending at most the
-    * row budget (partitions served in id order — deterministic, and a
-    * lagging partition catches up within a bounded number of triggers). */
+    * row budget. FAIR allocation (water-filling): partitions with the
+    * smallest backlog are satisfied first and their unused share flows
+    * to the rest, so under sustained load every partition receives
+    * ~budget/n per trigger — no partition starves behind a high-rate
+    * sibling (the same proportional behavior Kafka's
+    * maxOffsetsPerTrigger implements). Deterministic: backlog then
+    * partition id orders the fill. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[LogOffsets].counts
     val end = LogTopic.endOffsets(path)
-    var budget = limit match {
+    val budget = limit match {
       case m: ReadMaxRows => m.maxRows()
       case _ => Long.MaxValue
     }
-    LogOffsets(end.toSeq.sortBy(_._1).map { case (p, e) =>
-      val s = from.getOrElse(p, 0L)
-      val take = math.min(e - s, budget)
-      budget -= take
-      p -> (s + take)
+    val backlog = end.toSeq.sortBy(_._1).map { case (p, e) =>
+      (p, from.getOrElse(p, 0L), e - from.getOrElse(p, 0L))
+    }
+    val take = scala.collection.mutable.Map[Int, Long]()
+    var remainingBudget = budget
+    var remaining = backlog.filter(_._3 > 0).sortBy(t => (t._3, t._1))
+    while (remaining.nonEmpty && remainingBudget > 0) {
+      val share = math.max(1L, remainingBudget / remaining.length)
+      val (p, _, lag) = remaining.head
+      val t = math.min(lag, math.min(share, remainingBudget))
+      take(p) = t
+      remainingBudget -= t
+      remaining = remaining.tail
+    }
+    LogOffsets(backlog.map { case (p, s, _) =>
+      p -> (s + take.getOrElse(p, 0L))
     }.toMap)
   }
 

@@ -87,6 +87,27 @@ class LogSourceSpec extends AnyFunSuite with SparkSuite {
     assert(batches.length >= 4, s"backlog should drain over several triggers: $batches")
   }
 
+  test("admission budget is water-filled across partitions, not spent in id order") {
+    import graft.sources.{LogOffsets, LogTopicMicroBatchStream}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = newTopic(2)
+    // keys routed by the same Murmur hash the producer uses — pick one
+    // key per partition and load them asymmetrically (8 vs 2)
+    def keyFor(part: Int): String = Iterator.from(0).map(i => s"k$i")
+      .find(k => math.floorMod(scala.util.hashing.MurmurHash3.stringHash(k), 2) == part).get
+    LogTopic.produce(dir, (0 until 8).map(i =>
+      LogTopic.ProducerRecord(Some(keyFor(0)), s"a$i", 1L + i)) ++
+      (0 until 2).map(i => LogTopic.ProducerRecord(Some(keyFor(1)), s"b$i", 100L + i)))
+    val stream = new LogTopicMicroBatchStream(dir, Some(4L))
+    val next = stream.latestOffset(stream.initialOffset(),
+      ReadLimit.maxRows(4)).asInstanceOf[LogOffsets]
+    // an id-order spender would give partition 0 all 4 rows and
+    // partition 1 nothing; the fair fill satisfies the small backlog
+    // (2) and grants the rest to the big one
+    assert(next.counts.values.sum == 4, next.counts.toString)
+    assert(next.counts.values.forall(_ >= 2), s"a partition starved: ${next.counts}")
+  }
+
   /** The queries on both sides of the restart must be built identically
     * (same checkpoint → same plan), so the construction is shared. */
   private def countsQuery(dir: String, ckpt: String,

@@ -176,6 +176,25 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     assert(Sketches.cmsEstimates(merged, keys) == Sketches.cmsEstimates(oneShot, keys))
   }
 
+  test("distributed cms rollup == driver merge == one-shot; rollup to coarser keys works") {
+    val slices = Sketches.cmsSliceTable(events, Seq("event_type", "day"), "user_id")
+    // global rollup, fully distributed (no driver collect of slices)
+    val global = Sketches.cmsRollup(slices, Seq.empty)
+      .select($"cms").head().getAs[Array[Byte]](0)
+    val oneShot = Sketches.cmsBuild(events, "user_id")
+    val keys = Seq.range(0L, 50L)
+    assert(Sketches.cmsEstimates(global, keys) == Sketches.cmsEstimates(oneShot, keys))
+    // partial rollup day→event_type matches per-group one-shot builds
+    val perType = Sketches.cmsRollup(slices, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val types = events.select($"event_type").distinct().as[String].collect()
+    types.foreach { t =>
+      val direct = Sketches.cmsBuild(events.filter($"event_type" === t), "user_id")
+      assert(Sketches.cmsEstimates(perType(t), keys) ==
+        Sketches.cmsEstimates(direct, keys), s"type $t rollup diverged")
+    }
+  }
+
   test("cms estimates are one-sided: never below exact, overshoot within eps·N") {
     val eps = 0.001
     val n = events.count()

@@ -227,11 +227,15 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("kafka source (S5): smoke when the connector is present, gap pinned when not") {
-    // The sandbox has no spark-sql-kafka jar (zero egress) — S5 is a
-    // declared partial. On a deployment classpath this test upgrades to
-    // a real construction smoke automatically; here it asserts the
-    // failure mode is EXACTLY the missing connector (not a parse/config
-    // bug hiding behind it) and that the deviation stays documented.
+    // The sandbox has no spark-sql-kafka jar (zero egress). The S5
+    // ingress CONTRACT executes end to end against the in-repo
+    // Kafka-shaped `graft-log` source (LogSourceSpec: consume → parse →
+    // stateful agg, checkpointed restart, admission control) — what
+    // remains environment-bound is only the literal Kafka connector
+    // class. On a deployment classpath this test upgrades to a real
+    // construction smoke automatically; here it asserts the failure
+    // mode is EXACTLY the missing connector (not a parse/config bug
+    // hiding behind it) and that the deviation stays documented.
     val connectorPresent =
       try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
       catch { case _: ClassNotFoundException => false }

@@ -34,9 +34,12 @@ def cmp_vals(a, b) -> bool:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table dir (e.g. ScaleUp sf1)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # Verify writes errors.json from the start of its run; surface any
     # recorded query failures here so a broken query reads as ERR with

@@ -43,9 +43,13 @@ object Multimodal {
     * payloads is cheap). */
   object ImageDecoder {
     def decode(r: MediaRecord): Option[MediaMeta] = {
+      // NonFatal, not just IOException: ImageIO readers throw
+      // RuntimeExceptions on sniffable-but-corrupt payloads (bogus
+      // header dims, malformed ICC profiles) — one bad image must take
+      // the fallback, not fail the task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { im =>
         MediaMeta(r.media_id, r.modality, r.payload.length,
           width = im.getWidth, height = im.getHeight,
@@ -160,9 +164,9 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        val img =
+        val img = // NonFatal: same corrupt-payload tolerance as decode
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img != null && img.getWidth > targetWidth) {
           val h = math.max(1, img.getHeight * targetWidth / img.getWidth)
           val out = new java.awt.image.BufferedImage(targetWidth, h,

@@ -653,6 +653,32 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** Incremental index maintenance: encode NEW vectors with the
+    * index's FROZEN quantizers and append their codes into the
+    * cell-partitioned store — the growth path of a persisted ANN
+    * deployment (the [[graft.operators.Sketches.mergeSliceTables]]
+    * contract, for vectors). Quantizers are deliberately NOT refit:
+    * refitting would silently invalidate every stored code; periodic
+    * refits are an explicit rebuild ([[buildIvfPqIndex]] + rewrite).
+    * Only the new batch is scanned and encoded — cost O(batch), the
+    * stored codes never move; dynamic partition append touches only
+    * the cells the batch lands in. Returns the reloaded (validated)
+    * index. */
+  def appendToIvfPqIndex(path: String, newVectors: DataFrame, idCol: String,
+      vecCol: String): IvfPqIndex = {
+    val spark = newVectors.sparkSession
+    val cur = readIvfPqIndex(spark, path)
+    // IDEMPOTENCE GUARD: ids already indexed are skipped, so a crashed-
+    // and-replayed maintenance batch (or an overlapping caller batch)
+    // cannot double-insert codes — the stored table reads only its
+    // pruned neighbor_id column for the anti-join
+    val fresh = newVectors.join(cur.codes.select(col("neighbor_id")),
+      col(idCol) === col("neighbor_id"), "left_anti")
+    encodeCorpus(fresh, idCol, vecCol, cur.centroids, cur.codebooks)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    readIvfPqIndex(spark, path)
+  }
+
   /** Reload a persisted index. The code table stays lazy/distributed;
     * only the two driver-scale sidecars collect. Sidecar shapes are
     * VALIDATED at read time — a mismatched or corrupted reload (wrong

@@ -105,20 +105,26 @@ object Graph {
     *
     * `knownNodeCount`: repeated-query callers can pass the node count
     * (e.g. from a prior run or catalog stats) to skip the one
-    * `deg.count()` driver job per invocation. */
+    * `deg.count()` driver job per invocation. `validateSeeds = false`
+    * likewise skips the seed-membership anti-join for callers that
+    * have already established seeds ⊆ nodes (the two flags together
+    * make the steady-state repeated-query path zero extra jobs). */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, iters: Int = 10,
       checkpointEvery: Int = 3, assumeDistinct: Boolean = false,
-      knownNodeCount: Option[Long] = None): DataFrame = {
+      knownNodeCount: Option[Long] = None,
+      validateSeeds: Boolean = true): DataFrame = {
     require(iters >= 1)
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val (deg, ed) = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct))
     val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().localCheckpoint()
-    val strays = seedSet.join(deg, seedSet("node") === deg("src"), "left_anti").count()
-    require(strays == 0,
-      s"personalizedPageRank: $strays seed(s) are not nodes of the graph — " +
-        "an isolated seed would lose its teleport mass; add its edges or drop it")
+    if (validateSeeds) {
+      val strays = seedSet.join(deg, seedSet("node") === deg("src"), "left_anti").count()
+      require(strays == 0,
+        s"personalizedPageRank: $strays seed(s) are not nodes of the graph — " +
+          "an isolated seed would lose its teleport mass; add its edges or drop it")
+    }
     val nNodes = knownNodeCount.getOrElse(deg.count())
     val nSeeds = seedSet.count()
     require(nSeeds > 0, "seed set is empty")

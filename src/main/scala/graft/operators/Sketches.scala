@@ -136,6 +136,9 @@ object Sketches {
         s1.writeTo(out)
         out.toByteArray
       }
+    /** Pairwise blob merge, exposed for the slice-table maintenance
+      * join ([[cmsMergeSliceTables]]). */
+    def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] = m(a, b)
     override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = m(buf, in)
     override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = m(b1, b2)
     override def finish(r: Array[Byte]): Array[Byte] = r
@@ -153,6 +156,31 @@ object Sketches {
     val agg = org.apache.spark.sql.functions.udaf(CmsMergeAgg)
     if (keepCols.isEmpty) sliceTable.agg(agg(col("cms")).as("cms"))
     else sliceTable.groupBy(keepCols.map(col): _*).agg(agg(col("cms")).as("cms"))
+  }
+
+  /** Merge a delta of CMS slice rows into a stored table — the
+    * [[mergeSliceTables]] shape for frequency sketches: delta
+    * pre-reduces per key, a null-safe full-outer join pairs it with
+    * the stored row, collisions ADD counters. ONE stored-side scan.
+    * NOTE the contract difference vs HLL: CMS cells are counters, so
+    * re-delivering the same delta DOUBLE-COUNTS — drive this from an
+    * exactly-once context (foreachBatch keyed by batchId), where the
+    * engine guarantees each delta merges once. */
+  def cmsMergeSliceTables(stored: DataFrame, delta: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val merge2 = udf(CmsMergeAgg.merge2 _)
+    val aggU = udaf(CmsMergeAgg)
+    val deltaAgg = delta.groupBy(keyCols.map(col): _*)
+      .agg(aggU(col("cms")).as("delta_cms"))
+      .select(keyCols.map(c => col(c).as(s"__d_$c")) :+ col("delta_cms"): _*)
+    val cond = keyCols.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    val keyOut = keyCols.map(k => coalesce(col(k), col(s"__d_$k")).as(k))
+    val cmsOut = when(col("cms").isNull, col("delta_cms"))
+      .when(col("delta_cms").isNull, col("cms"))
+      .otherwise(merge2(col("cms"), col("delta_cms")))
+      .as("cms")
+    stored.join(deltaAgg, cond, "full_outer")
+      .select(keyOut :+ cmsOut: _*)
   }
 
   /** Point-estimate frequencies for `keys` from a serialized sketch.

@@ -58,13 +58,16 @@ object NonSql {
     import s.implicits._
     val tmp = Files.createTempDirectory("graft_logtopic_").toString
     graft.sources.LogTopic.createTopic(tmp, 4)
+    // to_json, not string interpolation: the engine's own writer
+    // escapes quotes/backslashes and keeps the round-trip with
+    // from_json symmetric whatever the testdata contains
     val recs = t(s, dir, "events").filter($"event_id" < 2000)
-      .select($"event_id", $"user_id", $"event_type", $"value")
+      .select($"event_id", $"user_id",
+        to_json(struct($"event_id", $"user_id", $"event_type", $"value")).as("j"))
       .collect().map { r =>
         graft.sources.LogTopic.ProducerRecord(
           Some(r.getLong(1).toString), // keyed by user: per-user ordering
-          s"""{"event_id":${r.getLong(0)},"user_id":${r.getLong(1)},""" +
-            s""""event_type":"${r.getString(2)}","value":${r.getDouble(3)}}""",
+          r.getString(2),
           tsMillis = 1700000000000L + r.getLong(0))
       }
     graft.sources.LogTopic.produce(tmp, recs.toSeq)

@@ -41,10 +41,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    parallelism = topic partitions, the Kafka scaling model.
   *
   * Storage layout: `<path>/p<N>.log`, one record per line,
-  * `epochMillis,base64(key),base64(value)` — offsets are line numbers.
-  * An appender never rewrites history (append-only), matching the log
-  * abstraction the offsets assume. Batch reads (`spark.read`) scan the
-  * whole log — the "topic as a table" audit path.
+  * `epochMillis,base64(key),base64(value)`. OFFSETS ARE BYTE POSITIONS
+  * (like a real log): readers `seek` to the range start in O(1) instead
+  * of skipping lines, and the driver's per-trigger end-offset probe is
+  * INCREMENTAL — a cache of (bytes scanned → last complete-line end)
+  * per file means each trigger scans only newly appended bytes, O(new
+  * data) rather than O(log history). Only '\n'-TERMINATED lines are
+  * visible: a torn append from an external producer (partial line, no
+  * terminator yet) stays beyond the end offset until its newline lands,
+  * so readers never parse half a record. Batch reads (`spark.read`)
+  * scan the whole log — the "topic as a table" audit path.
   */
 object LogTopic {
 
@@ -70,16 +76,15 @@ object LogTopic {
 
   /** Append records: keyed records route by key hash (same key → same
     * partition → per-key ordering, the Kafka contract), unkeyed records
-    * round-robin. Appends are line-atomic per call. */
+    * round-robin by arrival index. Appends are line-atomic per call. */
   def produce(dir: String, records: Seq[ProducerRecord]): Unit = {
     val parts = partitionFiles(dir)
     require(parts.nonEmpty, s"produce: no topic at $dir (createTopic first)")
     val n = parts.length
-    var rr = 0
     val grouped = records.zipWithIndex.groupBy { case (r, i) =>
       r.key match {
         case Some(k) => math.floorMod(scala.util.hashing.MurmurHash3.stringHash(k), n)
-        case None => rr += 1; math.floorMod(i, n)
+        case None => math.floorMod(i, n)
       }
     }
     grouped.foreach { case (p, rs) =>
@@ -96,27 +101,126 @@ object LogTopic {
   def partitionFiles(dir: String): Array[java.nio.file.Path] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Array.empty
-    else Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.matches("p\\d+\\.log"))
-      .toArray.sortBy(p => partitionId(p))
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.matches("p\\d+\\.log"))
+        .toArray.sortBy(p => partitionId(p))
+      finally s.close()
+    }
   }
 
   def partitionId(p: java.nio.file.Path): Int =
     p.getFileName.toString.stripPrefix("p").stripSuffix(".log").toInt
 
-  /** Current end offset (line count) per partition. */
+  /** Driver-side incremental scan cache: file → (bytes examined,
+    * byte position after the last '\n' seen). A trigger re-reads only
+    * the bytes appended since the previous trigger. */
+  private val scanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Byte position just past the last COMPLETE ('\n'-terminated) line —
+    * the visible end of the partition. Incremental: O(new bytes). */
+  private def completeEnd(p: java.nio.file.Path): Long = {
+    val key = p.toAbsolutePath.toString
+    val size = Files.size(p)
+    val (scanned, end) = scanCache.getOrDefault(key, (0L, 0L))
+    if (size == scanned) end
+    else if (size < scanned) { // truncated/recreated file: rescan
+      scanCache.remove(key); completeEnd(p)
+    } else {
+      val ch = Files.newByteChannel(p, StandardOpenOption.READ)
+      var newEnd = end
+      try {
+        ch.position(scanned)
+        val buf = java.nio.ByteBuffer.allocate(1 << 16)
+        var pos = scanned
+        while (pos < size) {
+          buf.clear()
+          val n = ch.read(buf)
+          if (n <= 0) pos = size
+          else {
+            var i = 0
+            while (i < n) {
+              if (buf.get(i) == '\n') newEnd = pos + i + 1
+              i += 1
+            }
+            pos += n
+          }
+        }
+      } finally ch.close()
+      scanCache.put(key, (size, newEnd))
+      newEnd
+    }
+  }
+
+  /** Current visible end offset (byte position) per partition. */
   def endOffsets(dir: String): Map[Int, Long] =
-    partitionFiles(dir).map { p =>
-      var n = 0L
-      val in = Files.newBufferedReader(p, UTF_8)
-      try { while (in.readLine() != null) n += 1 } finally in.close()
-      partitionId(p) -> n
-    }.toMap
+    partitionFiles(dir).map(p => partitionId(p) -> completeEnd(p)).toMap
+
+  /** Scan forward from byte `from`, returning the position after at
+    * most `maxRows` complete lines (bounded by `cap`) — the
+    * row-budgeted advance of admission control. O(admitted bytes). */
+  def advanceRows(dir: String, partition: Int, from: Long, maxRows: Long,
+      cap: Long): Long = {
+    if (maxRows <= 0 || from >= cap) return from
+    val p = Paths.get(dir, s"p$partition.log")
+    val ch = Files.newByteChannel(p, StandardOpenOption.READ)
+    try {
+      ch.position(from)
+      val buf = java.nio.ByteBuffer.allocate(1 << 16)
+      var pos = from
+      var rows = 0L
+      var last = from
+      while (pos < cap && rows < maxRows) {
+        buf.clear()
+        val n = ch.read(buf)
+        if (n <= 0) pos = cap
+        else {
+          var i = 0
+          while (i < n && rows < maxRows) {
+            if (pos + i < cap && buf.get(i) == '\n') { rows += 1; last = pos + i + 1 }
+            i += 1
+          }
+          pos += n
+        }
+      }
+      last
+    } finally ch.close()
+  }
+
+  /** Count complete lines in [from, to) — rows a planned range holds. */
+  def countRows(dir: String, partition: Int, from: Long, to: Long): Long = {
+    if (to <= from) return 0L
+    val p = Paths.get(dir, s"p$partition.log")
+    val ch = Files.newByteChannel(p, StandardOpenOption.READ)
+    try {
+      ch.position(from)
+      val buf = java.nio.ByteBuffer.allocate(1 << 16)
+      var pos = from
+      var rows = 0L
+      while (pos < to) {
+        buf.clear()
+        val n = ch.read(buf)
+        if (n <= 0) pos = to
+        else {
+          var i = 0
+          while (i < n) {
+            if (pos + i < to && buf.get(i) == '\n') rows += 1
+            i += 1
+          }
+          pos += n
+        }
+      }
+      rows
+    } finally ch.close()
+  }
 }
 
-/** Offsets: line counts per partition, serialized as canonical JSON
-  * (`{"0":12,"1":7}`, keys sorted) so equal offsets compare equal as
-  * strings — the property checkpoint replay relies on. */
+/** Offsets: visible byte positions per partition, serialized as
+  * canonical JSON (`{"0":123,"1":77}`, keys sorted) so equal offsets
+  * compare equal as strings — the property checkpoint replay relies
+  * on. */
 case class LogOffsets(counts: Map[Int, Long]) extends Offset {
   override def json(): String =
     counts.toSeq.sortBy(_._1)
@@ -190,13 +294,14 @@ class LogTopicMicroBatchStream(path: String, maxPerTrigger: Option[Long])
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   /** Advance each partition toward the live end, spending at most the
-    * row budget. FAIR allocation (water-filling): partitions with the
-    * smallest backlog are satisfied first and their unused share flows
-    * to the rest, so under sustained load every partition receives
-    * ~budget/n per trigger — no partition starves behind a high-rate
-    * sibling (the same proportional behavior Kafka's
-    * maxOffsetsPerTrigger implements). Deterministic: backlog then
-    * partition id orders the fill. */
+    * row budget. FAIR under scarcity: when the budget covers all
+    * backlogged partitions, a water-fill (ascending backlog, surplus
+    * flows to the hungriest) gives every partition ~budget/n rows; when
+    * the budget is SMALLER than the number of backlogged partitions,
+    * the most-behind partitions are served first — an unserved
+    * partition's backlog only grows, so it reaches the front within a
+    * bounded number of triggers and no partition starves (the Kafka
+    * proportional-admission behavior). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[LogOffsets].counts
     val end = LogTopic.endOffsets(path)
@@ -204,23 +309,30 @@ class LogTopicMicroBatchStream(path: String, maxPerTrigger: Option[Long])
       case m: ReadMaxRows => m.maxRows()
       case _ => Long.MaxValue
     }
-    val backlog = end.toSeq.sortBy(_._1).map { case (p, e) =>
-      (p, from.getOrElse(p, 0L), e - from.getOrElse(p, 0L))
+    // backlog measured in ROWS only when a finite budget needs it
+    val states = end.toSeq.sortBy(_._1).map { case (p, e) =>
+      (p, from.getOrElse(p, 0L), e)
     }
-    val take = scala.collection.mutable.Map[Int, Long]()
+    if (budget == Long.MaxValue)
+      return LogOffsets(states.map { case (p, _, e) => p -> e }.toMap)
+    val withLag = states.map { case (p, s, e) =>
+      (p, s, e, LogTopic.countRows(path, p, s, e))
+    }
+    val out = scala.collection.mutable.Map[Int, Long]()
     var remainingBudget = budget
-    var remaining = backlog.filter(_._3 > 0).sortBy(t => (t._3, t._1))
+    var remaining = withLag.filter(_._4 > 0)
+    remaining =
+      if (remainingBudget >= remaining.length) remaining.sortBy(t => (t._4, t._1))
+      else remaining.sortBy(t => (-t._4, t._1)) // scarcity: hungriest first
     while (remaining.nonEmpty && remainingBudget > 0) {
       val share = math.max(1L, remainingBudget / remaining.length)
-      val (p, _, lag) = remaining.head
-      val t = math.min(lag, math.min(share, remainingBudget))
-      take(p) = t
-      remainingBudget -= t
+      val (p, s, e, lag) = remaining.head
+      val rows = math.min(lag, math.min(share, remainingBudget))
+      out(p) = LogTopic.advanceRows(path, p, s, rows, e)
+      remainingBudget -= rows
       remaining = remaining.tail
     }
-    LogOffsets(backlog.map { case (p, s, _) =>
-      p -> (s + take.getOrElse(p, 0L))
-    }.toMap)
+    LogOffsets(states.map { case (p, s, _) => p -> out.getOrElse(p, s) }.toMap)
   }
 
   override def reportLatestOffset(): Offset = LogOffsets(LogTopic.endOffsets(path))
@@ -240,8 +352,9 @@ class LogTopicMicroBatchStream(path: String, maxPerTrigger: Option[Long])
   override def stop(): Unit = ()
 }
 
+/** Byte range [startByte, endByte) of one log partition. */
 case class LogInputPartition(path: String, partition: Int,
-    startLine: Long, endLine: Long) extends InputPartition
+    startByte: Long, endByte: Long) extends InputPartition
 
 class LogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -249,16 +362,31 @@ class LogReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val topic = UTF8String.fromString(
         Paths.get(p.path).getFileName.toString)
-      private val in = Files.newBufferedReader(
-        Paths.get(p.path, s"p${p.partition}.log"), UTF_8)
+      // O(1) positioning: seek straight to the range start — no
+      // line-skip scan of everything before it
+      private val in = {
+        val raw = Files.newInputStream(Paths.get(p.path, s"p${p.partition}.log"))
+        var toSkip = p.startByte
+        while (toSkip > 0) { val k = raw.skip(toSkip); require(k > 0); toSkip -= k }
+        new java.io.BufferedReader(new java.io.InputStreamReader(raw, UTF_8))
+      }
       private var line: String = _
-      private var at = 0L
-      // skip to the partition's start offset
-      while (at < p.startLine && in.readLine() != null) at += 1
+      private var pos = p.startByte     // byte position of the NEXT line start
+      private var recordOffset = 0L     // byte position of the current record
 
       override def next(): Boolean = {
-        if (at >= p.endLine) false
-        else { line = in.readLine(); at += 1; line != null }
+        if (pos >= p.endByte) false
+        else {
+          line = in.readLine()
+          if (line == null) false
+          else {
+            recordOffset = pos
+            // line content is ASCII (digits + base64), 1 byte per char,
+            // +1 for the '\n' the writer always appends
+            pos += line.length + 1
+            true
+          }
+        }
       }
       override def get(): InternalRow = {
         val c1 = line.indexOf(',')
@@ -267,7 +395,7 @@ class LogReaderFactory extends PartitionReaderFactory {
         val k = line.substring(c1 + 1, c2)
         val key = if (k.isEmpty) null else Base64.getDecoder.decode(k)
         val value = Base64.getDecoder.decode(line.substring(c2 + 1))
-        InternalRow(key, value, topic, p.partition, at - 1, ts * 1000L)
+        InternalRow(key, value, topic, p.partition, recordOffset, ts * 1000L)
       }
       override def close(): Unit = in.close()
     }

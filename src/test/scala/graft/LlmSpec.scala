@@ -655,6 +655,39 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(new java.io.File(s"$dir/codes").listFiles().exists(_.getName.startsWith("cell=")))
   }
 
+  test("ivf-pq incremental append: frozen quantizers, appended codes == one-shot encode") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val first = emb.filter($"vec_id" < 250)
+    val rest = emb.filter($"vec_id" >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app_").toString
+    // build + persist on the FIRST batch only (quantizers fit there)
+    val built = Similarity.buildIvfPqIndex(first, "vec_id", "embedding",
+      nCells = 4, m = 8, kCodes = 16)
+    Similarity.writeIvfPqIndex(built, dir)
+    // append the remainder under the frozen quantizers
+    val grown = Similarity.appendToIvfPqIndex(dir, rest, "vec_id", "embedding")
+    assert(grown.codes.count() == emb.count(), "appended index must cover the full corpus")
+    // crash-replay safety: re-appending the SAME batch inserts nothing
+    // (already-indexed ids are anti-joined away)
+    val replayed = Similarity.appendToIvfPqIndex(dir, rest, "vec_id", "embedding")
+    assert(replayed.codes.count() == emb.count(),
+      "replaying an append must not duplicate codes")
+    // quantizers untouched by the append
+    assert(grown.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+    // the grown index answers EXACTLY like an index whose codes were
+    // one-shot encoded with the same quantizers over the full corpus —
+    // the frozen-quantizer contract
+    val qs = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = pairs(Similarity.ivfPqTopK(qs, emb, "vec_id", "embedding",
+      k = 10, built.centroids, built.codebooks, nProbe = 2))
+    val served = pairs(Similarity.ivfPqTopKIndexed(qs, grown, "vec_id",
+      "embedding", k = 10, nProbe = 2))
+    assert(served == direct,
+      s"grown-index results diverged: ${(served -- direct).take(3)} / ${(direct -- served).take(3)}")
+  }
+
   test("ivf-pq reload rejects mismatched sidecars by name, not with a later ADC error") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_bad_").toString
@@ -1223,6 +1256,28 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     // labeled fallback path
     val fb = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text")).collect()
     assert(fb.nonEmpty && fb.forall(_.decoder == "fallback"))
+  }
+
+  test("multimodal decode handles JPEG payloads through the same codec path") {
+    import spark.implicits._
+    // render a real JPEG (lossy codec — geometry must survive even
+    // though pixels won't): same ImageIO surface, different reader
+    val jpegs = (0 until 6).map { i =>
+      val w = 10 + i; val h = 7 + i
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics(); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      Multimodal.MediaRecord(i.toLong, "image", bos.toByteArray)
+    }
+    val meta = Multimodal.decodeMeta(spark.createDataset(jpegs))
+      .collect().map(m => m.media_id -> m).toMap
+    (0 until 6).foreach { i =>
+      val m = meta(i.toLong)
+      assert(m.decoder == "imageio" && m.width == 10 + i && m.height == 7 + i,
+        s"jpeg $i: $m")
+    }
   }
 
   test("multimodal resize really rescales decodable images (re-decode confirms)") {

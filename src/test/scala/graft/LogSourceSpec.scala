@@ -26,7 +26,7 @@ class LogSourceSpec extends AnyFunSuite with SparkSuite {
     s"""{"txn_id":"$id","cc_num":"$cc","amount":"$amt","lat":"40.0","long":"-74.0",""" +
       s""""merch_lat":"40.1","merch_long":"-74.1","timestamp":"$at"}"""
 
-  test("batch read: all records, kafka-compatible schema, keyed routing, contiguous offsets") {
+  test("batch read: all records, kafka-compatible schema, keyed routing, monotone offsets") {
     val dir = newTopic(3)
     val recs = (0 until 30).map { i =>
       LogTopic.ProducerRecord(Some(s"card-${i % 5}"), s"v$i", 1700000000000L + i)
@@ -43,11 +43,33 @@ class LogSourceSpec extends AnyFunSuite with SparkSuite {
     // kafka contract: one key never straddles partitions
     val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._3).distinct.length)
     assert(byKey.values.forall(_ == 1), s"key straddled partitions: $byKey")
-    // offsets are contiguous 0..n-1 within each partition
+    // offsets (byte positions) start at 0 and strictly increase within
+    // each partition — the monotone log contract readers seek by
     rows.groupBy(_._3).foreach { case (p, rs) =>
-      assert(rs.map(_._4).sorted.toSeq == (0L until rs.length).toSeq,
-        s"partition $p offsets not contiguous")
+      val offs = rs.map(_._4).sorted.toSeq
+      assert(offs.head == 0L, s"partition $p first offset ${offs.head}")
+      assert(offs.distinct == offs, s"partition $p repeated an offset")
     }
+  }
+
+  test("torn appends stay invisible until the newline lands (external-producer safety)") {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val dir = newTopic(1)
+    LogTopic.produce(dir, Seq(LogTopic.ProducerRecord(None, "whole", 1L)))
+    val visible = LogTopic.endOffsets(dir)(0)
+    // an external producer writes half a record and stalls — no '\n'
+    Files.write(Paths.get(dir, "p0.log"), "9999,aGFsZg".getBytes("UTF-8"),
+      StandardOpenOption.APPEND)
+    assert(LogTopic.endOffsets(dir)(0) == visible,
+      "a partial (unterminated) line must not advance the visible end")
+    val n1 = spark.read.format("graft-log").option("path", dir).load().count()
+    assert(n1 == 1L, "torn record must not be read")
+    // the producer finishes the line — now it becomes visible
+    Files.write(Paths.get(dir, "p0.log"), ",aGFsZg==\n".getBytes("UTF-8"),
+      StandardOpenOption.APPEND)
+    assert(LogTopic.endOffsets(dir)(0) > visible)
+    val n2 = spark.read.format("graft-log").option("path", dir).load().count()
+    assert(n2 == 2L, "completed record must be read")
   }
 
   test("stream consume → wire parse → typed rows (the S5 ingress, executed)") {
@@ -104,8 +126,22 @@ class LogSourceSpec extends AnyFunSuite with SparkSuite {
     // an id-order spender would give partition 0 all 4 rows and
     // partition 1 nothing; the fair fill satisfies the small backlog
     // (2) and grants the rest to the big one
-    assert(next.counts.values.sum == 4, next.counts.toString)
-    assert(next.counts.values.forall(_ >= 2), s"a partition starved: ${next.counts}")
+    val consumed = next.counts.map { case (p, b) =>
+      p -> LogTopic.countRows(dir, p, 0L, b) }
+    assert(consumed.values.sum == 4, consumed.toString)
+    assert(consumed.values.forall(_ >= 2), s"a partition starved: $consumed")
+    // scarcity regime: a budget below the partition count serves the
+    // MOST-BEHIND partition first instead of starving it behind
+    // small-backlog siblings
+    val tight = stream.latestOffset(stream.initialOffset(),
+      ReadLimit.maxRows(1)).asInstanceOf[LogOffsets]
+    val tightConsumed = tight.counts.map { case (p, b) =>
+      p -> LogTopic.countRows(dir, p, 0L, b) }
+    assert(tightConsumed.values.sum == 1, tightConsumed.toString)
+    val bigPart = (0 to 1).maxBy(p => LogTopic.countRows(dir, p, 0L,
+      LogTopic.endOffsets(dir)(p)))
+    assert(tightConsumed(bigPart) == 1,
+      s"scarce budget must go to the hungriest partition: $tightConsumed")
   }
 
   /** The queries on both sides of the restart must be built identically
@@ -164,6 +200,33 @@ class LogSourceSpec extends AnyFunSuite with SparkSuite {
       s"run 2 must emit card 7 once (the new record), got $run2Rows")
     assert(!run2Rows.contains((9L, 1L)) || run2Rows.isEmpty,
       s"card 9 had no new data — an update-mode re-emission means offsets were re-read: $run2Rows")
+  }
+
+  test("full reference pipeline off the source: consume → parse → windows → stateful merge") {
+    // the §3.2 graph end to end from a durable partitioned source —
+    // the exact shape pipeline.py runs off Kafka: value JSON → typed
+    // txns → sliding count/avg windows → latest-wins merge → CardStats
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val dir = newTopic(2)
+    LogTopic.produce(dir, Seq(
+      LogTopic.ProducerRecord(Some("7"), wireJson("t1", 7L, 10.0, "2024-01-01T10:00:05.000000"), 1L),
+      LogTopic.ProducerRecord(Some("7"), wireJson("t2", 7L, 30.0, "2024-01-01T10:00:15.000000"), 2L)))
+    val txns = StreamPipeline.parse(StreamPipeline.logTopicSource(spark, dir))
+    val stats = StreamPipeline.pipeline(txns,
+      timeout = GroupStateTimeout.NoTimeout)
+    val q = stats.writeStream.format("memory").queryName("log_pipe_t")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark so the windows close and the merge emits
+    LogTopic.produce(dir, Seq(
+      LogTopic.ProducerRecord(Some("9"), wireJson("z", 9L, 1.0, "2024-01-01T12:00:00.000000"), 3L)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("log_pipe_t").as[graft.schema.CardStats].collect()
+    assert(rows.nonEmpty, "pipeline emitted no CardStats")
+    // card 7's fullest emission carries both txns' window aggregates
+    val best = rows.filter(_.cc_num == 7L).maxBy(_.txn_count_last_10_min)
+    assert(best.txn_count_last_10_min == 2L, rows.mkString("; "))
+    assert(math.abs(best.avg_amt_last_1_hour - 20.0) < 1e-9, best.toString)
   }
 
   test("same key keeps per-partition ORDER across produce calls (offsets monotone in time)") {

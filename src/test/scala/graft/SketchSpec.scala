@@ -195,6 +195,57 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("cms slice-table merge: delta merge == one-shot; streaming foreachBatch loop") {
+    // batch half: day-split merge equals a one-shot slice build
+    val keys = Seq("event_type", "day")
+    val d1 = events.filter($"day" <= "2024-01-10")
+    val d2 = events.filter($"day" > "2024-01-10")
+    val merged = Sketches.cmsMergeSliceTables(
+      Sketches.cmsSliceTable(d1, keys, "user_id"),
+      Sketches.cmsSliceTable(d2, keys, "user_id"), keys)
+    val oneShot = Sketches.cmsSliceTable(events, keys, "user_id")
+    def globalEst(t: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsEstimates(
+        Sketches.cmsRollup(t, Seq.empty).select($"cms").head().getAs[Array[Byte]](0),
+        Seq.range(0L, 50L))
+    assert(globalEst(merged) == globalEst(oneShot))
+    assert(merged.count() == oneShot.count())
+
+    // streaming half: foreachBatch maintains the frequency table —
+    // each micro-batch merges ONCE (the engine's exactly-once
+    // foreachBatch contract supplies the idempotence CMS addition
+    // lacks on its own)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_stream_").toString
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)](spark)
+    val q = mem.toDF().toDF("event_type", "ts", "user_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = Sketches.cmsSliceTable(
+          batch.withColumn("day", to_date($"ts")), Seq("event_type", "day"), "user_id")
+        val m =
+          try Sketches.cmsMergeSliceTables(
+            spark.read.parquet(dir), delta, Seq("event_type", "day"))
+          catch { case _: org.apache.spark.sql.AnalysisException => delta }
+        val rows = m.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq), m.schema)
+          .write.mode("overwrite").parquet(dir)
+      }.start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(("click", t("2024-01-01 10:00:00"), 1L),
+      ("click", t("2024-01-01 11:00:00"), 1L))
+    q.processAllAvailable()
+    mem.addData(("click", t("2024-01-01 12:00:00"), 1L),
+      ("click", t("2024-01-01 13:00:00"), 2L))
+    q.processAllAvailable(); q.stop()
+    val sk = Sketches.cmsRollup(spark.read.parquet(dir), Seq("event_type"))
+      .select($"cms").head().getAs[Array[Byte]](0)
+    // user 1 appeared 3 times across batches, user 2 once — CMS never
+    // undercounts and here (tiny keyspace) is exact
+    assert(Sketches.cmsEstimates(sk, Seq(1L, 2L)) == Seq(1L -> 3L, 2L -> 1L))
+  }
+
   test("cms estimates are one-sided: never below exact, overshoot within eps·N") {
     val eps = 0.001
     val n = events.count()

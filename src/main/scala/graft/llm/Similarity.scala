@@ -912,6 +912,31 @@ object Similarity {
           .as("mean_pairwise_cos"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * quality gate every approximate index (IVF, PQ, LSH) ships behind:
+    * recall = |approx-hits ∩ exact-top-k| / |exact-top-k| per query.
+    * Both inputs are top-k result frames in the [[cosineTopK]] shape
+    * (`queryCol`, `idCol` [, rank/score]); extra columns are ignored.
+    * A query with no approx rows at all scores 0, not a dropped row —
+    * silent misses are precisely what the gate exists to surface.
+    *
+    * Scale shape: the frames are k·|queries| rows — index-output
+    * scale, never corpus scale — so the semi-join and the two
+    * per-query counts are tiny next to the searches that produced
+    * them; evaluating recall costs no corpus scan. */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+      queryCol: String = "query_id", idCol: String = "neighbor_id"): DataFrame = {
+    val ex = exact.select(col(queryCol), col(idCol))
+    val ap = approx.select(col(queryCol), col(idCol)).distinct()
+    val exN = ex.groupBy(col(queryCol)).agg(count(lit(1)).as("n_exact"))
+    val hits = ex.join(ap, Seq(queryCol, idCol), "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hit"))
+    exN.join(hits, Seq(queryCol), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
   /** k-nearest-neighbor majority-vote classification: brute-force
     * cosine top-k per query ([[cosineTopK]] — broadcast query side, one
     * corpus scan), neighbor labels looked up by broadcasting the SMALL

@@ -183,6 +183,143 @@ object Sketches {
       .select(keyOut :+ cmsOut: _*)
   }
 
+  // ---------------------------------------------------------------
+  // KLL quantile sketches — the third leg of the sketch-table stack:
+  // HLL answers "how many distinct", CMS answers "how often", KLL
+  // answers "what distribution" (p50/p90/p99) from the same
+  // scan-once / merge-forever layout. Backed by Apache DataSketches
+  // KllDoublesSketch (bundled with Spark for its hll_* functions):
+  // mergeable with a PROVEN normalized-rank error (~1.65% at k=200,
+  // 99% confidence), constant size, binary-serializable, so slices
+  // parquet round-trip exactly like the HLL/CMS tables.
+  // ---------------------------------------------------------------
+
+  private def kllFrom(b: Array[Byte]): org.apache.datasketches.kll.KllDoublesSketch =
+    org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(b))
+
+  /** Typed Aggregator merging serialized KLL blobs — the group-wise
+    * quantile-union Spark's SQL surface lacks. Merge is item-weight
+    * addition (associative + commutative), so partial aggregation and
+    * AQE re-planning compose; compaction draws random coins, so bytes
+    * are run-varying but every estimate stays inside the k-bounded
+    * rank error. Empty buffer = identity. */
+  object KllMergeAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = Array.empty
+    private def m(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else {
+        val s1 = kllFrom(a)
+        s1.merge(kllFrom(b))
+        s1.toByteArray
+      }
+    /** Pairwise blob merge for the slice-table maintenance join. */
+    def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] = m(a, b)
+    override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = m(buf, in)
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = m(b1, b2)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** One KLL quantile-sketch row per key group — the quantile twin of
+    * [[distinctSketchTable]]/[[cmsSliceTable]]. Values stream into a
+    * per-(key, partition) sketch inside `mapPartitions` (a hand-rolled
+    * map-side combine: the shuffle carries one ~3 KB blob per key per
+    * partition, never raw values — a per-row blob aggregator would
+    * pay a serialize/deserialize round trip PER ROW), then same-key
+    * partials merge via [[KllMergeAgg]]. NULL values are skipped
+    * (SQL aggregate semantics); a key whose values are all NULL still
+    * yields a row with an empty sketch. */
+  def kllSliceTable(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val proj = df.select(keyCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+    val nKeys = keyCols.length
+    val outSchema = StructType(
+      proj.schema.fields.take(nKeys) :+ StructField("kll", BinaryType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val partials = proj.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[Seq[Any], org.apache.datasketches.kll.KllDoublesSketch]
+      it.foreach { r =>
+        val key = (0 until nKeys).map(r.get)
+        val sk = acc.getOrElseUpdate(key,
+          org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k))
+        if (!r.isNullAt(nKeys)) sk.update(r.getDouble(nKeys))
+      }
+      acc.iterator.map { case (key, sk) => Row.fromSeq(key :+ sk.toByteArray) }
+    }
+    val aggU = udaf(KllMergeAgg)
+    partials.groupBy(keyCols.map(col): _*).agg(aggU(col("kll")).as("kll"))
+  }
+
+  /** Roll a KLL slice table up to coarser keys DISTRIBUTED — group-wise
+    * blob merge, then estimate the requested quantiles as columns
+    * (`q50`, `q99`, … — the probability ×100, trailing zeros trimmed
+    * at the .5 grain). `keepCols` empty → one global row. Answers
+    * "p99 latency per source this quarter" from kilobyte rows without
+    * re-reading raw history. */
+  def kllRollup(sliceTable: DataFrame, keepCols: Seq[String],
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val aggU = udaf(KllMergeAgg)
+    val merged =
+      if (keepCols.isEmpty) sliceTable.agg(aggU(col("kll")).as("kll"))
+      else sliceTable.groupBy(keepCols.map(col): _*).agg(aggU(col("kll")).as("kll"))
+    val qUdf = udf { (b: Array[Byte], p: Double) =>
+      if (b == null || b.isEmpty) None
+      else {
+        val sk = kllFrom(b)
+        if (sk.isEmpty) None
+        else Some(sk.getQuantile(p,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+      }
+    }
+    probs.foldLeft(merged) { (acc, p) =>
+      // setScale before strip: 0.99*100 is 99.00000000000001 in IEEE
+      val name = "q" + BigDecimal(p * 100)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+      acc.withColumn(name, qUdf(col("kll"), lit(p)))
+    }
+  }
+
+  /** Merge a delta of KLL slice rows into a stored table — the
+    * [[mergeSliceTables]] shape for quantile sketches: delta
+    * pre-reduces per key, a null-safe full-outer join pairs it with
+    * the stored row, collisions merge item weights. ONE stored-side
+    * scan. Same contract as CMS (weights ADD): re-delivering a delta
+    * double-weights it, so drive this from an exactly-once context
+    * (foreachBatch keyed by batchId). */
+  def kllMergeSliceTables(stored: DataFrame, delta: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val merge2 = udf(KllMergeAgg.merge2 _)
+    val aggU = udaf(KllMergeAgg)
+    val deltaAgg = delta.groupBy(keyCols.map(col): _*)
+      .agg(aggU(col("kll")).as("delta_kll"))
+      .select(keyCols.map(c => col(c).as(s"__d_$c")) :+ col("delta_kll"): _*)
+    val cond = keyCols.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    val keyOut = keyCols.map(k => coalesce(col(k), col(s"__d_$k")).as(k))
+    val kllOut = when(col("kll").isNull, col("delta_kll"))
+      .when(col("delta_kll").isNull, col("kll"))
+      .otherwise(merge2(col("kll"), col("delta_kll")))
+      .as("kll")
+    stored.join(deltaAgg, cond, "full_outer")
+      .select(keyOut :+ kllOut: _*)
+  }
+
+  /** Driver-side quantile estimates from one serialized sketch row. */
+  def kllQuantiles(sketch: Array[Byte], probs: Seq[Double]): Seq[Double] = {
+    val sk = kllFrom(sketch)
+    probs.map(p => sk.getQuantile(p,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+  }
+
   /** Point-estimate frequencies for `keys` from a serialized sketch.
     * Addition is commutative, so the estimates are deterministic
     * across partition orders — only the (sketch-bounded) collision

@@ -438,6 +438,30 @@ object NorthStar {
       .orderBy($"query_id", $"rank")
   }
 
+  // Recall@k quality gate for the approximate indexes: IVF and LSH
+  // top-k each scored against brute-force cosine truth per query. The
+  // number every ANN deployment watches — approximate search without a
+  // measured recall is an unaudited correctness trade. Deterministic
+  // (seeded kmeans, fixed LSH hyperplanes) but not SQL-expressible →
+  // rows check; LlmSpec pins exact-vs-exact == 1.0 and floors.
+  val annRecall: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", k = 5)
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 2)
+    val lsh = Similarity.lshTopK(q, emb, "vec_id", "embedding",
+      dim = 64, nBits = 4, k = 5)
+    val lshMp = Similarity.lshTopKMultiProbe(q, emb, "vec_id", "embedding",
+      dim = 64, nBits = 4, k = 5)
+    Similarity.recallAtK(exact, ivf).withColumn("index", lit("ivf"))
+      .unionByName(Similarity.recallAtK(exact, lsh).withColumn("index", lit("lsh")))
+      .unionByName(Similarity.recallAtK(exact, lshMp).withColumn("index", lit("lsh_multiprobe")))
+      .select($"index", $"query_id", $"n_exact", $"n_hit", $"recall")
+      .orderBy($"index", $"query_id")
+  }
+
   val cosinePairs: Q = (s, dir) => {
     import s.implicits._
     Similarity.cosinePairsWithin(
@@ -779,6 +803,24 @@ object NorthStar {
       .toDF("user_id", "est_count").orderBy($"user_id")
   }
 
+  // Incremental quantile rollup: per-(event_type, day) KLL sketch
+  // slices merge up to per-type p50/p90/p99 WITHOUT re-reading events —
+  // the quantile leg of the sketch-table stack (HLL = distinct,
+  // CMS = frequency, KLL = distribution). Rows-checked (KLL compaction
+  // draws random coins, so bytes and near-boundary estimates are
+  // run-varying); SketchSpec pins rank-error tolerance vs exact and
+  // slice-merge == one-shot agreement.
+  val quantileSketch: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .withColumn("day", to_date(timestamp_seconds(Tables.tsSec($"ts"))))
+    val slices = graft.operators.Sketches.kllSliceTable(
+      e, Seq("event_type", "day"), "value")
+    graft.operators.Sketches.kllRollup(slices, Seq("event_type"))
+      .select($"event_type", $"q50", $"q90", $"q99")
+      .orderBy($"event_type")
+  }
+
   // Cross-corpus near-dup decontamination: probes = every 7th doc (a
   // benchmark-set stand-in), screened
   // against the whole corpus by minhash band collisions; self-hits
@@ -797,6 +839,7 @@ object NorthStar {
     "ns_chunk_text" -> chunkText,
     "ns_sketch_rollup" -> sketchRollup,
     "ns_cms_estimate" -> cmsEstimate,
+    "ns_quantile_sketch" -> quantileSketch,
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_token_set" -> tokenSetDedup,
     "ns_dedup_minhash" -> dedupMinhash,
@@ -809,6 +852,7 @@ object NorthStar {
     "ns_ann_topk" -> annTopk,
     "ns_lsh_buckets" -> lshBuckets,
     "ns_lsh_topk" -> lshTopk,
+    "ns_ann_recall" -> annRecall,
     "ns_cosine_pairs" -> cosinePairs,
     "ns_text_stats" -> textStats,
     "ns_repetition" -> repetition,

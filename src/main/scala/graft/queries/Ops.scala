@@ -96,8 +96,36 @@ object Ops {
       .orderBy($"o_orderkey")
   }
 
+  // M5: CDC changelog apply — a three-epoch log over orders exercising
+  // every path: superseded update (ts=1 U then ts=2 U → latest wins),
+  // delete at ts=3 (including keys updated earlier — the update must
+  // NOT resurrect), inserts under negated keys (disjoint at any SF),
+  // and untouched snapshot rows streaming through. Price deltas are
+  // +1.0/+2.0: exact in IEEE, so both engines agree bit-for-bit.
+  val cdcApply: Q = (s, dir) => {
+    import s.implicits._
+    val snap = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val log = snap.filter($"o_orderkey" % 11 === 0)
+      .select($"o_orderkey", $"o_custkey", lit("U1").as("o_orderstatus"),
+        ($"o_totalprice" + 1.0).as("o_totalprice"), lit("U").as("op"), lit(1).as("ts"))
+      .unionByName(snap.filter($"o_orderkey" % 11 === 0)
+        .select($"o_orderkey", $"o_custkey", lit("U2").as("o_orderstatus"),
+          ($"o_totalprice" + 2.0).as("o_totalprice"), lit("U").as("op"), lit(2).as("ts")))
+      .unionByName(snap.filter($"o_orderkey" % 17 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice", lit("D").as("op"), lit(3).as("ts")))
+      .unionByName(snap.filter($"o_orderkey" % 997 === 0)
+        .select((-$"o_orderkey").as("o_orderkey"), $"o_custkey",
+          lit("N").as("o_orderstatus"), $"o_totalprice",
+          lit("I").as("op"), lit(1).as("ts")))
+    Scd.applyChangelog(snap, log, Seq("o_orderkey"), "op", "ts")
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "m4_merge_upsert" -> mergeUpsert,
+    "m5_cdc_apply" -> cdcApply,
     "m1_scd2_merge" -> scd2Merge,
     "m2_profile_table" -> profileTable,
     "m3_validate_rules" -> validateRules,
@@ -105,6 +133,33 @@ object Ops {
   )
 
   val oracle: Map[String, String] = Map(
+    "m5_cdc_apply" ->
+      """WITH snap AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |log AS (
+        | SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+        |        o_totalprice + 1.0 AS o_totalprice, 'U' AS op, 1 AS ts
+        | FROM snap WHERE o_orderkey % 11 = 0
+        | UNION ALL
+        | SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 2.0, 'U', 2
+        | FROM snap WHERE o_orderkey % 11 = 0
+        | UNION ALL
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D', 3
+        | FROM snap WHERE o_orderkey % 17 = 0
+        | UNION ALL
+        | SELECT -o_orderkey, o_custkey, 'N', o_totalprice, 'I', 1
+        | FROM snap WHERE o_orderkey % 997 = 0),
+        |latest AS (
+        | SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY ts DESC, op DESC) AS rn FROM log) WHERE rn = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+        | SELECT s.* FROM snap s LEFT JOIN (SELECT DISTINCT o_orderkey FROM latest) l
+        |  ON s.o_orderkey = l.o_orderkey WHERE l.o_orderkey IS NULL
+        | UNION ALL
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        | FROM latest WHERE op <> 'D')
+        |ORDER BY o_orderkey""".sm,
     "m4_merge_upsert" ->
       """WITH tgt AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

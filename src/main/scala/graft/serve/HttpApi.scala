@@ -1,0 +1,176 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** HTTP serving layer over [[FeatureStore]] — the reference's FastAPI
+  * app (`back_end/app/main.py`, `app/routes/feature.py`) re-expressed
+  * on the JDK's built-in `com.sun.net.httpserver` (public JDK surface,
+  * zero added dependencies). One route per reference endpoint:
+  *
+  *   - `GET  /health`                        — liveness (main.py root)
+  *   - `GET  /features?limit=N`              — bulk scan, capped
+  *   - `GET  /features/by-ccnum/{cc}`        — point lookup
+  *   - `GET  /features/by-date?start=&end=`  — inclusive day range
+  *   - `GET  /transactions/{cc}/recent?k=N`  — top-k recent
+  *     (feature.py:164 — the reference's `/redis/transactions/{cc}`)
+  *   - `POST /features`                      — batch ingest of JSON
+  *     rows (JSON-lines or a JSON array body)
+  *
+  * Responses are JSON arrays of row objects; serialization runs on
+  * executors (`Dataset.toJSON`) and only the capped result collects —
+  * the server is the EDGE of the system, and the caps (`maxRows`)
+  * keep it driver-scale by contract while every filter still pushes
+  * down to the parquet scan underneath. Spark is the query engine;
+  * HTTP is a thin, stateless adapter — which is exactly the split the
+  * reference's FastAPI+Spark layout has.
+  */
+class HttpApi(spark: SparkSession, store: FeatureStore,
+    host: String = "127.0.0.1", port: Int = 0, maxRows: Int = 100000) {
+
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(4))
+
+  /** The actual port after binding (pass port=0 for ephemeral). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+
+  // --- plumbing ---------------------------------------------------
+
+  private def jsonArray(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map { q =>
+      q.split("&").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def handler(f: HttpExchange => Unit): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try f(ex)
+        catch {
+          case e: IllegalArgumentException =>
+            respond(ex, 400, s"""{"error":${quote(e.getMessage)}}""")
+          case e: Exception =>
+            respond(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+        } finally ex.close()
+    }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r") + "\""
+
+  private def cap(n: Int): Int = math.min(math.max(n, 0), maxRows)
+
+  // --- routes -----------------------------------------------------
+
+  server.createContext("/health", handler { ex =>
+    respond(ex, 200, """{"status":"ok"}""")
+  })
+
+  // /features dispatches on its sub-path: exact GET/POST, by-ccnum/{cc},
+  // by-date. createContext matches by longest prefix, so one context
+  // owns the family (the JDK server has no path templates).
+  server.createContext("/features", handler { ex =>
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod.toUpperCase
+    (method, path) match {
+      case ("GET", "/features") =>
+        val limit = queryParams(ex).get("limit").map(parseInt("limit"))
+          .getOrElse(maxRows)
+        respond(ex, 200, jsonArray(store.bulk(cap(limit))))
+      case ("POST", "/features") =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val n = ingestJson(body)
+        respond(ex, 201, s"""{"ingested":$n}""")
+      case ("GET", p) if p.startsWith("/features/by-ccnum/") =>
+        val cc = parseLong("cc_num")(p.stripPrefix("/features/by-ccnum/"))
+        respond(ex, 200, jsonArray(store.byCcNum(cc).limit(maxRows)))
+      case ("GET", "/features/by-date") =>
+        val ps = queryParams(ex)
+        val start = ps.getOrElse("start",
+          throw new IllegalArgumentException("missing query param: start"))
+        val end = ps.getOrElse("end",
+          throw new IllegalArgumentException("missing query param: end"))
+        require(start.matches("\\d{4}-\\d{2}-\\d{2}") && end.matches("\\d{4}-\\d{2}-\\d{2}"),
+          "start/end must be YYYY-MM-DD")
+        respond(ex, 200, jsonArray(store.byDateRange(start, end).limit(maxRows)))
+      case _ =>
+        respond(ex, 404, """{"error":"not found"}""")
+    }
+  })
+
+  server.createContext("/transactions", handler { ex =>
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    path match {
+      case p if p.startsWith("/transactions/") && p.endsWith("/recent") =>
+        val cc = parseLong("cc_num")(
+          p.stripPrefix("/transactions/").stripSuffix("/recent"))
+        val k = queryParams(ex).get("k").map(parseInt("k")).getOrElse(5)
+        respond(ex, 200, jsonArray(store.topKRecent(cc, cap(k))))
+      case _ =>
+        respond(ex, 404, """{"error":"not found"}""")
+    }
+  })
+
+  private def parseInt(name: String)(s: String): Int =
+    try s.toInt catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"$name must be an integer") }
+
+  private def parseLong(name: String)(s: String): Long =
+    try s.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"$name must be an integer") }
+
+  /** Parse a JSON-lines or JSON-array body against the offline schema
+    * and append — the POST /features ingest (feature.py:25-54). The
+    * offline table's own schema is enforced: unknown fields are
+    * dropped, missing fields fail the permissive parse into an error,
+    * and a corrupt body is a 400, not a poisoned table. */
+  private def ingestJson(body: String): Long = {
+    import spark.implicits._
+    val trimmed = body.trim
+    require(trimmed.nonEmpty, "empty request body")
+    val lines =
+      if (trimmed.startsWith("[")) Seq(trimmed)
+      else trimmed.split("\n").toSeq
+    val schema = store.offline.schema
+    val parsed = spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .option("multiLine", trimmed.startsWith("[").toString)
+      .json(spark.createDataset(lines))
+    val rows = parsed.cache()
+    try {
+      val n =
+        try rows.count()
+        catch { case e: org.apache.spark.SparkException =>
+          throw new IllegalArgumentException(
+            s"malformed JSON body: ${String.valueOf(e.getMessage).take(200)}") }
+      require(n > 0, "no rows parsed from body")
+      store.ingest(rows)
+      n
+    } finally rows.unpersist()
+  }
+}

@@ -1,0 +1,30 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import graft.{Tables}
+import graft.llm.Similarity
+/** Dev probe: measured ANN recall across LSH bit-widths and IVF on the
+  * sf0.001 embeddings — the numbers behind LlmSpec's recall floors and
+  * the ns_ann_recall config choice (4-bit LSH: the 8-bit config
+  * measures 0.0 on this table and is pinned as such in the spec).
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.configure(SparkSession.builder().master("local[4]")
+      .appName("recall-probe").config("spark.sql.shuffle.partitions","4")).getOrCreate()
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val rs = Similarity.recallAtK(exact, df).collect().map(_.getAs[Double]("recall"))
+      rs.sum / rs.length
+    }
+    for (bits <- Seq(4, 6, 8)) {
+      val sp = Similarity.lshTopK(q, emb, "vec_id", "embedding", 64, bits, 5)
+      val mp = Similarity.lshTopKMultiProbe(q, emb, "vec_id", "embedding", 64, bits, 5)
+      println(s"PROBE bits=$bits single=${mean(sp)} multi=${mean(mp)}")
+    }
+    println(s"PROBE ivf=${mean(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, 8, 2))}")
+    spark.stop()
+  }
+}

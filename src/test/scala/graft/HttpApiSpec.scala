@@ -1,0 +1,118 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.FeatureRow
+import graft.serve.{FeatureStore, HttpApi}
+
+/** The HTTP serving layer end-to-end: real sockets, real requests —
+  * the reference's FastAPI route surface (`back_end/app/main.py`,
+  * `app/routes/feature.py`) exercised over the wire against a parquet
+  * offline store. JDK HttpClient on an ephemeral port; no mocks.
+  */
+class HttpApiSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def row(cc: Long, amt: Double, at: String, fraud: Int) =
+    FeatureRow(cc, amt, 10, 2, 33.5, 12.0, 1, amt, "grocery", "F", 1000, ts(at), fraud)
+
+  private lazy val storePath = {
+    val p = java.nio.file.Files.createTempDirectory("graft_http_").toString + "/offline"
+    Seq(
+      row(1L, 10.0, "2024-01-01 10:00:00", 0),
+      row(1L, 20.0, "2024-01-02 11:00:00", 0),
+      row(1L, 30.0, "2024-01-03 12:00:00", 1),
+      row(2L, 40.0, "2024-01-02 09:00:00", 0)
+    ).toDS().toDF().write.parquet(p)
+    p
+  }
+
+  private lazy val api = {
+    val a = new HttpApi(spark, new FeatureStore(spark, storePath))
+    a.start()
+    a
+  }
+  private lazy val base = s"http://127.0.0.1:${api.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def countRows(json: String): Int =
+    "\"cc_num\"".r.findAllIn(json).length
+
+  test("health endpoint answers") {
+    val r = get("/health")
+    assert(r.statusCode() == 200 && r.body().contains("\"ok\""))
+  }
+
+  test("GET /features bulk with limit cap") {
+    val all = get("/features")
+    assert(all.statusCode() == 200 && countRows(all.body()) == 4)
+    val two = get("/features?limit=2")
+    assert(countRows(two.body()) == 2)
+  }
+
+  test("GET /features/by-ccnum/{cc} point lookup") {
+    val r = get("/features/by-ccnum/1")
+    assert(r.statusCode() == 200 && countRows(r.body()) == 3)
+    assert(!r.body().contains("\"cc_num\":2"))
+    val bad = get("/features/by-ccnum/notanumber")
+    assert(bad.statusCode() == 400 && bad.body().contains("integer"))
+  }
+
+  test("GET /features/by-date inclusive day bounds") {
+    val r = get("/features/by-date?start=2024-01-02&end=2024-01-03")
+    assert(r.statusCode() == 200 && countRows(r.body()) == 3)
+    val missing = get("/features/by-date?start=2024-01-02")
+    assert(missing.statusCode() == 400 && missing.body().contains("end"))
+    val malformed = get("/features/by-date?start=02-01-2024&end=2024-01-03")
+    assert(malformed.statusCode() == 400)
+  }
+
+  test("GET /transactions/{cc}/recent top-k newest-first") {
+    val r = get("/transactions/1/recent?k=2")
+    assert(r.statusCode() == 200 && countRows(r.body()) == 2)
+    // newest (30.0 on Jan 3) must appear before 20.0 (Jan 2)
+    val b = r.body()
+    assert(b.indexOf("30.0") >= 0 && b.indexOf("30.0") < b.indexOf("20.0"))
+  }
+
+  test("POST /features ingests JSON lines and the rows become queryable") {
+    val newRow =
+      """{"cc_num":3,"amt":55.5,"hour_of_day":9,"day_of_week":1,
+        |"age_at_txn":40.0,"distance_to_merchant":3.2,
+        |"txn_count_last_10_min":1,"avg_amt_last_1_hour":55.5,
+        |"category":"travel","gender":"M","city_pop":500,
+        |"feature_timestamp":"2024-02-01T08:00:00.000Z","is_fraud":0}"""
+        .stripMargin.replace("\n", "")
+    val r = post("/features", newRow)
+    assert(r.statusCode() == 201 && r.body().contains("\"ingested\":1"))
+    val back = get("/features/by-ccnum/3")
+    assert(countRows(back.body()) == 1 && back.body().contains("55.5"))
+  }
+
+  test("POST /features rejects a malformed body as 400, not a poisoned table") {
+    val before = countRows(get("/features").body())
+    val r = post("/features", """{"cc_num": this is not json}""")
+    assert(r.statusCode() == 400)
+    assert(countRows(get("/features").body()) == before)
+  }
+
+  test("unknown routes 404") {
+    assert(get("/features/unknown/route").statusCode() == 404)
+    assert(get("/transactions/1").statusCode() == 404)
+  }
+}

@@ -109,6 +109,59 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       s"expected the null-keyed row replaced, got $out")
   }
 
+  // ---------------- CDC changelog apply ----------------
+
+  test("applyChangelog: latest entry per key wins; D deletes; I inserts; untouched rows survive") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val log = Seq(
+      (1L, "a1", "U", 1), (1L, "a2", "U", 2), // superseded then final
+      (2L, "b", "D", 1),                      // delete
+      (4L, "d", "I", 1)                       // insert
+    ).toDF("k", "v", "op", "ts")
+    val out = Scd.applyChangelog(snap, log, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("applyChangelog: delete after update does not resurrect; prefix+suffix == whole log") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val prefix = Seq((1L, "a1", "U", 1)).toDF("k", "v", "op", "ts")
+    val suffix = Seq((1L, "x", "D", 2), (2L, "b2", "U", 2)).toDF("k", "v", "op", "ts")
+    val composed = Scd.applyChangelog(
+      Scd.applyChangelog(snap, prefix, Seq("k")), suffix, Seq("k"))
+    val whole = Scd.applyChangelog(snap, prefix.unionByName(suffix), Seq("k"))
+    val cm = composed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wm = whole.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cm == Map(2L -> "b2"), s"delete must not resurrect: $cm")
+    assert(cm == wm, "changelog application must compose")
+  }
+
+  test("applyChangelog: seq column breaks same-ts ties; exact re-delivery is idempotent") {
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val log = Seq(
+      (1L, "first", "U", 5, 10L), (1L, "second", "U", 5, 11L),
+      (1L, "second", "U", 5, 11L) // exact duplicate re-delivery
+    ).toDF("k", "v", "op", "ts", "seq")
+    val out = Scd.applyChangelog(snap, log, Seq("k"), seqCol = Some("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.toSeq == Seq(1L -> "second"))
+    // replaying the whole log over the result changes nothing
+    val again = Scd.applyChangelog(
+      Scd.applyChangelog(snap, log, Seq("k"), seqCol = Some("seq")),
+      log, Seq("k"), seqCol = Some("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(again.toSeq == Seq(1L -> "second"))
+  }
+
+  test("applyChangelog: NULL key merges as one key") {
+    val snap = Seq((Some(1L), "a"), (None, "old")).toDF("k", "v")
+    val log = Seq((Option.empty[Long], "new", "U", 1)).toDF("k", "v", "op", "ts")
+    val out = Scd.applyChangelog(snap, log, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+      .toMap
+    assert(out == Map(Some(1L) -> "a", None -> "new"))
+  }
+
   test("profile: exact metrics match hand-computed values; one job") {
     val df = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, None), (3L, Some("a"))

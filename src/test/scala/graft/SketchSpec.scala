@@ -267,4 +267,91 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     val keys = Seq.range(0L, 20L)
     assert(Sketches.cmsEstimates(a, keys) == Sketches.cmsEstimates(b, keys))
   }
+
+  // ---------------- KLL quantile sketches ----------------
+
+  /** True normalized rank of `est` among a group's exact values. */
+  private def trueRank(values: Array[Double], est: Double): Double =
+    values.count(_ <= est).toDouble / values.length
+
+  // KLL k=200 bounds normalized rank error at ~1.65% (99% conf);
+  // 5% tolerance leaves generous head-room against compaction coins.
+  private val rankTol = 0.05
+
+  test("kll rollup quantiles land within rank tolerance of exact per group") {
+    val slices = Sketches.kllSliceTable(events, Seq("event_type", "day"), "value")
+    val rolled = Sketches.kllRollup(slices, Seq("event_type"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = events.select($"event_type", $"value".cast("double"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rolled.foreach { case (tpe, (q50, q90, q99)) =>
+      val vals = exact(tpe)
+      assert(math.abs(trueRank(vals, q50) - 0.5) <= rankTol, s"$tpe p50: $q50")
+      assert(math.abs(trueRank(vals, q90) - 0.9) <= rankTol, s"$tpe p90: $q90")
+      assert(math.abs(trueRank(vals, q99) - 0.99) <= rankTol, s"$tpe p99: $q99")
+    }
+  }
+
+  test("kll slice merge preserves item weight EXACTLY and ranks within tolerance") {
+    // n is conserved exactly under merge (weights add) — a deterministic
+    // assertion the randomized quantile positions can't give us.
+    val slices = Sketches.kllSliceTable(events, Seq("event_type", "day"), "value")
+    val global = Sketches.kllRollup(slices, Seq.empty, Seq(0.5)).collect()(0)
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(global.getAs[Array[Byte]]("kll")))
+    val nonNull = events.filter($"value".isNotNull).count()
+    assert(sk.getN == nonNull, s"merged weight ${sk.getN} != row count $nonNull")
+    val vals = events.select($"value".cast("double")).collect().map(_.getDouble(0)).sorted
+    assert(math.abs(trueRank(vals, global.getAs[Double]("q50")) - 0.5) <= rankTol)
+  }
+
+  test("kll slices persist to parquet and answer after reload") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kll_").toString
+    Sketches.kllSliceTable(events, Seq("event_type"), "value")
+      .write.mode("overwrite").parquet(tmp)
+    val rolled = Sketches.kllRollup(spark.read.parquet(tmp), Seq("event_type"))
+    assert(rolled.count() == events.select($"event_type").distinct().count())
+    assert(rolled.filter($"q99".isNull).count() == 0)
+  }
+
+  test("kll slice-table maintenance: day-split merge == within tolerance of one-shot") {
+    val days = events.select($"day").distinct().orderBy($"day").collect().map(_.getDate(0))
+    val split = days(days.length / 2)
+    val stored = Sketches.kllSliceTable(
+      events.filter($"day" < split), Seq("event_type"), "value")
+    val delta = Sketches.kllSliceTable(
+      events.filter($"day" >= split), Seq("event_type"), "value")
+    val merged = Sketches.kllMergeSliceTables(stored, delta, Seq("event_type"))
+    val est = Sketches.kllRollup(merged, Seq("event_type"), Seq(0.9))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = events.select($"event_type", $"value".cast("double"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    est.foreach { case (tpe, q90) =>
+      assert(math.abs(trueRank(exact(tpe), q90) - 0.9) <= rankTol,
+        s"$tpe merged p90 off: $q90")
+    }
+    // weight conservation across the merge, per key
+    merged.collect().foreach { r =>
+      val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]]("kll")))
+      val n = events.filter($"event_type" === r.getString(0) && $"value".isNotNull).count()
+      assert(sk.getN == n, s"${r.getString(0)}: ${sk.getN} != $n")
+    }
+  }
+
+  test("kll: NULL values are skipped; an all-NULL group yields a NULL quantile") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+      ("b", Option.empty[Double])
+    ).toDF("g", "v")
+    val t = Sketches.kllSliceTable(df, Seq("g"), "v")
+    assert(t.count() == 2, "all-NULL group must still produce a row")
+    val rolled = Sketches.kllRollup(t, Seq("g"), Seq(0.5))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rolled("a").exists(q => q >= 1.0 && q <= 2.0))
+    assert(rolled("b").isEmpty, "empty sketch must surface NULL, not crash")
+  }
 }

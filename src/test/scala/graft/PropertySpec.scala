@@ -331,4 +331,31 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       assert(byDoc.keySet == nTokens.keySet, s"trial $trial lost docs")
     }
   }
+
+  test("applyChangelog matches a sequential in-memory fold on random logs") {
+    import graft.operators.Scd
+    val keyGen = Gen.choose(0L, 7L) // small key space forces collisions
+    val opGen = Gen.frequency(3 -> "U", 2 -> "I", 2 -> "D")
+    for (trial <- 1 to 8) {
+      val snapKeys = Gen.listOfN(5, keyGen).sample.get.distinct
+      val snap = snapKeys.map(k => (k, s"s$k"))
+      val logLen = 1 + trial
+      val entries = (1 to logLen).map { seq =>
+        val k = keyGen.sample.get
+        val op = opGen.sample.get
+        (k, s"v${k}_$seq", op, seq / 3, seq.toLong) // duplicate ts values across seqs
+      }
+      // sequential reference: fold the log in (ts, seq) order over a map
+      val ref = entries.sortBy(e => (e._4, e._5))
+        .foldLeft(snap.toMap.map { case (k, v) => k -> v }) { (m, e) =>
+          if (e._3 == "D") m - e._1 else m + (e._1 -> e._2)
+        }
+      val out = Scd.applyChangelog(
+        snap.toDF("k", "v"),
+        entries.toDF("k", "v", "op", "ts", "seq"),
+        Seq("k"), seqCol = Some("seq"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == ref, s"trial $trial: log=$entries snap=$snap")
+    }
+  }
 }

@@ -341,6 +341,40 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("kll streaming foreachBatch maintains the quantile table incrementally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll_stream_").toString
+    val mem = MemoryStream[(String, Double)](spark)
+    val q = mem.toDF().toDF("g", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = Sketches.kllSliceTable(batch, Seq("g"), "v")
+        val merged =
+          try Sketches.kllMergeSliceTables(
+            spark.read.parquet(dir), delta, Seq("g"))
+          catch { case _: org.apache.spark.sql.AnalysisException => delta }
+        val rows = merged.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq), merged.schema)
+          .write.mode("overwrite").parquet(dir)
+      }.start()
+    mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    q.processAllAvailable()
+    mem.addData(("a", 3.0), ("a", 4.0), ("b", 20.0))
+    q.processAllAvailable(); q.stop()
+    // at this size the sketch is exact: medians and weights are pinned
+    val rolled = Sketches.kllRollup(spark.read.parquet(dir), Seq("g"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rolled("a") >= 2.0 && rolled("a") <= 3.0, rolled.toString)
+    assert(rolled("b") >= 10.0 && rolled("b") <= 20.0, rolled.toString)
+    spark.read.parquet(dir).collect().foreach { r =>
+      val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]]("kll")))
+      val expect = if (r.getString(0) == "a") 4L else 2L
+      assert(sk.getN == expect, s"${r.getString(0)} weight ${sk.getN}")
+    }
+  }
+
   test("kll: NULL values are skipped; an all-NULL group yields a NULL quantile") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", None),

@@ -703,4 +703,35 @@ class StreamSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("streaming CDC log maintains a materialized snapshot via foreachBatch") {
+    // the incremental-materialized-view loop: each micro-batch of I/U/D
+    // changes applies through Scd.applyChangelog — foreachBatch is the
+    // exactly-once context the operator's contract asks for. Within a
+    // batch the seq column orders entries; across batches, application
+    // composes (prefix then suffix == whole log, pinned in OpsSpec).
+    import graft.operators.Scd
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val mem = MemoryStream[(Long, String, String, Int, Long)](spark)
+    val q = mem.toDF().toDF("k", "v", "op", "ts", "seq")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = Scd.applyChangelog(
+          spark.read.parquet(dir), batch, Seq("k"), seqCol = Some("seq"))
+        val rows = merged.collect() // materialize before overwriting the source
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq), merged.schema)
+          .write.mode("overwrite").parquet(dir)
+      }.start()
+    mem.addData((1L, "a1", "U", 1, 1L), (3L, "c", "I", 1, 2L))
+    q.processAllAvailable()
+    mem.addData((1L, "x", "D", 2, 3L),   // delete the updated key
+      (2L, "b2", "U", 2, 4L), (2L, "b3", "U", 2, 5L)) // same-ts: seq decides
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "b3", 3L -> "c"), out.toString)
+  }
 }

@@ -107,31 +107,46 @@ object Scd {
   /** Apply a CDC changelog to a snapshot: `changelog` carries
     * `keyCols ++ payload ++ (opCol, tsCol)` with op ∈ {I, U, D}
     * (insert / update / delete — upstream CDC taps like Debezium emit
-    * exactly this shape). Per key the LATEST changelog entry wins
-    * (ordered by `tsCol`, ties broken by `seqCol` when given — a CDC
-    * stream's log sequence number; same-(ts,seq) duplicates are
-    * exact re-deliveries, so any winner is THE winner and replay is
-    * idempotent): D drops the key from the snapshot, I/U upsert the
-    * payload. Earlier entries for the key are superseded wholesale —
-    * applying a changelog prefix then the suffix equals applying the
-    * whole log (composition), which is what makes this the catch-up
-    * operator for an incremental materialized snapshot.
+    * exactly this shape; any other op value, INCLUDING NULL, raises at
+    * execution — a malformed record must not silently act as a delete
+    * or an upsert). Per key the LATEST changelog entry wins, ordered
+    * by `tsCol` with ties broken by `seqCol` when given (a CDC
+    * stream's log sequence number — pass it whenever the source has
+    * one: it makes the order total, and exact re-delivery is then
+    * idempotent). Without a seq, DISTINCT ops sharing one coarse
+    * timestamp tick have no true order; the tie resolves to D — the
+    * conservative reading (a key both updated and deleted in the same
+    * tick stays deleted; an I-after-D within one tick needs the real
+    * sequence a source emitting such logs carries). D drops the key
+    * from the snapshot, I/U upsert the payload. Earlier entries for
+    * the key are superseded wholesale — applying a changelog prefix
+    * then the suffix equals applying the whole log (composition),
+    * which is what makes this the catch-up operator for an
+    * incremental materialized snapshot.
     *
     * Scale shape: the latest-per-key window runs over the CHANGELOG
     * (the daily-increment side, small next to the snapshot); the
     * snapshot itself takes ONE null-safe left-anti join against the
     * touched-key set (AQE broadcasts it) plus a union of the
     * surviving upserts — never shuffled, never scanned twice, no
-    * window over the snapshot. */
+    * window over the snapshot. The op check is a codegen'd
+    * `raise_error` branch inside the same scan — zero extra jobs. */
   def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
       keyCols: Seq[String], opCol: String = "op", tsCol: String = "ts",
       seqCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "applyChangelog: keyCols must be non-empty")
+    val checked = changelog.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit("applyChangelog: invalid op '"),
+          coalesce(col(opCol), lit("NULL")), lit("' (expected I/U/D)")))))
+    // ts desc, seq desc, then op ASC so 'D' outranks 'I'/'U' on a
+    // genuine tie — delete wins when the log carries no finer order
     val ord = (col(tsCol).desc +: seqCol.map(c => col(c).desc).toSeq) :+
-      col(opCol).desc // total order even without seq: same-ts I/U/D dups
+      col(opCol).asc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
-    val latest = changelog.withColumn("__rn", row_number().over(w))
+    val latest = checked.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val survivors = latest.filter(col(opCol) =!= "D")
       .select(snapshot.columns.map(col): _*)

@@ -271,22 +271,28 @@ object Sketches {
     val merged =
       if (keepCols.isEmpty) sliceTable.agg(aggU(col("kll")).as("kll"))
       else sliceTable.groupBy(keepCols.map(col): _*).agg(aggU(col("kll")).as("kll"))
-    val qUdf = udf { (b: Array[Byte], p: Double) =>
+    // ONE udf call per row computes every quantile from ONE heapify;
+    // nondeterministic stops CollapseProject from inlining (and thus
+    // re-evaluating) the udf once per extracted column
+    val ps = probs.toArray
+    val qsUdf = udf { (b: Array[Byte]) =>
       if (b == null || b.isEmpty) None
       else {
         val sk = kllFrom(b)
         if (sk.isEmpty) None
-        else Some(sk.getQuantile(p,
-          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+        else Some(ps.map(p => sk.getQuantile(p,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)))
       }
-    }
-    probs.foldLeft(merged) { (acc, p) =>
+    }.asNondeterministic()
+    val withQs = merged.withColumn("__qs", qsUdf(col("kll")))
+    val named = probs.zipWithIndex.foldLeft(withQs) { case (acc, (p, i)) =>
       // setScale before strip: 0.99*100 is 99.00000000000001 in IEEE
       val name = "q" + BigDecimal(p * 100)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
-      acc.withColumn(name, qUdf(col("kll"), lit(p)))
+      acc.withColumn(name, element_at(col("__qs"), i + 1))
     }
+    named.drop("__qs")
   }
 
   /** Merge a delta of KLL slice rows into a stored table — the

@@ -448,7 +448,10 @@ object NorthStar {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val q = emb.filter($"vec_id" < 5)
+    // localCheckpoint: the tiny exact result feeds THREE recallAtK
+    // branches — without it each branch re-runs the brute-force scan
     val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", k = 5)
+      .localCheckpoint()
     val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
       k = 5, nCells = 8, nProbe = 2)
     val lsh = Similarity.lshTopK(q, emb, "vec_id", "embedding",

@@ -152,7 +152,7 @@ object Ops {
         |latest AS (
         | SELECT * FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-        |    ORDER BY ts DESC, op DESC) AS rn FROM log) WHERE rn = 1)
+        |    ORDER BY ts DESC, op ASC) AS rn FROM log) WHERE rn = 1)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
         | SELECT s.* FROM snap s LEFT JOIN (SELECT DISTINCT o_orderkey FROM latest) l
         |  ON s.o_orderkey = l.o_orderkey WHERE l.o_orderkey IS NULL

@@ -33,13 +33,17 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
     host: String = "127.0.0.1", port: Int = 0, maxRows: Int = 100000) {
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  private val pool = Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** The actual port after binding (pass port=0 for ephemeral). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown() // HttpServer.stop does NOT close the executor it was given
+  }
 
   // --- plumbing ---------------------------------------------------
 
@@ -73,15 +77,24 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
         try f(ex)
         catch {
           case e: IllegalArgumentException =>
-            respond(ex, 400, s"""{"error":${quote(e.getMessage)}}""")
+            respond(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
           case e: Exception =>
             respond(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
         } finally ex.close()
     }
 
-  private def quote(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r") + "\""
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x") // JSON bans raw control chars
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
   private def cap(n: Int): Int = math.min(math.max(n, 0), maxRows)
 
@@ -106,7 +119,8 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val n = ingestJson(body)
         respond(ex, 201, s"""{"ingested":$n}""")
-      case ("GET", p) if p.startsWith("/features/by-ccnum/") =>
+      case ("GET", p) if p.startsWith("/features/by-ccnum/")
+          && !p.stripPrefix("/features/by-ccnum/").contains('/') =>
         val cc = parseLong("cc_num")(p.stripPrefix("/features/by-ccnum/"))
         respond(ex, 200, jsonArray(store.byCcNum(cc).limit(maxRows)))
       case ("GET", "/features/by-date") =>
@@ -146,9 +160,12 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
 
   /** Parse a JSON-lines or JSON-array body against the offline schema
     * and append — the POST /features ingest (feature.py:25-54). The
-    * offline table's own schema is enforced: unknown fields are
-    * dropped, missing fields fail the permissive parse into an error,
-    * and a corrupt body is a 400, not a poisoned table. */
+    * offline table's own schema is enforced two ways: FAILFAST rejects
+    * malformed JSON and unconvertible values, and an explicit
+    * completeness check rejects rows with ABSENT fields (FAILFAST
+    * alone parses a missing field to null — `{}` would otherwise
+    * append a row of nulls). Either violation is a 400, never a
+    * poisoned table. */
   private def ingestJson(body: String): Long = {
     import spark.implicits._
     val trimmed = body.trim
@@ -169,6 +186,13 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
           throw new IllegalArgumentException(
             s"malformed JSON body: ${String.valueOf(e.getMessage).take(200)}") }
       require(n > 0, "no rows parsed from body")
+      // one aggregate flags every incomplete column at once
+      val nullFlags = rows.select(schema.fieldNames.map(f =>
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(f).isNull).as(f)).toSeq: _*).head()
+      val nullCols = schema.fieldNames.filter(f => nullFlags.getAs[Boolean](f))
+      require(nullCols.isEmpty,
+        s"rows with missing/null fields: ${nullCols.mkString(", ")}")
       store.ingest(rows)
       n
     } finally rows.unpersist()

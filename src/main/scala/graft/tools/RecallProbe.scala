@@ -12,7 +12,8 @@ object RecallProbe {
     val spark = Tables.configure(SparkSession.builder().master("local[4]")
       .appName("recall-probe").config("spark.sql.shuffle.partitions","4")).getOrCreate()
     import spark.implicits._
-    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val emb = Tables.load(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"), "embeddings")
     val q = emb.filter($"vec_id" < 10)
     val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
     def mean(df: org.apache.spark.sql.DataFrame): Double = {

@@ -111,8 +111,19 @@ class HttpApiSpec extends AnyFunSuite with SparkSuite {
     assert(countRows(get("/features").body()) == before)
   }
 
+  test("POST /features rejects rows with absent fields (FAILFAST alone parses them to null)") {
+    val before = countRows(get("/features").body())
+    val r = post("/features", """{"cc_num":99,"amt":1.0}""")
+    assert(r.statusCode() == 400, s"got ${r.statusCode()}: ${r.body()}")
+    assert(r.body().contains("missing"), r.body())
+    assert(countRows(get("/features").body()) == before)
+    assert(countRows(get("/features/by-ccnum/99").body()) == 0)
+  }
+
   test("unknown routes 404") {
     assert(get("/features/unknown/route").statusCode() == 404)
     assert(get("/transactions/1").statusCode() == 404)
+    // extra path segments under a valid prefix are unknown routes, not bad params
+    assert(get("/features/by-ccnum/1/extra").statusCode() == 404)
   }
 }

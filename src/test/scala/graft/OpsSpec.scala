@@ -153,6 +153,29 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(again.toSeq == Seq(1L -> "second"))
   }
 
+  test("applyChangelog: without seq, a same-tick U/D tie resolves to DELETE") {
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val log = Seq((1L, "a1", "U", 5), (1L, "a1", "D", 5)).toDF("k", "v", "op", "ts")
+    val out = Scd.applyChangelog(snap, log, Seq("k")).collect()
+    assert(out.isEmpty, "delete must win an un-sequenced same-ts tie")
+  }
+
+  test("applyChangelog: a NULL or unknown op raises instead of acting as a silent delete") {
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val nullOp = Seq((1L, "x", Option.empty[String], 1)).toDF("k", "v", "op", "ts")
+    val e1 = intercept[Exception] {
+      Scd.applyChangelog(snap, nullOp, Seq("k")).collect()
+    }
+    assert(e1.getMessage.contains("invalid op") ||
+      Option(e1.getCause).exists(_.getMessage.contains("invalid op")), e1.getMessage)
+    val badOp = Seq((1L, "x", "delete", 1)).toDF("k", "v", "op", "ts")
+    val e2 = intercept[Exception] {
+      Scd.applyChangelog(snap, badOp, Seq("k")).collect()
+    }
+    assert(e2.getMessage.contains("invalid op") ||
+      Option(e2.getCause).exists(_.getMessage.contains("invalid op")), e2.getMessage)
+  }
+
   test("applyChangelog: NULL key merges as one key") {
     val snap = Seq((Some(1L), "a"), (None, "old")).toDF("k", "v")
     val log = Seq((Option.empty[Long], "new", "U", 1)).toDF("k", "v", "op", "ts")

@@ -176,6 +176,37 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       Option(e2.getCause).exists(_.getMessage.contains("invalid op")), e2.getMessage)
   }
 
+  test("applyChangelog scans the snapshot ONCE and never windows it (plan assertion)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_scan_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val snap = spark.read.parquet(dir)
+    val log = Seq((1L, "a1", "U", 1), (3L, "c", "I", 1)).toDF("k", "v", "op", "ts")
+    val out = Scd.applyChangelog(snap, log, Seq("k"))
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = out.queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation if h.location.rootPaths.exists(_.toString.contains(dir)) => 1
+        case _ => 0
+      }
+    }.sum
+    assert(scans == 1, s"snapshot scanned $scans times — specified as one pass")
+    // the latest-per-key window must run over the changelog subtree only:
+    // no Window operator may sit above the snapshot scan
+    val windowsOverSnap = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.collectLeaves().exists {
+            case l: LogicalRelation => l.relation match {
+              case h: HadoopFsRelation =>
+                h.location.rootPaths.exists(_.toString.contains(dir))
+              case _ => false
+            }
+            case _ => false
+          } => w
+    }
+    assert(windowsOverSnap.isEmpty, "a Window sits above the snapshot scan")
+  }
+
   test("applyChangelog: NULL key merges as one key") {
     val snap = Seq((Some(1L), "a"), (None, "old")).toDF("k", "v")
     val log = Seq((Option.empty[Long], "new", "U", 1)).toDF("k", "v", "op", "ts")

@@ -341,6 +341,22 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("kll slice table shuffles SKETCH BLOBS, not raw values (plan assertion)") {
+    // the one Exchange must sit ABOVE the mapPartitions pre-reduce: the
+    // shuffle carries one ~KB sketch per (key, partition), never the
+    // raw value rows — the map-side-combine contract of the scaladoc
+    val t = Sketches.kllSliceTable(events, Seq("event_type"), "value")
+    val plan = t.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges == 1, s"expected 1 shuffle, got $nExchanges:\n$plan")
+    // plans print top-down: the Exchange (above) must appear BEFORE the
+    // MapPartitions pre-reduce (below) in the string
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val mpIdx = plan.indexOf("MapPartitions")
+    assert(mpIdx > exIdx && exIdx >= 0,
+      s"mapPartitions pre-reduce must sit below the shuffle:\n$plan")
+  }
+
   test("kll streaming foreachBatch maintains the quantile table incrementally") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = java.nio.file.Files.createTempDirectory("graft_kll_stream_").toString

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering, the
@@ -71,5 +72,75 @@ object Layout {
       if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("__z"))
       else withZ.repartitionByRange(col("__z"))
     parted.sortWithinPartitions(col("__z")).drop("__z")
+  }
+
+  /** Before/after file counts from a [[compact]] run. */
+  final case class CompactStats(filesBefore: Long, filesAfter: Long,
+      partitions: Long)
+
+  /** Count leaf parquet data files under `path` (recursing through
+    * hive-partition directories; `_`-prefixed metadata files excluded). */
+  def parquetFileCount(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(dir: Path): Long = {
+      val entries = fs.listStatus(dir)
+      entries.map { e =>
+        if (e.isDirectory) walk(e.getPath)
+        else if (e.getPath.getName.startsWith("_") ||
+          e.getPath.getName.startsWith(".")) 0L
+        else 1L
+      }.sum
+    }
+    walk(p)
+  }
+
+  /** Small-file compaction for a hive-partitioned parquet table — the
+    * maintenance op every streaming ingest needs: each micro-batch
+    * appends a file per partition, and a year of 1-minute batches turns
+    * a 100 TB table into 10⁸ kilobyte files whose OPEN cost dominates
+    * every scan. Rewrite each partition's rows into
+    * ceil(rows / targetRowsPerFile) files.
+    *
+    * Shape at scale: one scan of the input, one count aggregate per
+    * partition key (driver gets partition-cardinality rows — the same
+    * budget any metastore holds), one hash exchange keyed on
+    * (partition, bucket) so file sizes are bounded BY CONSTRUCTION, one
+    * partitioned write. Writes to `outPath` (staging): atomically
+    * swapping staging over live is the caller's move — same protocol as
+    * Delta/Iceberg OPTIMIZE, which this mirrors with plain Spark
+    * primitives. Rows within a rewritten file keep no particular order;
+    * pair with [[zorderBy]] when min/max pruning matters more than file
+    * count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      partitionCols: Seq[String],
+      targetRowsPerFile: Long = 4L * 1024 * 1024): CompactStats = {
+    require(partitionCols.nonEmpty, "compact: no partition columns")
+    val df = spark.read.parquet(inPath)
+    val counts = df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__files",
+        ceil(col("__n").cast("double") / targetRowsPerFile).cast("int"))
+      .drop("__n")
+    val nParts = counts.count()
+    // Two mechanisms, two jobs: the row-hash bucket spreads a large
+    // partition across its ~file-budget of WRITE TASKS (parallelism —
+    // without it one task serializes the whole partition), while
+    // maxRecordsPerFile enforces the per-file row cap EXACTLY even when
+    // distinct (partition, bucket) groups hash-collide into one task.
+    val bucketed = df
+      .join(broadcast(counts), partitionCols, "left")
+      .withColumn("__bucket",
+        pmod(hash(df.columns.map(col): _*), greatest(col("__files"), lit(1))))
+      .drop("__files")
+    val filesBefore = parquetFileCount(spark, inPath)
+    bucketed
+      .repartition(partitionCols.map(col) :+ col("__bucket"): _*)
+      .drop("__bucket")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(outPath)
+    CompactStats(filesBefore, parquetFileCount(spark, outPath), nParts)
   }
 }

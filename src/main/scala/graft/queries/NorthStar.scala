@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Chunker, CorpusPrep, Dedup, Shards, Similarity, TextStats}
+import graft.llm.{Chunker, CorpusPrep, Dedup, Retrieval, Shards, Similarity, TextStats}
 
 /** North-star LLM-data-pipeline inventory (SURVEY.md §2.12): dedup,
   * similarity search, text analysis, multimodal plumbing — each an
@@ -192,6 +192,29 @@ object NorthStar {
       .select($"doc_id".as("qid"),
         array_distinct(slice(split($"text", " "), 1, 4)).as("terms"))
     TextStats.bm25TopK(qs, docs, "qid", "terms", "doc_id", "text", k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  // Hybrid retrieval: RRF-fuse the BM25 lexical top-10 with the dense
+  // cosine top-10 over the SAME query set (documents and embeddings
+  // share the id space — doc_id ≡ vec_id by TESTDATA construction).
+  // Integer micro-unit contributions (1e12 div (60+rank)) make the
+  // fused ranking engine-exact; the oracle replays both rankers' CTEs
+  // and the same fusion arithmetic. Both inputs are top-k lists, so
+  // the fusion itself is index-output-scale — no corpus scan.
+  val rrfFusion: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val qs = docs.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("qid"),
+        array_distinct(slice(split($"text", " "), 1, 4)).as("terms"))
+    val lex = TextStats.bm25TopK(qs, docs, "qid", "terms", "doc_id", "text", k = 10)
+      .select($"query_id", $"doc_id".as("cand_id"), $"rank")
+    val dense = Similarity.cosineTopK(emb.filter($"vec_id" % 97 === 0), emb,
+        "vec_id", "embedding", k = 10)
+      .select($"query_id", $"neighbor_id".as("cand_id"), $"rank")
+    Retrieval.rrfFuse(Seq(lex, dense), "query_id", "cand_id", "rank", k = 10)
       .orderBy($"query_id", $"rank")
   }
 
@@ -904,6 +927,7 @@ object NorthStar {
     "ns_tokenize" -> tokenizeDocs,
     "ns_bpe_encode" -> bpeEncode,
     "ns_bm25_topk" -> bm25Topk,
+    "ns_rrf_fusion" -> rrfFusion,
     "ns_pagerank" -> pageRankQ,
     "ns_ppr" -> pprQ,
     "ns_khop" -> kHopQ,
@@ -1716,6 +1740,58 @@ object NorthStar {
         | ROUND(CAST(s6 AS DOUBLE) / 1000000.0, 6) AS bm25
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS rnk
         | FROM agg)
+        |WHERE rnk <= 10 ORDER BY query_id, rank""".sm,
+    "ns_rrf_fusion" ->
+      """WITH tok AS (
+        | SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+        |q AS (
+        | SELECT doc_id AS query_id, UNNEST(list_distinct(string_split(text, ' ')[1:4])) AS term
+        | FROM documents WHERE doc_id % 97 = 0
+        |), hits AS (
+        | SELECT q.query_id, tf.doc_id,
+        |  CAST(ROUND(LN(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+        |   * (tf.tf * 2.2)
+        |   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))
+        |   * 1000000, 0) AS BIGINT) AS c6
+        | FROM tf JOIN q USING (term) JOIN dft USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+        |), agg AS (
+        | SELECT query_id, doc_id, SUM(c6) AS s6 FROM hits GROUP BY 1, 2
+        |), lex AS (
+        | SELECT query_id, cand_id, rnk FROM (
+        |  SELECT query_id, doc_id AS cand_id,
+        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS rnk
+        |  FROM agg) WHERE rnk <= 10
+        |), e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), pos AS (SELECT UNNEST(range(1, 65)) AS i),
+        |dots AS (
+        | SELECT q2.vec_id AS query_id, c.vec_id AS cand_id,
+        |  SUM(q2.v[i] * c.v[i]) AS dp, SUM(q2.v[i] * q2.v[i]) AS qq, SUM(c.v[i] * c.v[i]) AS cc
+        | FROM e q2, e c, pos WHERE q2.vec_id % 97 = 0 AND c.vec_id != q2.vec_id GROUP BY 1, 2
+        |), scored AS (
+        | SELECT query_id, cand_id, ROUND(dp / (SQRT(qq) * SQRT(cc)), 6) AS cos FROM dots
+        |), dense AS (
+        | SELECT query_id, cand_id, rnk FROM (
+        |  SELECT query_id, cand_id,
+        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        |  FROM scored) WHERE rnk <= 10
+        |), contrib AS (
+        | SELECT query_id, cand_id, 1000000000000 // (60 + rnk) AS c FROM lex
+        | UNION ALL
+        | SELECT query_id, cand_id, 1000000000000 // (60 + rnk) AS c FROM dense
+        |), fused AS (
+        | SELECT query_id, cand_id, CAST(SUM(c) AS BIGINT) AS rrf_e12,
+        |  COUNT(*) AS n_lists
+        | FROM contrib GROUP BY 1, 2
+        |)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, cand_id, rrf_e12, n_lists
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |  ORDER BY rrf_e12 DESC, cand_id) AS rnk FROM fused)
         |WHERE rnk <= 10 ORDER BY query_id, rank""".sm,
     "ns_pagerank" -> {
       val iters = (1 to 10).map { i =>

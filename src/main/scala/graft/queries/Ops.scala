@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Layout, Quality, Scd}
+import graft.operators.{Layout, MaterializedAgg, Quality, Scd}
 
 /** Round-4 table-maintenance / data-quality / layout operators
   * (SURVEY.md §2.15): SCD2 merge, one-pass profiling, expectation
@@ -123,7 +123,39 @@ object Ops {
       .orderBy($"o_orderkey")
   }
 
+  // M6: incremental aggregate-table maintenance — the EXACT materialized
+  // view the reference recomputes from scratch every run
+  // (back_end/flows/batch_processing.py full-history groupBy), rebuilt
+  // as slice-build + delta-merge: three disjoint time slices of events
+  // each reduce once, then fold into one stored table via null-safe
+  // full-outer merges. The oracle is the ONE-SHOT aggregate over all
+  // history — merge(slices) == recompute is exactly the contract.
+  // Measures are integer-exact (centi-unit value sums, epoch seconds)
+  // so the compare is engine-bit-exact; avg/stddev derive from
+  // (n, sum, sumsq) at read time and are not stored (ratios don't merge).
+  val incrementalAgg: Q = (s, dir) => {
+    import s.implicits._
+    import MaterializedAgg._
+    val ev = t(s, dir, "events")
+      .withColumn("ts_sec", Tables.tsSec($"ts"))
+      .withColumn("v_c", round($"value" * 100, 0).cast("long"))
+    val measures = Seq(
+      countRows("n_events"), sumOf($"v_c", "sum_value_c"),
+      sumSqOf($"v_c", "sum_sq_c"),
+      minOf($"ts_sec", "min_ts_sec"), maxOf($"ts_sec", "max_ts_sec"))
+    val cut1 = lit("2024-01-08").cast("date")
+    val cut2 = lit("2024-01-15").cast("date")
+    val d = to_date($"ts")
+    val keys = Seq("user_id")
+    val stored = build(ev.filter(d < cut1), keys, measures)
+    val merged1 = merge(stored,
+      build(ev.filter(d >= cut1 && d < cut2), keys, measures), keys, measures)
+    merge(merged1, build(ev.filter(d >= cut2), keys, measures), keys, measures)
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m6_incremental_agg" -> incrementalAgg,
     "m4_merge_upsert" -> mergeUpsert,
     "m5_cdc_apply" -> cdcApply,
     "m1_scd2_merge" -> scd2Merge,
@@ -133,6 +165,16 @@ object Ops {
   )
 
   val oracle: Map[String, String] = Map(
+    "m6_incremental_agg" ->
+      """WITH b AS (
+        | SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+        |        CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+        | FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(v_c) AS BIGINT) AS sum_value_c,
+        |       CAST(SUM(v_c * v_c) AS BIGINT) AS sum_sq_c,
+        |       MIN(ts_sec) AS min_ts_sec, MAX(ts_sec) AS max_ts_sec
+        |FROM b GROUP BY user_id ORDER BY user_id""".sm,
     "m5_cdc_apply" ->
       """WITH snap AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

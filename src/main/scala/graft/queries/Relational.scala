@@ -937,6 +937,35 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  // W14 rolling z-score anomaly flags: per user, a trailing 20-event
+  // window's mean/stddev, emit rows where |value − mean| > 2σ — the
+  // streaming-fraud screen run as one window pass. Engine-exact by
+  // construction: values carry 2 decimals, so centi-unit longs (v, Σv,
+  // Σv²) are exact integers in both engines and the |z| > 2 test
+  // becomes the cross-multiplied integer inequality
+  //   (n·v − s)²·(n−1) > 4·n·(n·ssq − s²)
+  // (sample variance; no doubles anywhere, no ULP risk; magnitudes
+  // bound: v ≤ 49 102 centi ⇒ every term < 1e14 ≪ 2⁶³). A constant
+  // window (ssq·n = s²) can never flag — LHS would be 0.
+  val w14AnomalyFlags: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+      .rowsBetween(-19, 0)
+    t(s, dir, "events")
+      .withColumn("ts_sec", Tables.tsSec($"ts"))
+      .withColumn("v", round($"value" * 100, 0).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s", sum($"v").over(w))
+      .withColumn("ssq", sum($"v" * $"v").over(w))
+      .filter($"cnt" >= 20)
+      .withColumn("dev", $"cnt" * $"v" - $"s")
+      .filter($"dev" * $"dev" * ($"cnt" - 1) >
+        lit(4L) * $"cnt" * ($"cnt" * $"ssq" - $"s" * $"s"))
+      .select($"event_id", $"user_id", $"ts_sec", $"v".as("value_c"),
+        $"s".as("win_sum_c"), $"ssq".as("win_sumsq_c"))
+      .orderBy($"event_id")
+  }
+
   // A31 top session paths: sessionize by 30-min inactivity gap (lag +
   // running flag-sum — the gaps-and-islands session id), concatenate
   // each session's event types in time order, count identical paths,
@@ -1095,6 +1124,7 @@ object Relational {
     "a32_interval_merge" -> a32IntervalMerge,
     "a31_event_paths" -> a31EventPaths,
     "a30_basket_pairs" -> a30BasketPairs,
+    "w14_anomaly_flags" -> w14AnomalyFlags,
     "w13_streaks" -> w13Streaks,
     "a28_funnel" -> a28Funnel,
     "a29_retention" -> a29Retention,
@@ -1262,6 +1292,22 @@ object Relational {
         |SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
         |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY part_a, part_b""".sm,
+    "w14_anomaly_flags" ->
+      """WITH b AS (
+        | SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS v
+        | FROM events
+        |), w AS (
+        | SELECT event_id, user_id, ts_sec, v, COUNT(*) OVER win AS cnt,
+        |  CAST(SUM(v) OVER win AS BIGINT) AS s,
+        |  CAST(SUM(v * v) OVER win AS BIGINT) AS ssq
+        | FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts_sec, v AS value_c, s AS win_sum_c, ssq AS win_sumsq_c
+        |FROM w WHERE cnt >= 20
+        | AND (cnt * v - s) * (cnt * v - s) * (cnt - 1) > 4 * cnt * (cnt * ssq - s * s)
+        |ORDER BY event_id""".sm,
     "w13_streaks" ->
       """WITH days AS (
         | SELECT DISTINCT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn

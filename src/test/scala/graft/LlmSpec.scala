@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.{CorpusPrep, Dedup, Multimodal, Shards, Similarity, TextStats}
+import graft.llm.{CorpusPrep, Dedup, Multimodal, Retrieval, Shards, Similarity, TextStats}
 
 /** North-star operator semantics on crafted fixtures. */
 class LlmSpec extends AnyFunSuite with SparkSuite {
@@ -1353,5 +1353,32 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     // regression floors for the measured quality, not statistical hopes
     assert(mean(ivf) >= 0.4, s"ivf mean recall ${mean(ivf)}")
     assert(mean(lsh) >= 0.25, s"lsh multi-probe mean recall ${mean(lsh)}")
+  }
+
+  test("rrfFuse: hand-traced fusion — overlap wins, ties break on id, n_lists counts sources") {
+    // lexical list for query 7: a(1), b(2), c(3); dense list: b(1), d(2)
+    val lex = Seq((7L, "a", 1), (7L, "b", 2), (7L, "c", 3))
+      .toDF("q", "id", "rank")
+    val dense = Seq((7L, "b", 1), (7L, "d", 2)).toDF("q", "id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, dense), "q", "id", "rank", k = 10)
+      .orderBy("rank").collect()
+    def c(r: Int) = 1000000000000L / (60L + r)
+    // b appears in both lists → 1/62 + 1/61 beats a's lone 1/61
+    assert(out.map(_.getString(2)).toSeq == Seq("b", "a", "d", "c"))
+    assert(out(0).getLong(3) == c(2) + c(1) && out(0).getLong(4) == 2)
+    assert(out(1).getLong(3) == c(1) && out(1).getLong(4) == 1)
+    // a and d are both rank-1-in-one-list... no: a is lex rank 1, d is
+    // dense rank 2 → a (1/61) > d (1/62) > c (1/63): strict order here
+    assert(out(2).getString(2) == "d" && out(3).getString(2) == "c")
+    // tie case: two candidates with identical single-list ranks order by id
+    val t1 = Seq((1L, "x", 1)).toDF("q", "id", "rank")
+    val t2 = Seq((1L, "y", 1)).toDF("q", "id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(t1, t2), "q", "id", "rank", k = 10)
+      .orderBy("rank").collect()
+    assert(tied.map(_.getString(2)).toSeq == Seq("x", "y"),
+      "equal scores must break ties on id for a total order")
+    // top-k truncation
+    assert(Retrieval.rrfFuse(Seq(lex, dense), "q", "id", "rank", k = 2)
+      .count() == 2)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Layout, Quality, Scd}
+import graft.operators.{Layout, MaterializedAgg, Quality, Scd}
 
 /** Round-4 maintenance/quality/layout operators: SCD2 merge semantics,
   * one-pass profiling (exact + approx), expectation validation against
@@ -398,5 +398,117 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
         docs.filter($"lang" =!= "en").count(),
         "dynamic overwrite must not touch unwritten partitions")
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
+  // ---------------- incremental aggregate-table maintenance ----------------
+
+  private def aggMeasures = {
+    import MaterializedAgg._
+    Seq(countRows("n"), sumOf($"v", "s"), sumSqOf($"v", "ssq"),
+      minOf($"v", "mn"), maxOf($"v", "mx"))
+  }
+
+  private def aggRows(rows: (Option[Long], Option[Long])*) =
+    rows.toDF("k", "v")
+
+  test("MaterializedAgg: slice-build + merge == one-shot build") {
+    import MaterializedAgg._
+    val all = aggRows(Some(1L) -> Some(10L), Some(1L) -> Some(20L),
+      Some(2L) -> Some(5L), Some(2L) -> Some(7L), Some(3L) -> Some(1L))
+    val s1 = aggRows(Some(1L) -> Some(10L), Some(2L) -> Some(5L))
+    val s2 = aggRows(Some(1L) -> Some(20L), Some(2L) -> Some(7L))
+    val s3 = aggRows(Some(3L) -> Some(1L))
+    val merged = merge(merge(build(s1, Seq("k"), aggMeasures),
+        build(s2, Seq("k"), aggMeasures), Seq("k"), aggMeasures),
+      build(s3, Seq("k"), aggMeasures), Seq("k"), aggMeasures)
+    val oneShot = build(all, Seq("k"), aggMeasures)
+    assert(merged.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(merged).isEmpty)
+  }
+
+  test("MaterializedAgg: NULL key merges as ONE row; empty delta is a no-op") {
+    import MaterializedAgg._
+    val stored = build(aggRows(None -> Some(3L), Some(1L) -> Some(1L)),
+      Seq("k"), aggMeasures)
+    val delta = build(aggRows(None -> Some(4L)), Seq("k"), aggMeasures)
+    val out = merge(stored, delta, Seq("k"), aggMeasures).collect()
+    assert(out.length == 2, "NULL-keyed rows must combine, not duplicate")
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == 2 && nullRow.getLong(2) == 7)
+    val empty = merge(stored, stored.limit(0), Seq("k"), aggMeasures)
+    assert(empty.exceptAll(stored).isEmpty && stored.exceptAll(empty).isEmpty)
+  }
+
+  test("MaterializedAgg: NULL measure on one side keeps the other side's mass") {
+    import MaterializedAgg._
+    // sum over an all-NULL group is NULL (SQL): merging it with a real
+    // partial must keep the real value; min/max skip the NULL side too
+    val stored = build(Seq((1L, Some(5L))).toDF("k", "v"), Seq("k"), aggMeasures)
+    val delta = build(Seq((1L, Option.empty[Long])).toDF("k", "v"),
+      Seq("k"), aggMeasures)
+    val r = merge(stored, delta, Seq("k"), aggMeasures).collect()(0)
+    assert(r.getLong(1) == 2, "count sums both sides")
+    assert(r.getLong(2) == 5 && r.getLong(3) == 25 &&
+      r.getLong(4) == 5 && r.getLong(5) == 5,
+      s"NULL partials must not erase stored mass: $r")
+  }
+
+  test("MaterializedAgg: new keys append, untouched keys stream through") {
+    import MaterializedAgg._
+    val stored = build(aggRows(Some(1L) -> Some(10L)), Seq("k"), aggMeasures)
+    val delta = build(aggRows(Some(9L) -> Some(2L)), Seq("k"), aggMeasures)
+    val out = merge(stored, delta, Seq("k"), aggMeasures)
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 9L))
+    assert(out(0).getLong(2) == 10 && out(1).getLong(2) == 2)
+  }
+
+  // ---------------- small-file compaction ----------------
+
+  test("Layout.compact: bounded files per partition, data intact, hive layout kept") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cmp_in_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cmp_out_").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+    // simulate a micro-batch-fragmented table: 16 files per partition
+    docs.repartition(16).write.mode("overwrite")
+      .partitionBy("lang").parquet(in)
+    val before = Layout.parquetFileCount(spark, in)
+    val nLangs = docs.select("lang").distinct().count()
+    assert(before >= nLangs * 2, s"fixture must be fragmented, got $before")
+    val stats = Layout.compact(spark, in, out, Seq("lang"),
+      targetRowsPerFile = 1000)
+    assert(stats.filesBefore == before && stats.partitions == nLangs)
+    // docs-per-lang at sf0.001 << 1000 → exactly one file per partition
+    assert(stats.filesAfter == nLangs,
+      s"expected $nLangs compacted files, got ${stats.filesAfter}")
+    val re = spark.read.parquet(out)
+    assert(re.count() == docs.count() &&
+      re.select(docs.columns.map(col): _*).exceptAll(docs).isEmpty)
+    // partition pruning must survive the rewrite
+    val plan = re.filter($"lang" === "en").queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*lang""".r.findFirstIn(plan).isDefined)
+  }
+
+  test("Layout.compact: maxRecordsPerFile caps file sizes by construction") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cap_in_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cap_out_").toString
+    val ev = Tables.load(spark, sf0001, "events")
+      .withColumn("part", pmod($"user_id", lit(2)))
+    ev.repartition(12).write.mode("overwrite").partitionBy("part").parquet(in)
+    val target = 100L
+    Layout.compact(spark, in, out, Seq("part"), targetRowsPerFile = target)
+    // every output file individually respects the row cap
+    val files = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(out))
+    }
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= target, s"${f.getName} has $n rows > cap $target")
+    }
+    assert(spark.read.parquet(out).count() == ev.count())
   }
 }

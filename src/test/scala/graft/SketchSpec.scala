@@ -404,4 +404,42 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     assert(rolled("a").exists(q => q >= 1.0 && q <= 2.0))
     assert(rolled("b").isEmpty, "empty sketch must surface NULL, not crash")
   }
+
+  test("streaming foreachBatch maintains the EXACT aggregate table (MaterializedAgg)") {
+    // the exact-MV twin of the HLL/CMS/KLL loops: each micro-batch
+    // pre-reduces with build() and folds into the stored table with one
+    // merge() — counts/sums ADD, so the engine's exactly-once
+    // foreachBatch contract supplies idempotence (same as CMS/KLL)
+    import graft.operators.MaterializedAgg
+    import MaterializedAgg._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val measures = Seq(countRows("n"), sumOf($"v", "s"),
+      minOf($"v", "mn"), maxOf($"v", "mx"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_stream_").toString
+    val mem = MemoryStream[(Long, Long)](spark)
+    val q = mem.toDF().toDF("user_id", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = MaterializedAgg.build(batch, Seq("user_id"), measures)
+        val merged =
+          try MaterializedAgg.merge(
+            spark.read.parquet(dir), delta, Seq("user_id"), measures)
+          catch { case _: org.apache.spark.sql.AnalysisException => delta }
+        val rows = merged.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq), merged.schema)
+          .write.mode("overwrite").parquet(dir)
+      }.start()
+    mem.addData((1L, 10L), (1L, 20L), (2L, 5L))
+    q.processAllAvailable()
+    mem.addData((2L, 7L), (3L, 1L))
+    q.processAllAvailable(); q.stop()
+    val all = Seq((1L, 10L), (1L, 20L), (2L, 5L), (2L, 7L), (3L, 1L))
+      .toDF("user_id", "v")
+    val oneShot = MaterializedAgg.build(all, Seq("user_id"), measures)
+    val stored = spark.read.parquet(dir)
+      .select(oneShot.columns.map(col): _*)
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
+      "stream-maintained table must equal the one-shot aggregate")
+  }
 }

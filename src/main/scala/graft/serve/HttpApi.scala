@@ -30,7 +30,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference's FastAPI+Spark layout has.
   */
 class HttpApi(spark: SparkSession, store: FeatureStore,
-    host: String = "127.0.0.1", port: Int = 0, maxRows: Int = 100000) {
+    host: String = "127.0.0.1", port: Int = 0, maxRows: Int = 100000,
+    ann: Option[HttpApi.AnnBackend] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   private val pool = Executors.newFixedThreadPool(4)
@@ -137,6 +138,25 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
     }
   })
 
+  // /similar/{vec_id}?k=N — ANN similarity serving over a persisted
+  // index (absent backend → 404, same as an unknown route: the
+  // endpoint only exists when an index is mounted). The lookup itself
+  // is index-scale: the query vector is a point-filtered scan, the
+  // search touches nProbe cells of the code table, and only k rows
+  // collect.
+  server.createContext("/similar", handler { ex =>
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    (ann, path) match {
+      case (Some(backend), p) if p.startsWith("/similar/")
+          && !p.stripPrefix("/similar/").contains('/') =>
+        val id = parseLong("vec_id")(p.stripPrefix("/similar/"))
+        val k = queryParams(ex).get("k").map(parseInt("k")).getOrElse(5)
+        respond(ex, 200, jsonArray(backend.similar(id, cap(k))))
+      case _ =>
+        respond(ex, 404, """{"error":"not found"}""")
+    }
+  })
+
   server.createContext("/transactions", handler { ex =>
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     path match {
@@ -196,5 +216,33 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
       store.ingest(rows)
       n
     } finally rows.unpersist()
+  }
+}
+
+object HttpApi {
+
+  /** Pluggable similarity backend for `/similar/{vec_id}` — returns the
+    * top-k neighbor rows for a STORED vector id (self excluded). */
+  trait AnnBackend {
+    def similar(vecId: Long, k: Int): org.apache.spark.sql.DataFrame
+  }
+
+  /** Serve `/similar` from a (possibly reloaded) IVF-PQ index: the
+    * query vector is a point lookup against the corpus (the id filter
+    * pushes to the parquet scan), the search is the probe-pruned ADC
+    * pass over the stored code table — the steady-state serving shape,
+    * no quantizer fit, no corpus rescan. */
+  def ivfPqBackend(index: graft.llm.Similarity.IvfPqIndex,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, nProbe: Int = 2): AnnBackend = new AnnBackend {
+    import org.apache.spark.sql.functions.col
+    override def similar(vecId: Long, k: Int): org.apache.spark.sql.DataFrame = {
+      val q = corpus.filter(col(idCol) === vecId)
+      require(q.limit(1).count() == 1, s"unknown $idCol: $vecId")
+      // the ADC query path already excludes the query row itself
+      graft.llm.Similarity
+        .ivfPqTopKIndexed(q, index, idCol, vecCol, k, nProbe)
+        .select(col("neighbor_id"), col("rank"), col("adist"))
+    }
   }
 }

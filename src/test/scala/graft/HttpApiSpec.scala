@@ -126,4 +126,36 @@ class HttpApiSpec extends AnyFunSuite with SparkSuite {
     // extra path segments under a valid prefix are unknown routes, not bad params
     assert(get("/features/by-ccnum/1/extra").statusCode() == 404)
   }
+
+  test("GET /similar 404s when no index is mounted") {
+    assert(get("/similar/3").statusCode() == 404)
+  }
+
+  test("GET /similar/{id} serves ANN neighbors from a mounted IVF-PQ index") {
+    import graft.llm.Similarity
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val index = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCells = 4, m = 8, kCodes = 8)
+    val annApi = new HttpApi(spark, new FeatureStore(spark, storePath),
+      ann = Some(HttpApi.ivfPqBackend(index, emb, "vec_id", "embedding")))
+    annApi.start()
+    try {
+      val b = s"http://127.0.0.1:${annApi.boundPort}"
+      def g(p: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b + p)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ok = g("/similar/3?k=2")
+      assert(ok.statusCode() == 200, ok.body())
+      val ids = "\"neighbor_id\":(\\d+)".r.findAllMatchIn(ok.body())
+        .map(_.group(1).toLong).toSeq
+      assert(ids.length == 2 && !ids.contains(3L), ok.body())
+      assert(ok.body().contains("\"rank\":1") && ok.body().contains("\"adist\""))
+      // bad id syntax and unknown ids are client errors, not 500s
+      assert(g("/similar/abc").statusCode() == 400)
+      val missing = g("/similar/999999999")
+      assert(missing.statusCode() == 400 && missing.body().contains("unknown"))
+      // deeper paths under the prefix are unknown routes
+      assert(g("/similar/3/extra").statusCode() == 404)
+    } finally annApi.stop()
+  }
 }

@@ -138,20 +138,29 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
     }
   })
 
-  // /similar/{vec_id}?k=N — ANN similarity serving over a persisted
-  // index (absent backend → 404, same as an unknown route: the
-  // endpoint only exists when an index is mounted). The lookup itself
-  // is index-scale: the query vector is a point-filtered scan, the
-  // search touches nProbe cells of the code table, and only k rows
-  // collect.
+  // ANN similarity serving over a persisted index (absent backend →
+  // 404, same as an unknown route: the endpoints only exist when an
+  // index is mounted):
+  //   - GET  /similar/{vec_id}?k=N — neighbors of a STORED vector
+  //   - POST /similar              — neighbors of a RAW query vector
+  //     (`{"vector":[...], "k":N}`) — the production serving shape,
+  //     where query embeddings arrive from users, not the corpus
+  // Both lookups are index-scale: the search touches nProbe cells of
+  // the code table and only k rows collect; POST skips the corpus
+  // entirely (no point lookup — the vector IS the request).
   server.createContext("/similar", handler { ex =>
     val path = ex.getRequestURI.getPath.stripSuffix("/")
-    (ann, path) match {
-      case (Some(backend), p) if p.startsWith("/similar/")
+    val method = ex.getRequestMethod.toUpperCase
+    (ann, method, path) match {
+      case (Some(backend), "GET", p) if p.startsWith("/similar/")
           && !p.stripPrefix("/similar/").contains('/') =>
         val id = parseLong("vec_id")(p.stripPrefix("/similar/"))
         val k = queryParams(ex).get("k").map(parseInt("k")).getOrElse(5)
         respond(ex, 200, jsonArray(backend.similar(id, cap(k))))
+      case (Some(backend), "POST", "/similar") =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val (vec, kOpt) = parseVectorBody(body)
+        respond(ex, 200, jsonArray(backend.similarTo(vec, cap(kOpt.getOrElse(5)))))
       case _ =>
         respond(ex, 404, """{"error":"not found"}""")
     }
@@ -177,6 +186,33 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
   private def parseLong(name: String)(s: String): Long =
     try s.toLong catch { case _: NumberFormatException =>
       throw new IllegalArgumentException(s"$name must be an integer") }
+
+  /** Parse a `{"vector":[...], "k":N}` POST body (k optional) with the
+    * same FAILFAST Spark-JSON idiom as [[ingestJson]] — malformed JSON,
+    * a missing/empty vector, or non-numeric elements are all a 400,
+    * never a 500 from deep inside the search. */
+  private def parseVectorBody(body: String): (Array[Double], Option[Int]) = {
+    import org.apache.spark.sql.types._
+    require(body.trim.nonEmpty, "empty request body")
+    val schema = StructType(Seq(
+      StructField("vector", ArrayType(DoubleType)),
+      StructField("k", IntegerType)))
+    val row =
+      try {
+        import spark.implicits._
+        spark.read.schema(schema).option("mode", "FAILFAST")
+          .option("multiLine", "true")
+          .json(spark.createDataset(Seq(body.trim))).head()
+      } catch { case e: org.apache.spark.SparkException =>
+        throw new IllegalArgumentException(
+          s"malformed JSON body: ${String.valueOf(e.getMessage).take(200)}") }
+    require(!row.isNullAt(0), "missing field: vector")
+    val raw = row.getSeq[Any](0)
+    require(raw.nonEmpty && raw.forall(_ != null),
+      "vector must be a non-empty array of numbers")
+    (raw.map(_.asInstanceOf[Double]).toArray,
+      if (row.isNullAt(1)) None else Some(row.getInt(1)))
+  }
 
   /** Parse a JSON-lines or JSON-array body against the offline schema
     * and append — the POST /features ingest (feature.py:25-54). The
@@ -221,10 +257,11 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
 
 object HttpApi {
 
-  /** Pluggable similarity backend for `/similar/{vec_id}` — returns the
-    * top-k neighbor rows for a STORED vector id (self excluded). */
+  /** Pluggable similarity backend for `/similar` — top-k neighbor rows
+    * for a STORED vector id (self excluded) or a RAW query vector. */
   trait AnnBackend {
     def similar(vecId: Long, k: Int): org.apache.spark.sql.DataFrame
+    def similarTo(vector: Array[Double], k: Int): org.apache.spark.sql.DataFrame
   }
 
   /** Serve `/similar` from a (possibly reloaded) IVF-PQ index: the
@@ -240,6 +277,19 @@ object HttpApi {
       val q = corpus.filter(col(idCol) === vecId)
       require(q.limit(1).count() == 1, s"unknown $idCol: $vecId")
       // the ADC query path already excludes the query row itself
+      graft.llm.Similarity
+        .ivfPqTopKIndexed(q, index, idCol, vecCol, k, nProbe)
+        .select(col("neighbor_id"), col("rank"), col("adist"))
+    }
+    override def similarTo(vector: Array[Double], k: Int): org.apache.spark.sql.DataFrame = {
+      val dim = index.centroids(0).length
+      require(vector.length == dim,
+        s"vector must have $dim dimensions, got ${vector.length}")
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      // synthetic id −1 can't collide with a stored neighbor_id, so the
+      // id-based self-exclusion inside the ADC pass keeps every match
+      val q = Seq((-1L, vector)).toDF(idCol, vecCol)
       graft.llm.Similarity
         .ivfPqTopKIndexed(q, index, idCol, vecCol, k, nProbe)
         .select(col("neighbor_id"), col("rank"), col("adist"))

@@ -158,4 +158,53 @@ class HttpApiSpec extends AnyFunSuite with SparkSuite {
       assert(g("/similar/3/extra").statusCode() == 404)
     } finally annApi.stop()
   }
+
+  test("POST /similar serves ANN neighbors for a raw query vector") {
+    import graft.llm.Similarity
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val index = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCells = 4, m = 8, kCodes = 8)
+    val annApi = new HttpApi(spark, new FeatureStore(spark, storePath),
+      ann = Some(HttpApi.ivfPqBackend(index, emb, "vec_id", "embedding")))
+    annApi.start()
+    try {
+      val b = s"http://127.0.0.1:${annApi.boundPort}"
+      def p(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b + path))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def g(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(b + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def ids(body: String): Seq[Long] =
+        "\"neighbor_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+
+      // POSTing a STORED vector's values must rank that vector itself
+      // first (ADC distance 0 to its own code), and the remaining
+      // neighbors must equal the GET path's ranking for that id —
+      // raw-vector serving and stored-id serving share one search.
+      val v3 = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 3)
+        .select("embedding").head().getSeq[Float](0)
+      val body = v3.mkString("""{"vector":[""", ",", """],"k":3}""")
+      val ok = p("/similar", body)
+      assert(ok.statusCode() == 200, ok.body())
+      val got = ids(ok.body())
+      assert(got.length == 3 && got.head == 3L, ok.body())
+      assert(got.tail == ids(g("/similar/3?k=2").body()), ok.body())
+
+      // wrong dimension, malformed JSON, and a missing/empty vector
+      // are client errors that NAME the problem, never 500s
+      val short = p("/similar", """{"vector":[1.0,2.0]}""")
+      assert(short.statusCode() == 400 && short.body().contains("dimensions"))
+      assert(p("/similar", """{"vector":[1.0,""").statusCode() == 400)
+      val missing = p("/similar", """{"k":5}""")
+      assert(missing.statusCode() == 400 && missing.body().contains("vector"))
+      assert(p("/similar", """{"vector":[]}""").statusCode() == 400)
+    } finally annApi.stop()
+  }
+
+  test("POST /similar 404s when no index is mounted") {
+    assert(post("/similar", """{"vector":[1.0]}""").statusCode() == 404)
+  }
 }

@@ -207,4 +207,34 @@ class HttpApiSpec extends AnyFunSuite with SparkSuite {
   test("POST /similar 404s when no index is mounted") {
     assert(post("/similar", """{"vector":[1.0]}""").statusCode() == 404)
   }
+
+  test("concurrent requests share one SparkSession safely") {
+    // the serving pool is 4 threads over ONE SparkSession — Spark jobs
+    // are thread-safe to submit concurrently, but this pins it: 16
+    // parallel mixed reads must all succeed with correct bodies (no
+    // cross-request bleed, no 500s from shared-session state)
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[(Int, String, Int)] {
+          override def call(): (Int, String, Int) = i % 3 match {
+            case 0 => val r = get("/features/by-ccnum/1"); (i, r.body(), r.statusCode())
+            case 1 => val r = get("/features/by-ccnum/2"); (i, r.body(), r.statusCode())
+            case _ => val r = get("/health"); (i, r.body(), r.statusCode())
+          }
+        })
+      }
+      tasks.foreach { f =>
+        val (i, body, status) = f.get(120, TimeUnit.SECONDS)
+        assert(status == 200, s"request $i failed: $body")
+        i % 3 match {
+          // cc 1 has 3 rows, cc 2 has 1 — counts prove no result bleed
+          case 0 => assert(countRows(body) == 3, s"request $i: $body")
+          case 1 => assert(countRows(body) == 1, s"request $i: $body")
+          case _ => assert(body.contains("\"ok\""))
+        }
+      }
+    } finally pool.shutdown()
+  }
 }

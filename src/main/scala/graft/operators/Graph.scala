@@ -17,26 +17,40 @@ object Graph {
 
   /** Canonical edge-table prep shared by every iterative operator here:
     * cast (src, dst) to long, optionally distinct (duplicate edges
-    * would double-count degrees and messages), and `localCheckpoint`
-    * so the upstream edge-derivation plan never re-runs per superstep.
+    * would double-count degrees and messages), and persist so the
+    * upstream edge-derivation plan never re-runs per superstep.
     * One definition — a change to canonicalization (null handling,
-    * checkpoint strategy) applies to every operator at once. */
+    * materialization strategy) applies to every operator at once.
+    *
+    * Edge-SIZED tables persist MEMORY_AND_DISK_SER, not localCheckpoint:
+    * checkpoint blocks are deserialized and UN-EVICTABLE (truncated
+    * lineage means eviction would lose data), so at 10⁸+ edges they pin
+    * gigabytes of heap per invocation until the RDD is GC'd — the sf10
+    * probe OOM'd exactly there. Serialized persist is ~4× smaller,
+    * spills, evicts under pressure (recompute is one shallow
+    * scan+distinct), and still preserves the hash partitioning the
+    * per-superstep join reuse relies on. Node-sized ITERATIVE tables
+    * (rank/labels/frontiers) keep localCheckpoint — they genuinely need
+    * lineage truncation and stay small. */
+  private def matEdges(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   private def normEdges(edges: DataFrame, srcCol: String, dstCol: String,
       assumeDistinct: Boolean, repartitionBySrc: Boolean = false): DataFrame = {
     val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val d = if (assumeDistinct) raw else raw.distinct()
-    (if (repartitionBySrc) d.repartition(col("src")) else d).localCheckpoint()
+    matEdges(if (repartitionBySrc) d.repartition(col("src")) else d)
   }
 
   /** Out-degrees plus the once-materialized (src, dst, deg) message
-    * table hash-partitioned on src — reused every superstep;
-    * `localCheckpoint` preserves the partitioning so each round's join
+    * table hash-partitioned on src — reused every superstep; the
+    * serialized persist preserves the partitioning so each round's join
     * reuses it and only the node-sized rank table moves (AQE usually
     * broadcasts it). The edge table never re-shuffles after this. */
   private def messageTable(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    (deg, e.join(deg, "src").repartition(col("src")).localCheckpoint())
+    (deg, matEdges(e.join(deg, "src").repartition(col("src"))))
   }
 
   /** PageRank with INTEGER micro-unit ranks — deterministic on any
@@ -58,7 +72,7 @@ object Graph {
     * symmetrized inputs cannot dangle.
     *
     * Scale shape: the (src, dst, deg) message table materializes ONCE
-    * (`localCheckpoint`) and every superstep shuffles only the rank
+    * (serialized, evictable persist) and every superstep shuffles only the rank
     * table — hash-partitioned on the join key, combined map-side by
     * the dst aggregate. Lineage is checkpoint-truncated every
     * `checkpointEvery` rounds so the plan stays O(1) deep. On a
@@ -242,8 +256,8 @@ object Graph {
     *
     * Three relational steps: degree aggregate, wedge self-join on the
     * apex, closing-edge semi-join — all equi-joins Catalyst/AQE handle
-    * (the oriented edge table is reused three times; localCheckpoint
-    * materializes it once). Input edges are undirected pairs; dups and
+    * (the oriented edge table is reused three times; a serialized
+    * persist materializes it once). Input edges are undirected pairs; dups and
     * self-loops are dropped. Output: 1 row (n_edges, n_triangles). */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // und feeds the degree aggregate AND the orientation join —
@@ -253,7 +267,7 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
       .distinct()
-      .localCheckpoint()
+      .transform(matEdges)
     // undirected degree per node (each edge touches both endpoints)
     val deg = und.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -265,7 +279,7 @@ object Graph {
           struct(col("x").as("a"), col("y").as("b")))
           .otherwise(struct(col("y").as("a"), col("x").as("b"))).as("e"))
       .select(col("e.a"), col("e.b"))
-      .localCheckpoint()
+      .transform(matEdges)
     val wedges = o.as("ab").join(o.as("ac"),
         col("ab.a") === col("ac.a") && col("ab.b") =!= col("ac.b"))
       .select(col("ab.b").as("p"), col("ac.b").as("q"))

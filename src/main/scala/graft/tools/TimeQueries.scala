@@ -7,9 +7,14 @@ import graft.Tables
 object TimeQueries {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // shuffle partitions must scale with the probed SF (the 100 TB
+    // sizing rule: hold rows-per-partition roughly constant) — 32 fits
+    // sf0.1..sf1; sf10 needs ~256 or the 32-way hash aggregates
+    // exceed the per-task memory quota
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32"))
+      .config("spark.sql.shuffle.partitions", shuffle))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>

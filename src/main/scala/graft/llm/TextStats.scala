@@ -217,8 +217,14 @@ object TextStats {
     // tf feeds THREE derived relations (dl, df, stats) — materialize it
     // once here or the tokenize+aggregate pipeline evaluates once per
     // branch (the ad-hoc path; the steady-state path reads a persisted
-    // index and never re-tokenizes)
-    val tf = bm25Tf(docs, idCol, textCol).localCheckpoint()
+    // index and never re-tokenizes). Eager SERIALIZED persist, not
+    // localCheckpoint: the posting table is corpus-token-scale, and
+    // checkpoint blocks are deserialized and un-evictable (the pinning
+    // the sf10 graph probe OOM'd on); the count() populates the cache
+    // before the three independent aggregate stages race to read it.
+    val tf = bm25Tf(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    tf.count()
     val (dl, dft, stats) = bm25Derived(tf)
     bm25TopKWith(queries, queryIdCol, queryTermsCol, k, tf, dl, dft, stats, k1, b)
   }

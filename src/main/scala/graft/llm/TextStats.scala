@@ -225,8 +225,17 @@ object TextStats {
     val tf = bm25Tf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     tf.count()
-    val (dl, dft, stats) = bm25Derived(tf)
-    bm25TopKWith(queries, queryIdCol, queryTermsCol, k, tf, dl, dft, stats, k1, b)
+    try {
+      // eager localCheckpoint on the k·|queries|-sized RESULT lets the
+      // corpus-token-scale tf cache release before returning — a
+      // DataFrame persist is held by the session CacheManager until
+      // explicit unpersist, so the ad-hoc path must not leak one per
+      // call on a long-lived session (the steady-state path uses
+      // [[bm25Index]] and the CALLER owns that lifecycle)
+      val (dl, dft, stats) = bm25Derived(tf)
+      bm25TopKWith(queries, queryIdCol, queryTermsCol, k, tf, dl, dft, stats, k1, b)
+        .localCheckpoint()
+    } finally tf.unpersist(blocking = false)
   }
 
   /** The four relations of a BM25 "index": (doc,term,tf), (doc,dl),

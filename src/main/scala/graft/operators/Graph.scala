@@ -31,16 +31,41 @@ object Graph {
     * scan+distinct), and still preserves the hash partitioning the
     * per-superstep join reuse relies on. Node-sized ITERATIVE tables
     * (rank/labels/frontiers) keep localCheckpoint — they genuinely need
-    * lineage truncation and stay small. */
-  private def matEdges(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    * lineage truncation and stay small.
+    *
+    * LIFECYCLE: every persist registers in a per-invocation `Caches`
+    * list, and each public operator ends by eagerly materializing its
+    * node-sized result and releasing the list — the session's
+    * CacheManager holds a persisted DataFrame until explicit unpersist,
+    * so without this, repeated graph queries on a long-lived shared
+    * session (HTTP serving, bench loops) accumulate edge-sized cached
+    * tables without bound. */
+  private type Caches = scala.collection.mutable.ArrayBuffer[DataFrame]
+
+  private def matEdges(df: DataFrame, track: Caches): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    track += p
+    p
+  }
+
+  /** Eagerly materialize the (node-sized) result via localCheckpoint,
+    * then release every edge-sized cache the invocation registered —
+    * safe because the checkpoint severed the result's lineage to them.
+    * `blocking = false`: block deletion proceeds asynchronously; the
+    * caches are already unreferenced by the returned plan. */
+  private def finishAndRelease(result: DataFrame, cached: Caches): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   private def normEdges(edges: DataFrame, srcCol: String, dstCol: String,
-      assumeDistinct: Boolean, repartitionBySrc: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean, track: Caches,
+      repartitionBySrc: Boolean = false): DataFrame = {
     val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val d = if (assumeDistinct) raw else raw.distinct()
-    matEdges(if (repartitionBySrc) d.repartition(col("src")) else d)
+    matEdges(if (repartitionBySrc) d.repartition(col("src")) else d, track)
   }
 
   /** Out-degrees plus the once-materialized (src, dst, deg) message
@@ -48,9 +73,9 @@ object Graph {
     * serialized persist preserves the partitioning so each round's join
     * reuses it and only the node-sized rank table moves (AQE usually
     * broadcasts it). The edge table never re-shuffles after this. */
-  private def messageTable(e: DataFrame): (DataFrame, DataFrame) = {
+  private def messageTable(e: DataFrame, track: Caches): (DataFrame, DataFrame) = {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    (deg, matEdges(e.join(deg, "src").repartition(col("src"))))
+    (deg, matEdges(e.join(deg, "src").repartition(col("src")), track))
   }
 
   /** PageRank with INTEGER micro-unit ranks — deterministic on any
@@ -84,7 +109,8 @@ object Graph {
       assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    val (deg, ed) = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct))
+    val cached: Caches = scala.collection.mutable.ArrayBuffer.empty
+    val (deg, ed) = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct, cached), cached)
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
     var i = 1
     while (i <= iters) {
@@ -96,7 +122,7 @@ object Graph {
       if (i % checkpointEvery == 0) rank = rank.localCheckpoint()
       i += 1
     }
-    rank
+    finishAndRelease(rank, cached)
   }
 
   /** Personalized PageRank: the teleport mass lands on a SEED set
@@ -130,7 +156,8 @@ object Graph {
       validateSeeds: Boolean = true): DataFrame = {
     require(iters >= 1)
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    val (deg, ed) = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct))
+    val cached: Caches = scala.collection.mutable.ArrayBuffer.empty
+    val (deg, ed) = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct, cached), cached)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().localCheckpoint()
     if (validateSeeds) {
@@ -156,7 +183,7 @@ object Graph {
       if (i % checkpointEvery == 0) rank = rank.localCheckpoint()
       i += 1
     }
-    rank
+    finishAndRelease(rank, cached)
   }
 
   /** k-hop neighborhood expansion: for every seed, all nodes within
@@ -176,7 +203,8 @@ object Graph {
       seeds: DataFrame, seedCol: String, k: Int,
       assumeDistinct: Boolean = false): DataFrame = {
     require(k >= 1)
-    val ed = normEdges(edges, srcCol, dstCol, assumeDistinct, repartitionBySrc = true)
+    val cached: Caches = scala.collection.mutable.ArrayBuffer.empty
+    val ed = normEdges(edges, srcCol, dstCol, assumeDistinct, cached, repartitionBySrc = true)
     var visited = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0).as("hop"))
       .localCheckpoint()
@@ -195,7 +223,9 @@ object Graph {
       frontier = next
       h += 1
     }
-    visited
+    // the final checkpoint copies the (node-sized × k) union once —
+    // the price of releasing the edge cache before returning
+    finishAndRelease(visited, cached)
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) with
@@ -226,7 +256,8 @@ object Graph {
       assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    val e = normEdges(edges, srcCol, dstCol, assumeDistinct, repartitionBySrc = true)
+    val cached: Caches = scala.collection.mutable.ArrayBuffer.empty
+    val e = normEdges(edges, srcCol, dstCol, assumeDistinct, cached, repartitionBySrc = true)
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     var i = 1
@@ -241,7 +272,7 @@ object Graph {
       if (i % checkpointEvery == 0) labels = labels.localCheckpoint()
       i += 1
     }
-    labels
+    finishAndRelease(labels, cached)
   }
 
   /** Exact triangle count via DEGREE-ORDERED wedge enumeration — the
@@ -260,6 +291,7 @@ object Graph {
     * persist materializes it once). Input edges are undirected pairs; dups and
     * self-loops are dropped. Output: 1 row (n_edges, n_triangles). */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val cached: Caches = scala.collection.mutable.ArrayBuffer.empty
     // und feeds the degree aggregate AND the orientation join —
     // materialize once or the upstream edge-derivation plan runs twice
     val und = edges
@@ -267,7 +299,7 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
       .distinct()
-      .transform(matEdges)
+      .transform(df => matEdges(df, cached))
     // undirected degree per node (each edge touches both endpoints)
     val deg = und.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -279,14 +311,16 @@ object Graph {
           struct(col("x").as("a"), col("y").as("b")))
           .otherwise(struct(col("y").as("a"), col("x").as("b"))).as("e"))
       .select(col("e.a"), col("e.b"))
-      .transform(matEdges)
+      .transform(df => matEdges(df, cached))
     val wedges = o.as("ab").join(o.as("ac"),
         col("ab.a") === col("ac.a") && col("ab.b") =!= col("ac.b"))
       .select(col("ab.b").as("p"), col("ac.b").as("q"))
     // closing edge in orientation order closes each wedge pair once
     val tri = wedges.join(o.as("bc"),
         col("p") === col("bc.a") && col("q") === col("bc.b"), "left_semi")
-    o.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    finishAndRelease(
+      o.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles"))),
+      cached)
   }
 }

@@ -128,8 +128,20 @@ object Layout {
     // without it one task serializes the whole partition), while
     // maxRecordsPerFile enforces the per-file row cap EXACTLY even when
     // distinct (partition, bucket) groups hash-collide into one task.
-    val bucketed = df
-      .join(broadcast(counts), partitionCols, "left")
+    // NULL-SAFE (<=>) join keys: hive's __HIVE_DEFAULT_PARTITION__ rows
+    // carry NULL partition values, and a plain equi-join would never
+    // match them to their counts row — __files would be NULL, the
+    // greatest(NULL, 1) fallback would collapse the whole NULL-keyed
+    // partition to bucket 0, and its write parallelism silently to one
+    // task (the MaterializedAgg.merge key idiom)
+    // counts derives from df, so the key columns are RENAMED on the
+    // counts side before joining (DetectAmbiguousSelfJoin would reject
+    // df(c) <=> counts(c) as ambiguous)
+    val keyed = counts.select(
+      partitionCols.map(c => col(c).as(s"__k_$c")) :+ col("__files"): _*)
+    val bucketed = df.join(broadcast(keyed),
+        partitionCols.map(c => df(c) <=> keyed(s"__k_$c")).reduce(_ && _), "left")
+      .select(df.columns.map(df(_)) :+ col("__files"): _*)
       .withColumn("__bucket",
         pmod(hash(df.columns.map(col): _*), greatest(col("__files"), lit(1))))
       .drop("__files")

@@ -48,8 +48,32 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
 
   // --- plumbing ---------------------------------------------------
 
-  private def jsonArray(df: DataFrame): String =
-    df.toJSON.collect().mkString("[", ",", "]")
+  /** Stream a DataFrame as a chunked JSON array: `sendResponseHeaders`
+    * with length 0 switches the JDK server to chunked transfer
+    * encoding, and rows flow from `toJSON.toLocalIterator` — the
+    * driver holds ONE partition of serialized rows at a time (the
+    * iterator fetches partitions lazily, never the whole result), so
+    * a maxRows-sized response on all 4 handler threads at once is
+    * bounded by 4 partitions of heap, not 4 full response strings. */
+  private def respondJson(ex: HttpExchange, status: Int, df: DataFrame): Unit = {
+    // materialize the iterator (analysis + first partition job) BEFORE
+    // committing the response headers, so a failing query still maps
+    // to a clean 400/500 instead of a truncated chunked body
+    val it = df.toJSON.toLocalIterator()
+    it.hasNext // force the first partition job pre-headers
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, 0L)
+    val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+    try {
+      os.write('[')
+      var first = true
+      while (it.hasNext) {
+        if (first) first = false else os.write(',')
+        os.write(it.next().getBytes(StandardCharsets.UTF_8))
+      }
+      os.write(']')
+    } finally os.close()
+  }
 
   private def respond(ex: HttpExchange, status: Int, body: String,
       contentType: String = "application/json"): Unit = {
@@ -115,7 +139,7 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
       case ("GET", "/features") =>
         val limit = queryParams(ex).get("limit").map(parseInt("limit"))
           .getOrElse(maxRows)
-        respond(ex, 200, jsonArray(store.bulk(cap(limit))))
+        respondJson(ex, 200, store.bulk(cap(limit)))
       case ("POST", "/features") =>
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val n = ingestJson(body)
@@ -123,7 +147,7 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
       case ("GET", p) if p.startsWith("/features/by-ccnum/")
           && !p.stripPrefix("/features/by-ccnum/").contains('/') =>
         val cc = parseLong("cc_num")(p.stripPrefix("/features/by-ccnum/"))
-        respond(ex, 200, jsonArray(store.byCcNum(cc).limit(maxRows)))
+        respondJson(ex, 200, store.byCcNum(cc).limit(maxRows))
       case ("GET", "/features/by-date") =>
         val ps = queryParams(ex)
         val start = ps.getOrElse("start",
@@ -132,7 +156,7 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
           throw new IllegalArgumentException("missing query param: end"))
         require(start.matches("\\d{4}-\\d{2}-\\d{2}") && end.matches("\\d{4}-\\d{2}-\\d{2}"),
           "start/end must be YYYY-MM-DD")
-        respond(ex, 200, jsonArray(store.byDateRange(start, end).limit(maxRows)))
+        respondJson(ex, 200, store.byDateRange(start, end).limit(maxRows))
       case _ =>
         respond(ex, 404, """{"error":"not found"}""")
     }
@@ -156,11 +180,11 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
           && !p.stripPrefix("/similar/").contains('/') =>
         val id = parseLong("vec_id")(p.stripPrefix("/similar/"))
         val k = queryParams(ex).get("k").map(parseInt("k")).getOrElse(5)
-        respond(ex, 200, jsonArray(backend.similar(id, cap(k))))
+        respondJson(ex, 200, backend.similar(id, cap(k)))
       case (Some(backend), "POST", "/similar") =>
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val (vec, kOpt) = parseVectorBody(body)
-        respond(ex, 200, jsonArray(backend.similarTo(vec, cap(kOpt.getOrElse(5)))))
+        respondJson(ex, 200, backend.similarTo(vec, cap(kOpt.getOrElse(5))))
       case _ =>
         respond(ex, 404, """{"error":"not found"}""")
     }
@@ -173,7 +197,7 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
         val cc = parseLong("cc_num")(
           p.stripPrefix("/transactions/").stripSuffix("/recent"))
         val k = queryParams(ex).get("k").map(parseInt("k")).getOrElse(5)
-        respond(ex, 200, jsonArray(store.topKRecent(cc, cap(k))))
+        respondJson(ex, 200, store.topKRecent(cc, cap(k)))
       case _ =>
         respond(ex, 404, """{"error":"not found"}""")
     }
@@ -187,31 +211,39 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
     try s.toLong catch { case _: NumberFormatException =>
       throw new IllegalArgumentException(s"$name must be an integer") }
 
-  /** Parse a `{"vector":[...], "k":N}` POST body (k optional) with the
-    * same FAILFAST Spark-JSON idiom as [[ingestJson]] — malformed JSON,
-    * a missing/empty vector, or non-numeric elements are all a 400,
-    * never a 500 from deep inside the search. */
+  /** Parse a `{"vector":[...], "k":N}` POST body (k optional) with a
+    * plain in-JVM Jackson parse — a request body is a few KB of driver
+    * work, and scheduling a full Spark JSON-read JOB per POST (the
+    * previous idiom) put job-launch latency on the serving hot path.
+    * Malformed JSON, a missing/empty vector, or non-numeric elements
+    * are all a 400, never a 500 from deep inside the search. */
   private def parseVectorBody(body: String): (Array[Double], Option[Int]) = {
-    import org.apache.spark.sql.types._
     require(body.trim.nonEmpty, "empty request body")
-    val schema = StructType(Seq(
-      StructField("vector", ArrayType(DoubleType)),
-      StructField("k", IntegerType)))
-    val row =
-      try {
-        import spark.implicits._
-        spark.read.schema(schema).option("mode", "FAILFAST")
-          .option("multiLine", "true")
-          .json(spark.createDataset(Seq(body.trim))).head()
-      } catch { case e: org.apache.spark.SparkException =>
+    val node =
+      try HttpApi.mapper.readTree(body)
+      catch { case e: com.fasterxml.jackson.core.JacksonException =>
         throw new IllegalArgumentException(
           s"malformed JSON body: ${String.valueOf(e.getMessage).take(200)}") }
-    require(!row.isNullAt(0), "missing field: vector")
-    val raw = row.getSeq[Any](0)
-    require(raw.nonEmpty && raw.forall(_ != null),
-      "vector must be a non-empty array of numbers")
-    (raw.map(_.asInstanceOf[Double]).toArray,
-      if (row.isNullAt(1)) None else Some(row.getInt(1)))
+    require(node != null && node.isObject, "body must be a JSON object")
+    val vec = node.get("vector")
+    require(vec != null && !vec.isNull, "missing field: vector")
+    require(vec.isArray && vec.size > 0, "vector must be a non-empty array of numbers")
+    val arr = new Array[Double](vec.size)
+    var i = 0
+    while (i < vec.size) {
+      val el = vec.get(i)
+      require(el.isNumber, "vector must be a non-empty array of numbers")
+      arr(i) = el.asDouble
+      i += 1
+    }
+    val kNode = node.get("k")
+    val kOpt =
+      if (kNode == null || kNode.isNull) None
+      else {
+        require(kNode.canConvertToInt, "k must be an integer")
+        Some(kNode.asInt)
+      }
+    (arr, kOpt)
   }
 
   /** Parse a JSON-lines or JSON-array body against the offline schema
@@ -257,6 +289,10 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
 
 object HttpApi {
 
+  /** Shared request-body parser: `ObjectMapper` is thread-safe for
+    * reads, so one instance serves all handler threads. */
+  private[serve] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Pluggable similarity backend for `/similar` — top-k neighbor rows
     * for a STORED vector id (self excluded) or a RAW query vector. */
   trait AnnBackend {
@@ -264,22 +300,42 @@ object HttpApi {
     def similarTo(vector: Array[Double], k: Int): org.apache.spark.sql.DataFrame
   }
 
-  /** Serve `/similar` from a (possibly reloaded) IVF-PQ index: the
-    * query vector is a point lookup against the corpus (the id filter
-    * pushes to the parquet scan), the search is the probe-pruned ADC
-    * pass over the stored code table — the steady-state serving shape,
-    * no quantizer fit, no corpus rescan. */
+  /** Serve `/similar` from a (possibly reloaded) IVF-PQ index THROUGH
+    * the exact re-rank stage ([[graft.llm.Similarity.ivfPqTopKReranked]]):
+    * the ADC pass over the stored code table over-fetches an
+    * `overFetch`·k shortlist from `nProbe` probed cells, then exact
+    * cosine on the shortlist's raw vectors decides the served top-k —
+    * the recall the endpoint actually delivers is the `ivfpq_rerank`
+    * row of the `ns_ann_recall` gate (≥0.9), not raw-ADC quality.
+    * GET is a point lookup against the corpus (the id filter pushes to
+    * the parquet scan); POST skips the lookup (the vector IS the
+    * request). No quantizer fit, no corpus rescan — the only
+    * corpus-side work per request is the shortlist's broadcast
+    * vector-fetch join. */
   def ivfPqBackend(index: graft.llm.Similarity.IvfPqIndex,
       corpus: org.apache.spark.sql.DataFrame, idCol: String,
-      vecCol: String, nProbe: Int = 2): AnnBackend = new AnnBackend {
-    import org.apache.spark.sql.functions.col
+      vecCol: String, nProbe: Int = 6, overFetch: Int = 10): AnnBackend = new AnnBackend {
+    import org.apache.spark.sql.functions.{col, min}
+    // The POST path tags its raw query vector with a sentinel id that
+    // must not collide with any stored id (the id-based self-exclusion
+    // inside the ADC pass would silently drop that stored vector from
+    // every result). Validated ONCE at backend construction against
+    // the code table's pruned id column — ids are plain longs, nothing
+    // forbids negatives, so the old "-1 can't collide" assumption was
+    // exactly the kind that fails silently.
+    private val sentinelId: Long = {
+      val minId = index.codes.agg(min(col("neighbor_id"))).head().getLong(0)
+      require(minId > Long.MinValue,
+        s"corpus contains id ${Long.MinValue} — no sentinel id available for raw-vector serving")
+      Long.MinValue
+    }
     override def similar(vecId: Long, k: Int): org.apache.spark.sql.DataFrame = {
       val q = corpus.filter(col(idCol) === vecId)
       require(q.limit(1).count() == 1, s"unknown $idCol: $vecId")
-      // the ADC query path already excludes the query row itself
+      // the ADC shortlist already excludes the query row itself
       graft.llm.Similarity
-        .ivfPqTopKIndexed(q, index, idCol, vecCol, k, nProbe)
-        .select(col("neighbor_id"), col("rank"), col("adist"))
+        .ivfPqTopKReranked(q, index, corpus, idCol, vecCol, k, nProbe, overFetch)
+        .select(col("neighbor_id"), col("rank"), col("cos"))
     }
     override def similarTo(vector: Array[Double], k: Int): org.apache.spark.sql.DataFrame = {
       val dim = index.centroids(0).length
@@ -287,12 +343,10 @@ object HttpApi {
         s"vector must have $dim dimensions, got ${vector.length}")
       val spark = corpus.sparkSession
       import spark.implicits._
-      // synthetic id −1 can't collide with a stored neighbor_id, so the
-      // id-based self-exclusion inside the ADC pass keeps every match
-      val q = Seq((-1L, vector)).toDF(idCol, vecCol)
+      val q = Seq((sentinelId, vector)).toDF(idCol, vecCol)
       graft.llm.Similarity
-        .ivfPqTopKIndexed(q, index, idCol, vecCol, k, nProbe)
-        .select(col("neighbor_id"), col("rank"), col("adist"))
+        .ivfPqTopKReranked(q, index, corpus, idCol, vecCol, k, nProbe, overFetch)
+        .select(col("neighbor_id"), col("rank"), col("cos"))
     }
   }
 }

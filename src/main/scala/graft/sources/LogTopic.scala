@@ -114,23 +114,80 @@ object LogTopic {
     p.getFileName.toString.stripPrefix("p").stripSuffix(".log").toInt
 
   /** Driver-side incremental scan cache: file → (bytes examined,
-    * byte position after the last '\n' seen). A trigger re-reads only
-    * the bytes appended since the previous trigger. */
+    * byte position after the last '\n' seen, cumulative complete lines
+    * from byte 0 through that position). A trigger re-reads only the
+    * bytes appended since the previous trigger, and the line count
+    * rides along for free — finite-budget admission control needs
+    * per-partition BACKLOG ROWS every trigger, and without the count a
+    * deep backlog would be rescanned per trigger (O(backlog), not the
+    * O(new bytes) the source promises). */
   private val scanCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  /** file → (byte position → cumulative complete lines from 0).
+    * Populated at every position the driver hands out (trigger start/
+    * end offsets, admission-control advances), so backlog row counts
+    * between any two handed-out positions are pure cache lookups.
+    * After a restart the map is cold and the first trigger pays ONE
+    * O(position) count per partition to re-seed it. Bounded: positions
+    * below the smallest still-referenced offset are pruned once the
+    * map exceeds a soft cap. */
+  private val rowPosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[Long, Long]]()
+  private val RowPosCap = 4096
+
+  private def posRows(fileKey: String): java.util.concurrent.ConcurrentHashMap[Long, Long] =
+    rowPosCache.computeIfAbsent(fileKey, _ => {
+      val m = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      m.put(0L, 0L)
+      m
+    })
+
+  private def recordPosRows(fileKey: String, pos: Long, rows: Long): Unit = {
+    val m = posRows(fileKey)
+    m.put(pos, rows)
+    if (m.size > RowPosCap) {
+      // prune the oldest half — committed streams only move forward
+      val keys = m.keySet().toArray(Array.empty[java.lang.Long]).sorted
+      keys.take(keys.length / 2).foreach(k => if (k != 0L) m.remove(k))
+    }
+  }
+
+  /** Test hook: cold (full-scan) cumulative-row computations — steady
+    * state must not grow this, or admission control is rescanning
+    * backlogs per trigger. */
+  @volatile private[graft] var coldRowScans: Long = 0L
+
+  /** Cumulative complete lines from byte 0 to `pos` — cached; one
+    * O(pos) scan on a cold position (restart re-seed), lookups after. */
+  private[sources] def rowsAt(dir: String, partition: Int, pos: Long): Long = {
+    if (pos == 0L) return 0L
+    val p = Paths.get(dir, s"p$partition.log")
+    val key = p.toAbsolutePath.toString
+    val m = posRows(key)
+    val hit = m.get(pos)
+    if (hit != null) hit
+    else {
+      coldRowScans += 1
+      val n = countRows(dir, partition, 0L, pos)
+      recordPosRows(key, pos, n)
+      n
+    }
+  }
 
   /** Byte position just past the last COMPLETE ('\n'-terminated) line —
     * the visible end of the partition. Incremental: O(new bytes). */
   private def completeEnd(p: java.nio.file.Path): Long = {
     val key = p.toAbsolutePath.toString
     val size = Files.size(p)
-    val (scanned, end) = scanCache.getOrDefault(key, (0L, 0L))
+    val (scanned, end, rows) = scanCache.getOrDefault(key, (0L, 0L, 0L))
     if (size == scanned) end
     else if (size < scanned) { // truncated/recreated file: rescan
-      scanCache.remove(key); completeEnd(p)
+      scanCache.remove(key); rowPosCache.remove(key); completeEnd(p)
     } else {
       val ch = Files.newByteChannel(p, StandardOpenOption.READ)
       var newEnd = end
+      var newRows = rows
       try {
         ch.position(scanned)
         val buf = java.nio.ByteBuffer.allocate(1 << 16)
@@ -142,14 +199,15 @@ object LogTopic {
           else {
             var i = 0
             while (i < n) {
-              if (buf.get(i) == '\n') newEnd = pos + i + 1
+              if (buf.get(i) == '\n') { newEnd = pos + i + 1; newRows += 1 }
               i += 1
             }
             pos += n
           }
         }
       } finally ch.close()
-      scanCache.put(key, (size, newEnd))
+      scanCache.put(key, (size, newEnd, newRows))
+      recordPosRows(key, newEnd, newRows)
       newEnd
     }
   }
@@ -185,9 +243,24 @@ object LogTopic {
           pos += n
         }
       }
+      // seed the cumulative-rows cache at the position being handed out,
+      // so the NEXT trigger's backlog count for this partition is a pure
+      // lookup (only when `from` is already seeded — never force a scan)
+      val key = p.toAbsolutePath.toString
+      val base = posRows(key).get(from)
+      if (base != null) recordPosRows(key, last, base + rows)
       last
     } finally ch.close()
   }
+
+  /** Complete lines in [from, to) via the cumulative-position cache —
+    * O(1) when both endpoints were handed out by this driver (every
+    * steady-state trigger), one O(from) re-seed scan per partition
+    * after a restart. This is what keeps finite-budget admission
+    * control O(new bytes) per trigger even over a deep backlog. */
+  def backlogRows(dir: String, partition: Int, from: Long, to: Long): Long =
+    if (to <= from) 0L
+    else rowsAt(dir, partition, to) - rowsAt(dir, partition, from)
 
   /** Count complete lines in [from, to) — rows a planned range holds. */
   def countRows(dir: String, partition: Int, from: Long, to: Long): Long = {
@@ -309,14 +382,17 @@ class LogTopicMicroBatchStream(path: String, maxPerTrigger: Option[Long])
       case m: ReadMaxRows => m.maxRows()
       case _ => Long.MaxValue
     }
-    // backlog measured in ROWS only when a finite budget needs it
+    // backlog measured in ROWS only when a finite budget needs it —
+    // through the cumulative-position cache, so a deep backlog is NOT
+    // rescanned per trigger (one re-seed scan per partition after a
+    // restart, pure lookups in steady state)
     val states = end.toSeq.sortBy(_._1).map { case (p, e) =>
       (p, from.getOrElse(p, 0L), e)
     }
     if (budget == Long.MaxValue)
       return LogOffsets(states.map { case (p, _, e) => p -> e }.toMap)
     val withLag = states.map { case (p, s, e) =>
-      (p, s, e, LogTopic.countRows(path, p, s, e))
+      (p, s, e, LogTopic.backlogRows(path, p, s, e))
     }
     val out = scala.collection.mutable.Map[Int, Long]()
     var remainingBudget = budget
@@ -368,27 +444,37 @@ class LogReaderFactory extends PartitionReaderFactory {
         val raw = Files.newInputStream(Paths.get(p.path, s"p${p.partition}.log"))
         var toSkip = p.startByte
         while (toSkip > 0) { val k = raw.skip(toSkip); require(k > 0); toSkip -= k }
-        new java.io.BufferedReader(new java.io.InputStreamReader(raw, UTF_8))
+        new java.io.BufferedInputStream(raw, 1 << 16)
       }
       private var line: String = _
       private var pos = p.startByte     // byte position of the NEXT line start
       private var recordOffset = 0L     // byte position of the current record
+      private val lineBuf = new java.io.ByteArrayOutputStream(256)
 
       override def next(): Boolean = {
         if (pos >= p.endByte) false
         else {
-          line = in.readLine()
-          if (line == null) false
+          // BYTE-accurate line framing: offsets are byte positions, so
+          // the advance must count bytes actually consumed — this repo's
+          // writer emits ASCII, but an EXTERNAL producer appending
+          // multi-byte UTF-8 would silently desync a chars-as-bytes
+          // accounting (`line.length + 1`) mid-range; reading raw bytes
+          // and decoding per line keeps offsets exact for any charset
+          lineBuf.reset()
+          var consumed = 0L
+          var b = in.read()
+          while (b != -1 && b != '\n') { lineBuf.write(b); consumed += 1; b = in.read() }
+          if (b == -1 && lineBuf.size() == 0) false
           else {
+            if (b == '\n') consumed += 1
             recordOffset = pos
-            // line content is ASCII (digits + base64), 1 byte per char,
-            // +1 for the '\n' the writer always appends
-            pos += line.length + 1
+            pos += consumed
+            line = new String(lineBuf.toByteArray, UTF_8)
             true
           }
         }
       }
-      override def get(): InternalRow = {
+      override def get(): InternalRow = try {
         val c1 = line.indexOf(',')
         val c2 = line.indexOf(',', c1 + 1)
         val ts = line.substring(0, c1).toLong
@@ -396,6 +482,16 @@ class LogReaderFactory extends PartitionReaderFactory {
         val key = if (k.isEmpty) null else Base64.getDecoder.decode(k)
         val value = Base64.getDecoder.decode(line.substring(c2 + 1))
         InternalRow(key, value, topic, p.partition, recordOffset, ts * 1000L)
+      } catch {
+        // fail LOUDLY with the exact location: a record that isn't
+        // `epochMillis,base64,base64` (external producer, corruption)
+        // must name partition + byte offset, not surface as an opaque
+        // decode error — and never be silently skipped
+        case e @ (_: RuntimeException) =>
+          throw new IllegalStateException(
+            s"graft-log: malformed record at partition ${p.partition} " +
+              s"byte offset $recordOffset (expected 'epochMillis,base64,base64'): " +
+              s"'${line.take(80)}'", e)
       }
       override def close(): Unit = in.close()
     }

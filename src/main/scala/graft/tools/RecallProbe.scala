@@ -26,6 +26,15 @@ object RecallProbe {
       println(s"PROBE bits=$bits single=${mean(sp)} multi=${mean(mp)}")
     }
     println(s"PROBE ivf=${mean(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, 8, 2))}")
+    for (kc <- Seq(64, 256)) {
+      val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        nCells = 8, m = 8, kCodes = kc)
+      for (nProbe <- Seq(5, 6, 8); of <- Seq(10, 20)) {
+        val rr = Similarity.ivfPqTopKReranked(q, idx, emb, "vec_id", "embedding",
+          k = 5, nProbe = nProbe, overFetch = of)
+        println(s"PROBE ivfpq_rerank kCodes=$kc nProbe=$nProbe overFetch=$of recall=${mean(rr)}")
+      }
+    }
     spark.stop()
   }
 }

@@ -120,6 +120,42 @@ class HttpApiSpec extends AnyFunSuite with SparkSuite {
     assert(countRows(get("/features/by-ccnum/99").body()) == 0)
   }
 
+  test("chunked streaming: full-cap responses on all 4 handler threads concurrently") {
+    // a dedicated store with a response big enough that 4 concurrent
+    // full materializations WOULD have been 4 large driver strings —
+    // the chunked toLocalIterator path bounds heap at partitions, and
+    // every concurrent response must still arrive complete and valid
+    val bigPath = java.nio.file.Files.createTempDirectory("graft_http_big_").toString + "/offline"
+    val n = 20000
+    (0 until n).map(i => row(1000L + i % 50, i.toDouble, "2024-03-01 10:00:00", 0))
+      .toDS().toDF().repartition(8).write.parquet(bigPath)
+    val bigApi = new HttpApi(spark, new FeatureStore(spark, bigPath), maxRows = n)
+    bigApi.start()
+    try {
+      val b = s"http://127.0.0.1:${bigApi.boundPort}"
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val futures = (1 to 4).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[(Int, Int, Boolean)] {
+            override def call(): (Int, Int, Boolean) = {
+              val r = HttpClient.newHttpClient().send(
+                HttpRequest.newBuilder(URI.create(b + s"/features?limit=$n")).GET().build(),
+                HttpResponse.BodyHandlers.ofString())
+              val body = r.body()
+              (r.statusCode(), countRows(body),
+                body.startsWith("[") && body.endsWith("]"))
+            }
+          })
+        }
+        futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).foreach {
+          case (status, rows, wellFormed) =>
+            assert(status == 200 && rows == n && wellFormed,
+              s"concurrent full-cap response: status=$status rows=$rows ok=$wellFormed")
+        }
+      } finally pool.shutdown()
+    } finally bigApi.stop()
+  }
+
   test("unknown routes 404") {
     assert(get("/features/unknown/route").statusCode() == 404)
     assert(get("/transactions/1").statusCode() == 404)
@@ -149,7 +185,8 @@ class HttpApiSpec extends AnyFunSuite with SparkSuite {
       val ids = "\"neighbor_id\":(\\d+)".r.findAllMatchIn(ok.body())
         .map(_.group(1).toLong).toSeq
       assert(ids.length == 2 && !ids.contains(3L), ok.body())
-      assert(ok.body().contains("\"rank\":1") && ok.body().contains("\"adist\""))
+      // served scores are exact-rerank cosines, not raw ADC distances
+      assert(ok.body().contains("\"rank\":1") && ok.body().contains("\"cos\""))
       // bad id syntax and unknown ids are client errors, not 500s
       assert(g("/similar/abc").statusCode() == 400)
       val missing = g("/similar/999999999")

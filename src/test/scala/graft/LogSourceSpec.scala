@@ -229,6 +229,68 @@ class LogSourceSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(best.avg_amt_last_1_hour - 20.0) < 1e-9, best.toString)
   }
 
+  test("byte-accurate framing: records after a multi-byte foreign line read correctly; the foreign record fails LOUDLY with its location") {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.sources.{LogInputPartition, LogReaderFactory}
+    val dir = newTopic(1)
+    LogTopic.produce(dir, Seq(LogTopic.ProducerRecord(None, "first", 1L)))
+    // an EXTERNAL producer appends a complete but non-wire-format line
+    // containing multi-byte UTF-8 — chars-as-bytes offset accounting
+    // would desync every record after it
+    val foreign = "登録データ,пример,données\n"
+    val f = Paths.get(dir, "p0.log")
+    val foreignStart = Files.size(f)
+    Files.write(f, foreign.getBytes(UTF_8), StandardOpenOption.APPEND)
+    assert(foreign.length != foreign.getBytes(UTF_8).length,
+      "fixture must be multi-byte")
+    LogTopic.produce(dir, Seq(LogTopic.ProducerRecord(None, "after", 2L)))
+    val end = LogTopic.endOffsets(dir)(0)
+    val reader = new LogReaderFactory()
+      .createReader(LogInputPartition(dir, 0, 0L, end))
+    try {
+      assert(reader.next())
+      assert(new String(reader.get().getBinary(1), UTF_8) == "first")
+      assert(reader.next())
+      // the foreign record itself: loud, located failure — never skipped
+      val ex = intercept[IllegalStateException](reader.get())
+      assert(ex.getMessage.contains(s"byte offset $foreignStart"), ex.getMessage)
+      assert(ex.getMessage.contains("partition 0"), ex.getMessage)
+      // BYTE-accurate advance: the next frame starts exactly after the
+      // foreign line's BYTES, so the following record still parses
+      assert(reader.next())
+      assert(new String(reader.get().getBinary(1), UTF_8) == "after")
+      assert(!reader.next(), "no phantom records past the visible end")
+    } finally reader.close()
+  }
+
+  test("deep backlog: finite-budget admission plans triggers without rescanning the backlog (cumulative-row cache)") {
+    import graft.sources.{LogOffsets, LogTopicMicroBatchStream}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = newTopic(2)
+    // a deep pre-existing backlog: 2000 rows before the stream starts
+    LogTopic.produce(dir, (0 until 2000).map(i =>
+      LogTopic.ProducerRecord(Some(s"k${i % 16}"), s"v$i", 1L + i)))
+    val stream = new LogTopicMicroBatchStream(dir, Some(100L))
+    var cur: org.apache.spark.sql.connector.read.streaming.Offset = stream.initialOffset()
+    // first trigger may pay cold scans to seed the cache
+    cur = stream.latestOffset(cur, ReadLimit.maxRows(100))
+    val coldAfterFirst = LogTopic.coldRowScans
+    var drained = 0L
+    (1 to 10).foreach { _ =>
+      val next = stream.latestOffset(cur, ReadLimit.maxRows(100)).asInstanceOf[LogOffsets]
+      drained += next.counts.map { case (p, e) =>
+        LogTopic.countRows(dir, p, cur.asInstanceOf[LogOffsets].counts(p), e) }.sum
+      cur = next
+    }
+    assert(drained == 1000L, s"10 triggers x 100-row budget must admit 1000 rows, got $drained")
+    // steady state: every backlog row count is a cache lookup — zero
+    // additional cold scans across 10 triggers over the deep backlog
+    assert(LogTopic.coldRowScans == coldAfterFirst,
+      s"admission control rescanned the backlog: cold scans " +
+        s"$coldAfterFirst -> ${LogTopic.coldRowScans}")
+  }
+
   test("same key keeps per-partition ORDER across produce calls (offsets monotone in time)") {
     val dir = newTopic(4)
     (0 until 6).foreach { i =>

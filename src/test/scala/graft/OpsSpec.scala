@@ -511,4 +511,42 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
     assert(spark.read.parquet(out).count() == ev.count())
   }
+
+  test("Layout.compact: NULL-keyed partitions get their computed file budget (null-safe join)") {
+    val in = java.nio.file.Files.createTempDirectory("graft_null_in_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_null_out_").toString
+    // most rows land in the NULL partition (__HIVE_DEFAULT_PARTITION__)
+    val ev = Tables.load(spark, sf0001, "events")
+      .withColumn("part",
+        when(pmod($"user_id", lit(10)) === 0, lit("kept")).otherwise(lit(null)))
+    ev.repartition(12).write.mode("overwrite").partitionBy("part").parquet(in)
+    val target = 100L
+    // AQE's small-partition coalescing merges the (tiny) test buckets
+    // back into one task and would mask exactly the parallelism this
+    // test witnesses — disable it for the compact call only
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      Layout.compact(spark, in, out, Seq("part"), targetRowsPerFile = target)
+    } finally spark.conf.set(coalesceKey, prev)
+    val re = spark.read.parquet(out)
+    assert(re.count() == ev.count())
+    val nullRows = re.filter($"part".isNull).count()
+    assert(nullRows > target, "fixture must overflow one file in the NULL partition")
+    // the NULL partition must be WRITTEN IN PARALLEL across its
+    // ~ceil(n/target) bucket of tasks — a plain (non-null-safe) counts
+    // join would leave __files NULL for these rows, collapse them all
+    // into bucket 0, and serialize the whole partition through ONE
+    // write task (maxRecordsPerFile still splits the files, so file
+    // COUNT can't witness the bug; distinct writer-task prefixes can)
+    val nullDir = new java.io.File(out, "part=__HIVE_DEFAULT_PARTITION__")
+    assert(nullDir.isDirectory, s"missing ${nullDir}")
+    val taskPrefixes = nullDir.listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.split("-").take(2).mkString("-")).distinct
+    assert(taskPrefixes.length > 1,
+      s"NULL partition written by ${taskPrefixes.length} task(s) — " +
+        "its file budget was lost (non-null-safe counts join)")
+  }
 }

@@ -11,17 +11,22 @@ import org.apache.spark.sql.functions._
   * and runs the COMPLETE 13-column FeaturePipeline, printing wall-clock
   * as one JSON line. */
 object BenchPipeline {
-  def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Tables.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
-    val n = 1300000L
-    val txns = spark.range(0, n, 1, cpus.toInt).select(
+  /** Synthetic transactions in the reference's shape (983 cards —
+    * producer.py:14; exponential amounts, normal coords) with a
+    * LEARNABLE fraud process: fraud concentrates in very-high-amount
+    * transactions and in high-amount + far-from-merchant ones, plus a
+    * small id-keyed label-noise floor the features cannot explain —
+    * the reference's kaggle labels are likewise feature-predictable
+    * but not perfectly so, which is what makes its published
+    * accuracy/precision/recall/F1 a meaningful parity target
+    * (README.md:152-155). A label independent of every feature (the
+    * old `id % 200`) admits NO classifier better than the base rate,
+    * so metric parity would be vacuous. Deterministic given n. */
+  def syntheticTxns(spark: SparkSession, n: Long, parts: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).select(
+      $"id",
       timestamp_seconds(lit(1704067200L) + ($"id" * 37L) % 31536000L).as("trans_date_trans_time"),
       ($"id" % 983).as("cc_num"),
       element_at(array(lit("grocery"), lit("gas"), lit("food"), lit("travel"), lit("misc")),
@@ -33,8 +38,26 @@ object BenchPipeline {
       ($"id" % 100000 + 100).cast("int").as("city_pop"),
       timestamp_seconds(lit(315532800L) + ($"id" % 983) * 1000000L).as("dob"),
       (randn(3) * 5.1 + 38.5).as("merch_lat"),
-      (randn(4) * 13.7 - 90.2).as("merch_long"),
-      when($"id" % 200 === 0, 1).otherwise(0).cast("int").as("is_fraud"))
+      (randn(4) * 13.7 - 90.2).as("merch_long"))
+      .withColumn("is_fraud",
+        when($"amt" > 300.0, 1)
+          .when($"amt" > 220.0 && abs($"lat" - $"merch_lat") > 15.0, 1)
+          .when($"id" % 667 === 0, 1)
+          .otherwise(0).cast("int"))
+      .drop("id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val n = 1300000L
+    val txns = syntheticTxns(spark, n, cpus.toInt)
 
     val t0 = System.nanoTime()
     val out = batch.FeaturePipeline.features(txns)

@@ -225,4 +225,23 @@ class ServeMlSpec extends AnyFunSuite with SparkSuite {
     assert(out.columns.contains("fraud_pred"))
     assert(out.select("fraud_pred").as[Int].collect().forall(v => v == 0 || v == 1))
   }
+
+  test("metrics parity envelope vs the reference's published numbers (BASELINE.md)") {
+    // The reference publishes acc/prec/rec/F1 = 0.9714/0.9666/0.8564/
+    // 0.9080 for its feature-store-path model (README.md:152-155).
+    // Same pipeline shape here: BenchPipeline's learnable synthetic
+    // transactions -> the full 13-column FeaturePipeline -> balanced
+    // train -> fraud-class metrics. Measured at the 1.3M bench scale:
+    // 0.973/0.918/0.872/0.895 (PLANS.md r7 table); this spec re-runs
+    // the identical flow at 200k rows and floors the envelope so a
+    // pipeline/metric regression (label leak, wrong metricLabel,
+    // broken scaling) fails by name. Deterministic seeds throughout.
+    val txns = BenchPipeline.syntheticTxns(spark, 200000L, 4)
+    val feats = graft.batch.FeaturePipeline.features(txns)
+    val (_, m) = FraudModel.train(feats)
+    assert(m.accuracy >= 0.94, s"accuracy ${m.accuracy}")
+    assert(m.precision >= 0.85, s"fraud precision ${m.precision}")
+    assert(m.recall >= 0.80, s"fraud recall ${m.recall}")
+    assert(m.f1 >= 0.84, s"fraud F1 ${m.f1}")
+  }
 }

@@ -72,10 +72,20 @@ object Graph {
     * table hash-partitioned on src — reused every superstep; the
     * serialized persist preserves the partitioning so each round's join
     * reuses it and only the node-sized rank table moves (AQE usually
-    * broadcasts it). The edge table never re-shuffles after this. */
+    * broadcasts it). The edge table never re-shuffles after this.
+    *
+    * Two costs the 10⁸-edge hub probe surfaced and this layout removes:
+    * (1) deg is CONSUMED TWICE (the ed build and the rank/base init) —
+    * uncached, the second use re-aggregated the full edge table (~50 s
+    * at 58 M edges), so the node-sized deg persists alongside ed;
+    * (2) the ed build join defaulted to sort-merge, sorting all edges
+    * once — the SHUFFLE_HASH hint streams the edge side against a
+    * per-partition hash map of the node-sized deg instead (build side
+    * is nodes/shuffle-partitions rows; size shuffle partitions to the
+    * node count at extreme scale). */
   private def messageTable(e: DataFrame, track: Caches): (DataFrame, DataFrame) = {
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    (deg, matEdges(e.join(deg, "src").repartition(col("src")), track))
+    val deg = matEdges(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), track)
+    (deg, matEdges(e.join(deg.hint("SHUFFLE_HASH"), "src").repartition(col("src")), track))
   }
 
   /** PageRank with INTEGER micro-unit ranks — deterministic on any

@@ -316,6 +316,19 @@ object HttpApi {
       corpus: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, nProbe: Int = 6, overFetch: Int = 10): AnnBackend = new AnnBackend {
     import org.apache.spark.sql.functions.{col, min}
+    // The code table is the search's inner loop and is INDEX-scale
+    // (m bytes/vector) — persist it once for the backend's lifetime.
+    // A freshly-built index's codes are otherwise a LAZY encode plan
+    // that re-encodes the corpus on EVERY request (measured: ~2x the
+    // /similar latency); a reloaded index re-scans parquet per probe.
+    // The backend owns this cache for as long as it serves (the
+    // serving process's working set, not a leak — one table, bounded).
+    private val servingIndex = {
+      val cached = index.codes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      cached.count()
+      index.copy(codes = cached)
+    }
     // The POST path tags its raw query vector with a sentinel id that
     // must not collide with any stored id (the id-based self-exclusion
     // inside the ADC pass would silently drop that stored vector from
@@ -324,7 +337,7 @@ object HttpApi {
     // forbids negatives, so the old "-1 can't collide" assumption was
     // exactly the kind that fails silently.
     private val sentinelId: Long = {
-      val minId = index.codes.agg(min(col("neighbor_id"))).head().getLong(0)
+      val minId = servingIndex.codes.agg(min(col("neighbor_id"))).head().getLong(0)
       require(minId > Long.MinValue,
         s"corpus contains id ${Long.MinValue} — no sentinel id available for raw-vector serving")
       Long.MinValue
@@ -334,7 +347,7 @@ object HttpApi {
       require(q.limit(1).count() == 1, s"unknown $idCol: $vecId")
       // the ADC shortlist already excludes the query row itself
       graft.llm.Similarity
-        .ivfPqTopKReranked(q, index, corpus, idCol, vecCol, k, nProbe, overFetch)
+        .ivfPqTopKReranked(q, servingIndex, corpus, idCol, vecCol, k, nProbe, overFetch)
         .select(col("neighbor_id"), col("rank"), col("cos"))
     }
     override def similarTo(vector: Array[Double], k: Int): org.apache.spark.sql.DataFrame = {
@@ -345,7 +358,7 @@ object HttpApi {
       import spark.implicits._
       val q = Seq((sentinelId, vector)).toDF(idCol, vecCol)
       graft.llm.Similarity
-        .ivfPqTopKReranked(q, index, corpus, idCol, vecCol, k, nProbe, overFetch)
+        .ivfPqTopKReranked(q, servingIndex, corpus, idCol, vecCol, k, nProbe, overFetch)
         .select(col("neighbor_id"), col("rank"), col("cos"))
     }
   }

@@ -98,9 +98,12 @@ object RankProbe {
     // SPARK_GRAFT_HUB_EDGES sweeps → hub degree scales with the sweep.
     val hubN = sys.env.getOrElse("SPARK_GRAFT_HUB_NODES", "20000").toLong
     val hubE = sys.env.getOrElse("SPARK_GRAFT_HUB_EDGES", "2000000").toLong
+    // 1e8-step quantization of the log-uniform inverse CDF: the r6
+    // 1e6-step version capped the DISTINCT node count at ~300 k (and
+    // with it the hub's possible degree) once hubN grew past 10⁶
     def zipf(h: org.apache.spark.sql.Column) =
       least(lit(hubN), greatest(lit(1L),
-        floor(exp(pmod(h, lit(1000000L)).cast("double") / 1000000.0
+        floor(exp(pmod(h, lit(100000000L)).cast("double") / 100000000.0
           * log(lit(hubN.toDouble)))))).cast("long")
     val half = spark.range(hubE).select(
       zipf(xxhash64(col("id"), lit("s"))).as("a"),

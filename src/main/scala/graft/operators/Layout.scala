@@ -95,6 +95,62 @@ object Layout {
     walk(p)
   }
 
+  /** Per-FILE zone map (min/max/null-count envelope) over `cols` — the
+    * data-skipping index Delta/Iceberg keep in their metadata layer,
+    * built here as a plain DataFrame from one column-pruned scan using
+    * the `_metadata.file_path` hidden column. At 100 TB the build cost
+    * is one scan of ONLY the indexed columns (ReadSchema stays pruned;
+    * `_metadata` is constant-folded per file, not read from disk), and
+    * the manifest is file-count-sized — the same budget any table
+    * format's metadata layer holds. The groupBy key is the file itself,
+    * so the index is incremental BY CONSTRUCTION: index only the files
+    * a new batch appended and union with the stored manifest.
+    *
+    * Schema: `file`, `n_rows`, then per col `<c>_min`, `<c>_max`,
+    * `<c>_nulls`. An all-null file surfaces NULL min/max (a range
+    * envelope then evaluates NULL → the file prunes, which is correct:
+    * NULLs never satisfy a range predicate). */
+  def zoneMap(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zoneMap: no columns")
+    val df = spark.read.parquet(path)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+      min(col(c)).as(s"${c}_min"),
+      max(col(c)).as(s"${c}_max"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    }
+    df.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Envelope-intersection predicate over a [[zoneMap]] manifest: true
+    * when the file MIGHT contain a row with `c` in [lo, hi] — the
+    * file-skipping test for a range/equality predicate (equality =
+    * lo == hi). NULL-only files evaluate NULL → pruned (correct for
+    * range predicates; use `col(s"${c}_nulls") > 0` for IS NULL). */
+  def rangeEnvelope(c: String, lo: Column, hi: Column): Column =
+    col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
+
+  /** Files surviving a skipping predicate over the manifest's stats
+    * columns. Driver-bounded at manifest scale (file paths only) —
+    * exactly what every query planner holds to enumerate a scan's
+    * splits. AND several [[rangeEnvelope]]s for a multi-dimensional box
+    * (tight in every dimension after a [[zorderBy]] layout). */
+  def pruneFiles(zmap: DataFrame, keep: Column): Seq[String] =
+    zmap.filter(keep).select("file").collect().map(_.getString(0)).toSeq
+
+  /** Scan ONLY the surviving files. Pruning is a correctness-neutral
+    * SUPERSET: the caller still applies the exact row predicate — the
+    * zone map only removed files that could not contain a match, the
+    * same contract as parquet row-group min/max skipping one level up.
+    * Empty survivor list → empty relation with the schema read from the
+    * full path (a query whose box misses every file must still resolve). */
+  def prunedParquet(spark: SparkSession, path: String,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.read.parquet(path).limit(0)
+    else spark.read.parquet(files: _*)
+
   /** Small-file compaction for a hive-partitioned parquet table — the
     * maintenance op every streaming ingest needs: each micro-batch
     * appends a file per partition, and a year of 1-minute batches turns

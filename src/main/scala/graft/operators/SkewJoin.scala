@@ -52,4 +52,31 @@ object SkewJoin {
     df.withColumn("__salt", pmod(hash(saltSource), lit(factor)))
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
       .groupBy(col(key)).agg(sum(col("__partial")).as("n"))
+
+  /** Bloom-prefiltered inner equi-join: when `dim` is too big to
+    * broadcast but still far more selective than `fact` (the classic
+    * "join 100 TB of lineitems to this month's flagged orders"), the
+    * dominant cost is shuffling ALL of `fact` — including the ~99 % of
+    * rows that will never find a partner. Build a Bloom filter of the
+    * dim keys (one tiny distributed aggregate; ~1.2 MB plan literal per
+    * million keys at 1 % fpp) and drop non-matching fact rows BEFORE
+    * the exchange, inside the scan's whole-stage codegen.
+    *
+    * Result is EXACTLY the plain inner join: the Bloom pass admits a
+    * superset (no false negatives), and the real join discards the
+    * false positives. Spark's own `InjectRuntimeFilter` does this
+    * opportunistically when its thresholds line up; this is the
+    * explicit, threshold-free form for when the pipeline KNOWS the
+    * selectivity (same machinery — `expr.Bloom` wraps the internal
+    * BloomFilterAggregate / BloomFilterMightContain pair).
+    *
+    * `expectedItems <= 0` derives the build size from a dim count (one
+    * extra O(dim) job); pass the known cardinality to skip it. */
+  def bloomEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val items = if (expectedItems > 0) expectedItems else dim.count()
+    val bloom = graft.expr.Bloom.build(dim, key, items, fpp)
+    fact.filter(graft.expr.Bloom.mightContain(bloom, fact(key)))
+      .join(dim, key)
+  }
 }

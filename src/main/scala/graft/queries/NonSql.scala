@@ -128,6 +128,31 @@ object NonSql {
       .orderBy($"c_mktsegment")
   }
 
+  // S17: zone-map pruned scan — the data-skipping layer a 100 TB table
+  // lives or dies by: orders is laid out range-partitioned on
+  // o_totalprice (disjoint per-file envelopes — what any sorted or
+  // z-ordered ingest produces), indexed with Layout.zoneMap, a price
+  // box prunes the file list, and ONLY the survivors are scanned before
+  // the exact predicate applies. The oracle is the same filter over the
+  // FULL table — skipping must be result-invisible (LayoutSpec asserts
+  // files were actually skipped and that a z-ordered layout prunes on
+  // BOTH box dimensions; here the driver checks the values).
+  val s17ZonemapPrune: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_zm_").toString
+    t(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .repartitionByRange(8, $"o_totalprice")
+      .write.mode("overwrite").parquet(tmp)
+    val zm = graft.operators.Layout.zoneMap(s, tmp, Seq("o_totalprice"))
+    val files = graft.operators.Layout.pruneFiles(zm,
+      graft.operators.Layout.rangeEnvelope("o_totalprice",
+        lit(50000.0), lit(150000.0)))
+    graft.operators.Layout.prunedParquet(s, tmp, files)
+      .filter($"o_totalprice".between(50000.0, 150000.0))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -302,7 +327,8 @@ object NonSql {
     "a3_sliding_window_batch" -> slidingWindowBatch,
     "ml_feature_transform" -> mlFeatureTransform,
     "mm_decode_meta" -> mmDecode,
-    "s5_log_roundtrip" -> s5LogRoundtrip
+    "s5_log_roundtrip" -> s5LogRoundtrip,
+    "s17_zonemap_prune" -> s17ZonemapPrune
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -342,6 +368,10 @@ object NonSql {
       ("SELECT event_type, COUNT(*) AS n, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events WHERE event_id < 2000 " +
-        "GROUP BY event_type ORDER BY event_type")
+        "GROUP BY event_type ORDER BY event_type"),
+    "s17_zonemap_prune" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice BETWEEN 50000.0 AND 150000.0 " +
+        "ORDER BY o_orderkey")
   )
 }

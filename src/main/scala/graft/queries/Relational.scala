@@ -525,6 +525,27 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  // J14 Bloom-prefiltered join: the dim (terminal high-value orders) is
+  // selective but above any broadcast budget at 100 TB, so the win is
+  // dropping the ~97 % of lineitems with no partner BEFORE the fact
+  // shuffle — a distributed BloomFilterAggregate build, a codegen'd
+  // might_contain in the scan stage. Prefiltering must be
+  // RESULT-invisible (false positives die in the real join; no false
+  // negatives exist) — the oracle is the PLAIN join aggregate.
+  val j14BloomJoin: Q = (s, dir) => {
+    import s.implicits._
+    val dim = t(s, dir, "orders")
+      .filter($"o_orderstatus" === "F" && $"o_totalprice" > 150000.0)
+      .select($"o_orderkey".as("l_orderkey"))
+    graft.operators.SkewJoin.bloomEquiJoin(
+        t(s, dir, "lineitem").select($"l_orderkey", $"l_returnflag", $"l_quantity"),
+        dim, "l_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   // P11 subquery surface: correlated scalar subquery (each order vs its
   // customer's average) + EXISTS probe, both through spark.sql.
   // Catalyst rewrites the scalar subquery to an aggregate + join
@@ -1166,6 +1187,7 @@ object Relational {
     "j11_pit_tolerance" -> j11PitTolerance,
     "j12_lateral" -> j12Lateral,
     "j13_salted_skew_join" -> j13SaltedSkewJoin,
+    "j14_bloom_join" -> j14BloomJoin,
     "p11_subqueries" -> p11Subqueries,
     "w10_cume_dist" -> w10CumeDist,
     "w11_ewma" -> w11Ewma,
@@ -1594,6 +1616,14 @@ object Relational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".sm,
+    "j14_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0) o
+        |ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".sm,
     "j12_lateral" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
         |FROM orders o JOIN LATERAL (

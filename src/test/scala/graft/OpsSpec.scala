@@ -363,6 +363,129 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(laid.exceptAll(df).isEmpty && df.exceptAll(laid).isEmpty)
   }
 
+  // ---------------- zone map (file-skipping index) ----------------
+
+  test("zoneMap: per-file envelopes reconstruct the global stats and index incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmx_").toString
+    val df = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        // a column WITH nulls, so the null accounting is exercised
+        when($"o_orderkey" % 3 === 0, $"o_custkey").as("c_sparse"))
+    df.repartitionByRange(6, $"o_totalprice").write.mode("overwrite").parquet(dir)
+    val zm = Layout.zoneMap(spark, dir, Seq("o_totalprice", "c_sparse"))
+    assert(zm.count() == Layout.parquetFileCount(spark, dir),
+      "one manifest row per data file")
+    val g = zm.agg(sum($"n_rows"), min($"o_totalprice_min"),
+      max($"o_totalprice_max"), sum($"c_sparse_nulls")).head
+    val e = df.agg(count(lit(1)), min($"o_totalprice"), max($"o_totalprice"),
+      sum(when($"c_sparse".isNull, 1L).otherwise(0L))).head
+    assert(g.getLong(0) == e.getLong(0) && g.getLong(3) == e.getLong(3))
+    assert(g.getDouble(1) == e.getDouble(1) && g.getDouble(2) == e.getDouble(2))
+    // incremental by construction: indexing ONE file alone reproduces
+    // exactly that file's manifest row (append batches index only their
+    // own files and union with the stored manifest)
+    val one = zm.orderBy($"file").head.getString(0)
+    val inc = Layout.zoneMap(spark, one, Seq("o_totalprice", "c_sparse"))
+    assert(inc.exceptAll(zm.filter($"file" === one)).isEmpty && inc.count() == 1)
+  }
+
+  test("zoneMap pruning: skips files, stays a result-superset, handles empty and all-null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmp_").toString
+    Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .repartitionByRange(8, $"o_totalprice").write.mode("overwrite").parquet(dir)
+    val zm = Layout.zoneMap(spark, dir, Seq("o_totalprice"))
+    val lo = lit(50000.0); val hi = lit(100000.0)
+    val files = Layout.pruneFiles(zm, Layout.rangeEnvelope("o_totalprice", lo, hi))
+    val total = Layout.parquetFileCount(spark, dir)
+    assert(files.nonEmpty && files.size < total,
+      s"a narrow box over a range-partitioned layout must skip files (kept ${files.size}/$total)")
+    val exact = spark.read.parquet(dir)
+      .filter($"o_totalprice".between(50000.0, 100000.0))
+    val pruned = Layout.prunedParquet(spark, dir, files)
+      .filter($"o_totalprice".between(50000.0, 100000.0))
+    assert(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty)
+    // a box missing every envelope → zero files; the scan still resolves
+    val none = Layout.pruneFiles(zm,
+      Layout.rangeEnvelope("o_totalprice", lit(-2.0), lit(-1.0)))
+    assert(none.isEmpty)
+    val empty = Layout.prunedParquet(spark, dir, none)
+    assert(empty.schema == exact.schema && empty.count() == 0)
+    // all-null file: NULL min/max → the range envelope prunes it
+    // (correct — NULL never satisfies a range predicate); IS NULL
+    // queries route on the nulls count instead
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_zmn_").toString
+    spark.range(10).select(lit(null).cast("double").as("v")).coalesce(1)
+      .write.mode("overwrite").parquet(dir2)
+    spark.range(10).select(($"id" + 1.0).as("v")).coalesce(1)
+      .write.mode("append").parquet(dir2)
+    val zm2 = Layout.zoneMap(spark, dir2, Seq("v"))
+    assert(Layout.pruneFiles(zm2,
+      Layout.rangeEnvelope("v", lit(1.0), lit(5.0))).size == 1)
+    assert(Layout.pruneFiles(zm2, $"v_nulls" > 0).size == 1)
+  }
+
+  test("zoneMap + zorderBy: a 2-D box prunes files in BOTH dims; linear sort cannot") {
+    val df = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val r = df.agg(min($"l_orderkey"), max($"l_orderkey"),
+      min($"l_partkey"), max($"l_partkey")).head
+    // a box covering ~25 % of each dim's range
+    val (oLo, oHi) = (r.getLong(0), r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 4)
+    val (pLo, pHi) = (r.getLong(2), r.getLong(2) + (r.getLong(3) - r.getLong(2)) / 4)
+    // one file per range partition (no maxRecordsPerFile splitting):
+    // deterministic file counts, so the z-vs-linear comparison is a
+    // property of the LAYOUT, not of write-task row distribution
+    def survivors(laid: org.apache.spark.sql.DataFrame): (Seq[String], Long, String) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zmz_").toString
+      laid.write.mode("overwrite").parquet(dir)
+      val zm = Layout.zoneMap(spark, dir, Seq("l_orderkey", "l_partkey"))
+      val kept = Layout.pruneFiles(zm,
+        Layout.rangeEnvelope("l_orderkey", lit(oLo), lit(oHi)) &&
+        Layout.rangeEnvelope("l_partkey", lit(pLo), lit(pHi)))
+      (kept, Layout.parquetFileCount(spark, dir), dir)
+    }
+    val (zKept, zTotal, zDir) = survivors(
+      Layout.zorderBy(df, Seq("l_orderkey", "l_partkey"), bits = 8, numPartitions = 64))
+    val (lKept, lTotal, lDir) = survivors(
+      df.repartitionByRange(64, $"l_orderkey").sortWithinPartitions($"l_orderkey"))
+    // the linear sort prunes on its leading dim only (~1/4 of files stay
+    // by orderkey; partkey skips nothing inside them). Z-order must keep
+    // a smaller fraction — both box dims contribute.
+    assert(zKept.size.toDouble / zTotal < lKept.size.toDouble / lTotal,
+      s"z-order must out-prune the linear layout: z=${zKept.size}/$zTotal linear=${lKept.size}/$lTotal")
+    // and both layouts agree with the exact filter
+    val want = df.filter($"l_orderkey".between(oLo, oHi) && $"l_partkey".between(pLo, pHi))
+    for ((kept, dir) <- Seq((zKept, zDir), (lKept, lDir))) {
+      val got = Layout.prunedParquet(spark, dir, kept)
+        .filter($"l_orderkey".between(oLo, oHi) && $"l_partkey".between(pLo, pHi))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
+  // ---------------- bloom-prefiltered join ----------------
+
+  test("bloomEquiJoin: exactly the plain inner join; the prefilter actually thins the fact side") {
+    import graft.operators.SkewJoin
+    val fact = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val dim = Tables.load(spark, sf0001, "orders")
+      .filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    val got = SkewJoin.bloomEquiJoin(fact, dim, "l_orderkey")
+    val want = fact.join(dim, "l_orderkey")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the prefilter passes matches + at most ~fpp of the rest (no false
+    // negatives is the correctness property; thinning is the point)
+    val bloom = graft.expr.Bloom.build(dim, "l_orderkey", dim.count())
+    val passed = fact.filter(graft.expr.Bloom.mightContain(bloom, $"l_orderkey")).count()
+    val matching = fact.join(dim.select("l_orderkey"), "l_orderkey").count()
+    val nonMatching = fact.count() - matching
+    assert(passed >= matching, "a Bloom prefilter must never drop a real match")
+    assert(passed - matching <= (nonMatching * 0.05).toLong + 10,
+      s"prefilter admitted ${passed - matching} of $nonMatching non-matching rows")
+  }
+
   // The hive-style partitioned layout is THE 100 TB table format: one
   // directory per partition value, scans prune at the directory level
   // before reading a byte, and incremental loads rewrite only the

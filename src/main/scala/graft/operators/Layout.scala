@@ -1,8 +1,16 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering, the
   * standard answer to "queries filter on BOTH x and y but a sort can
@@ -150,6 +158,70 @@ object Layout {
     if (files.isEmpty)
       spark.read.parquet(path).limit(0)
     else spark.read.parquet(files: _*)
+
+  /** Per-FILE Bloom-filter index over `keyCol` — the point-lookup
+    * complement to [[zoneMap]]: when keys are hash-scattered across
+    * files (any layout not sorted on the key), every file's min/max
+    * envelope spans the whole domain and range pruning keeps
+    * everything; a per-file Bloom answers "might THIS file contain key
+    * k" and prunes to ~1 file + fpp·files. Same structure parquet's own
+    * column bloom filters and Delta's BLOOMFILTER index hold, built as
+    * a plain manifest DataFrame: one column-pruned scan, one grouped
+    * `BloomFilterAggregate` per file (partial blobs OR-merged across
+    * partitions — never a per-item driver loop).
+    *
+    * `expectedItemsPerFile` sizes the filter (≈18 KB/file at 4 k items,
+    * 1 % fpp). Undersizing SATURATES the filter — fpp rises, more files
+    * survive — but never drops a real match: pruning stays a
+    * correctness-neutral superset. NULL keys hash to the seed value;
+    * equality probes are for non-null keys (SQL `=` never matches NULL).
+    *
+    * The manifest records `key_type` (the indexed column's Catalyst
+    * type as JSON) because xxhash64 is WIDTH-SENSITIVE: an Int probe
+    * against a Long-typed index would silently hash differently and
+    * miss every file. [[pruneFilesByKeys]] casts probe keys to the
+    * recorded type, so the manifest is self-contained and survives a
+    * parquet round-trip — persist it next to the table exactly like a
+    * table format's metadata layer. */
+  def bloomIndex(spark: SparkSession, path: String, keyCol: String,
+      expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItemsPerFile > 0, "bloomIndex: expectedItemsPerFile must be > 0")
+    val df = spark.read.parquet(path)
+    val keyType = df.schema(keyCol).dataType
+    val numBits = BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(expression(col(keyCol)))),
+      Literal(expectedItemsPerFile), Literal(numBits)).toAggregateExpression()
+    df.select(col("_metadata.file_path").as("file"), col(keyCol))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"), column(agg).as("key_bloom"))
+      .withColumn("key_type", lit(keyType.json))
+  }
+
+  /** Files that MIGHT contain any of `keys` per a [[bloomIndex]]
+    * manifest: no false negatives (the survivor scan + exact predicate
+    * equals the full-table filter), ~fpp false positives. The manifest
+    * is collected and probed driver-side — file-count-sized, the same
+    * budget [[pruneFiles]] and every planner's split enumeration hold —
+    * and each probe key is cast to the recorded `key_type` before
+    * hashing (see the width-sensitivity note on [[bloomIndex]]). */
+  def pruneFilesByKeys(index: DataFrame, keys: Seq[Any]): Seq[String] = {
+    require(keys.nonEmpty, "pruneFilesByKeys: no keys")
+    val rows = index.select("file", "key_bloom", "key_type").collect()
+    if (rows.isEmpty) return Seq.empty
+    val keyType = DataType.fromJson(rows.head.getString(2))
+    val hashes = keys.map { k =>
+      val cast = Cast(Literal(k), keyType, Some("UTC")).eval(InternalRow.empty)
+      require(cast != null, s"pruneFilesByKeys: key $k is null or not castable to $keyType")
+      new XxHash64(Seq(Literal.create(cast, keyType)))
+        .eval(InternalRow.empty).asInstanceOf[Long]
+    }
+    rows.toSeq.flatMap { r =>
+      val bf = BloomFilter.readFrom(
+        new ByteArrayInputStream(r.getAs[Array[Byte]]("key_bloom")))
+      if (hashes.exists(bf.mightContainLong)) Some(r.getString(0)) else None
+    }
+  }
 
   /** Small-file compaction for a hive-partitioned parquet table — the
     * maintenance op every streaming ingest needs: each micro-batch

@@ -153,6 +153,29 @@ object NonSql {
       .orderBy($"o_orderkey")
   }
 
+  // S18: Bloom-index point lookup — the skipping case zone maps CANNOT
+  // serve: orders is laid out hash-scattered by an UNRELATED column
+  // (o_custkey), so every file's o_orderkey min/max envelope spans the
+  // whole domain and range pruning keeps all files. The per-file Bloom
+  // index prunes a 3-key IN-list to the ~3 containing files (+fpp)
+  // before the scan; the exact IN predicate then applies. Oracle = the
+  // same IN over the FULL table — skipping must be result-invisible.
+  val s18BloomPointLookup: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_bi_").toString
+    val orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    orders.repartition(8, $"o_custkey").write.mode("overwrite").parquet(tmp)
+    val perFile = (orders.count() / 8L).max(1L)
+    val idx = graft.operators.Layout.bloomIndex(s, tmp, "o_orderkey", perFile)
+    val keys: Seq[Any] = Seq(7L, 128L, 1201L)
+    val files = graft.operators.Layout.pruneFilesByKeys(idx, keys)
+    graft.operators.Layout.prunedParquet(s, tmp, files)
+      .filter($"o_orderkey".isin(keys: _*))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -328,7 +351,8 @@ object NonSql {
     "ml_feature_transform" -> mlFeatureTransform,
     "mm_decode_meta" -> mmDecode,
     "s5_log_roundtrip" -> s5LogRoundtrip,
-    "s17_zonemap_prune" -> s17ZonemapPrune
+    "s17_zonemap_prune" -> s17ZonemapPrune,
+    "s18_bloom_point_lookup" -> s18BloomPointLookup
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -372,6 +396,9 @@ object NonSql {
     "s17_zonemap_prune" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_totalprice BETWEEN 50000.0 AND 150000.0 " +
-        "ORDER BY o_orderkey")
+        "ORDER BY o_orderkey"),
+    "s18_bloom_point_lookup" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey IN (7, 128, 1201) ORDER BY o_orderkey")
   )
 }

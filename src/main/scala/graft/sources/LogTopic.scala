@@ -132,13 +132,17 @@ object LogTopic {
     * O(position) count per partition to re-seed it. Bounded: positions
     * below the smallest still-referenced offset are pruned once the
     * map exceeds a soft cap. */
+  // value type is BOXED java.lang.Long deliberately: a Scala-Long-valued
+  // java map silently unboxes an absent key's null to 0L, turning every
+  // cache miss into "cumulative rows = 0" instead of a cold re-scan —
+  // the boxed value keeps misses null-checkable
   private val rowPosCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[Long, Long]]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]]()
   private val RowPosCap = 4096
 
-  private def posRows(fileKey: String): java.util.concurrent.ConcurrentHashMap[Long, Long] =
+  private def posRows(fileKey: String): java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long] =
     rowPosCache.computeIfAbsent(fileKey, _ => {
-      val m = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val m = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
       m.put(0L, 0L)
       m
     })
@@ -160,13 +164,13 @@ object LogTopic {
 
   /** Cumulative complete lines from byte 0 to `pos` — cached; one
     * O(pos) scan on a cold position (restart re-seed), lookups after. */
-  private[sources] def rowsAt(dir: String, partition: Int, pos: Long): Long = {
+  private[graft] def rowsAt(dir: String, partition: Int, pos: Long): Long = {
     if (pos == 0L) return 0L
     val p = Paths.get(dir, s"p$partition.log")
     val key = p.toAbsolutePath.toString
     val m = posRows(key)
     val hit = m.get(pos)
-    if (hit != null) hit
+    if (hit != null) hit.longValue
     else {
       coldRowScans += 1
       val n = countRows(dir, partition, 0L, pos)
@@ -248,7 +252,7 @@ object LogTopic {
       // lookup (only when `from` is already seeded — never force a scan)
       val key = p.toAbsolutePath.toString
       val base = posRows(key).get(from)
-      if (base != null) recordPosRows(key, last, base + rows)
+      if (base != null) recordPosRows(key, last, base.longValue + rows)
       last
     } finally ch.close()
   }

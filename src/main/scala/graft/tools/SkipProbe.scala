@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Layout, SkewJoin}
+
+/** Dev probe: measure what the round-7 skipping layer actually BUYS at
+  * scale — wall-clock for the skipped plan vs its full-scan/plain twin
+  * on the same data, plus the files-kept ratio. Three shapes:
+  *
+  *   1. zone-map range box over a range-partitioned layout (the
+  *      sorted-ingest case): pruned scan vs full scan + filter
+  *   2. bloom point lookup over a hash-scattered layout (the case zone
+  *      maps cannot serve): pruned scan vs full scan + IN
+  *   3. bloomEquiJoin vs the plain join for a selective
+  *      above-broadcast dim (measures the avoided fact shuffle)
+  *
+  * Each result is identical between the pair BY CONSTRUCTION (the
+  * oracle queries prove it at sf0.01); this probe reports the price.
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.tools.SkipProbe
+  */
+object SkipProbe {
+  private def timed(label: String)(f: => Long): (Double, Long) = {
+    f // warm
+    val runs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val best = runs.minBy(_._1)
+    println(f"  $label%-34s ${best._1}%7.3f s  (${best._2} rows)")
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/tmp/sf1")
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // ---- 1. zone map: range box over a sorted (range-partitioned) layout
+    val zdir = java.nio.file.Files.createTempDirectory("graft_skipz_").toString
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_quantity")
+    li.repartitionByRange(64, $"l_extendedprice")
+      .write.mode("overwrite").parquet(zdir)
+    val zm = Layout.zoneMap(spark, zdir, Seq("l_extendedprice")).cache()
+    zm.count()
+    val (lo, hi) = (20000.0, 25000.0)
+    val kept = Layout.pruneFiles(zm, Layout.rangeEnvelope("l_extendedprice", lit(lo), lit(hi)))
+    val ztotal = Layout.parquetFileCount(spark, zdir)
+    println(s"zone-map box [$lo,$hi]: kept ${kept.size}/$ztotal files")
+    timed("full scan + filter") {
+      spark.read.parquet(zdir).filter($"l_extendedprice".between(lo, hi)).count()
+    }
+    timed("zone-map pruned scan + filter") {
+      Layout.prunedParquet(spark, zdir, kept)
+        .filter($"l_extendedprice".between(lo, hi)).count()
+    }
+
+    // ---- 2. bloom index: point lookups over a hash-scattered layout
+    val bdir = java.nio.file.Files.createTempDirectory("graft_skipb_").toString
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    orders.repartition(64, $"o_custkey").write.mode("overwrite").parquet(bdir)
+    val perFile = (orders.count() / 64).max(1)
+    val t0 = System.nanoTime()
+    val idx = Layout.bloomIndex(spark, bdir, "o_orderkey", perFile).cache()
+    idx.count()
+    println(f"bloom index build: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      s"(${idx.count()} files, ~${perFile} items/file)")
+    val keys: Seq[Any] = (1L to 8L).map(_ * 101L)
+    val bkept = Layout.pruneFilesByKeys(idx, keys)
+    println(s"bloom lookup ${keys.size} keys: kept ${bkept.size}/64 files")
+    timed("full scan + IN") {
+      spark.read.parquet(bdir).filter($"o_orderkey".isin(keys: _*)).count()
+    }
+    timed("bloom pruned scan + IN") {
+      Layout.prunedParquet(spark, bdir, bkept)
+        .filter($"o_orderkey".isin(keys: _*)).count()
+    }
+
+    // ---- 3. bloom-prefiltered join vs plain join: a dim-SELECTIVITY
+    // sweep, because the tradeoff is build-cost vs avoided-shuffle and
+    // the crossover is the number a pipeline author needs. AQE off for
+    // the pairs so both sides run the same static plan shape (AQE's own
+    // runtime bloom/broadcast decisions would blur the diff); broadcast
+    // off because the PREMISE is a dim above broadcast budget.
+    val fact = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+    println(s"join sweep: fact=${fact.count()}")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (frac <- Seq(0.2, 0.02, 0.002)) {
+      val dim = Tables.load(spark, dir, "orders")
+        .sample(withReplacement = false, frac, seed = 42)
+        .select($"o_orderkey".as("l_orderkey"))
+      val nDim = dim.count()
+      println(s"  dim sample frac=$frac ($nDim keys):")
+      timed(s"  plain shuffle join + agg") {
+        fact.join(dim, "l_orderkey").groupBy($"l_returnflag")
+          .agg(count(lit(1))).count()
+      }
+      timed(s"  bloom-prefiltered join + agg") {
+        SkewJoin.bloomEquiJoin(fact, dim, "l_orderkey", expectedItems = nDim)
+          .groupBy($"l_returnflag").agg(count(lit(1))).count()
+      }
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.stop()
+  }
+}

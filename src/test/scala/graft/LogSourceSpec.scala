@@ -291,6 +291,29 @@ class LogSourceSpec extends AnyFunSuite with SparkSuite {
         s"$coldAfterFirst -> ${LogTopic.coldRowScans}")
   }
 
+  test("rowsAt: an UNCACHED position cold-scans to the true count (never a silent 0)") {
+    // regression: the cumulative-row cache held Scala-Long values in a
+    // java map, so a cache miss's null unboxed to 0L and rowsAt
+    // reported 0 rows for any position it had never seen — no cold
+    // scan, poisoned admission counts. A mid-file position is never
+    // seeded by produce/endOffsets, so it must pay exactly one cold
+    // scan and return the exact line count.
+    val dir = newTopic(1)
+    LogTopic.produce(dir, (0 until 200).map(i =>
+      LogTopic.ProducerRecord(Some("k"), s"value$i", 1L + i)))
+    val end = LogTopic.endOffsets(dir)(0)
+    val mid = end / 2
+    val exact = LogTopic.countRows(dir, 0, 0L, mid)
+    assert(exact > 0, "mid-file position must sit past some complete lines")
+    val cold0 = LogTopic.coldRowScans
+    val got = LogTopic.rowsAt(dir, 0, mid)
+    assert(got == exact, s"rowsAt($mid) = $got, exact = $exact")
+    assert(LogTopic.coldRowScans == cold0 + 1, "a miss must pay one cold scan")
+    // and the scan seeded the cache: a repeat is a pure lookup
+    assert(LogTopic.rowsAt(dir, 0, mid) == exact)
+    assert(LogTopic.coldRowScans == cold0 + 1)
+  }
+
   test("same key keeps per-partition ORDER across produce calls (offsets monotone in time)") {
     val dir = newTopic(4)
     (0 until 6).foreach { i =>

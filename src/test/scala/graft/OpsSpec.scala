@@ -463,6 +463,67 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---------------- per-file bloom index (point-lookup skipping) ----------------
+
+  test("bloomIndex: point lookups prune hash-scattered files with no false negatives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bix_").toString
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    // scatter by an UNRELATED column: every file's orderkey envelope
+    // spans the domain — the zone map keeps everything, the bloom wins
+    orders.repartition(16, $"o_custkey").write.mode("overwrite").parquet(dir)
+    val perFile = (orders.count() / 16).max(1)
+    val idx = Layout.bloomIndex(spark, dir, "o_orderkey", perFile)
+    assert(idx.count() == Layout.parquetFileCount(spark, dir))
+    // the zone map really is useless on this layout (motivates the
+    // bloom): a MID-domain key falls inside nearly every scattered
+    // file's [min,max] envelope (an edge key could prune by accident)
+    val zm = Layout.zoneMap(spark, dir, Seq("o_orderkey"))
+    assert(Layout.pruneFiles(zm,
+      Layout.rangeEnvelope("o_orderkey", lit(750L), lit(750L))).size >= 14)
+    // a single key lives in exactly one file; bloom keeps it + ~fpp
+    val one = Layout.pruneFilesByKeys(idx, Seq(750L))
+    assert(one.nonEmpty && one.size <= 3,
+      s"single-key lookup kept ${one.size}/16 files")
+    // no false negatives across a key batch: pruned scan + exact
+    // predicate == full-table filter
+    val keys: Seq[Any] = (0L until 100L).map(_ * 13L)
+    val kept = Layout.pruneFilesByKeys(idx, keys)
+    val got = Layout.prunedParquet(spark, dir, kept)
+      .filter($"o_orderkey".isin(keys: _*))
+    val want = spark.read.parquet(dir).filter($"o_orderkey".isin(keys: _*))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
+  test("bloomIndex: width-sensitive hashing is absorbed, manifest survives parquet, strings index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_biw_").toString
+    Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .repartition(8, $"o_custkey").write.mode("overwrite").parquet(dir)
+    val idx = Layout.bloomIndex(spark, dir, "o_orderkey", 256)
+    // an Int probe against the Long-typed index must hash identically
+    // (the manifest's key_type drives a cast before xxhash64)
+    assert(Layout.pruneFilesByKeys(idx, Seq(42)).toSet ==
+      Layout.pruneFilesByKeys(idx, Seq(42L)).toSet)
+    // the manifest is plain data: parquet round-trip probes identically
+    val mdir = java.nio.file.Files.createTempDirectory("graft_bim_").toString
+    idx.write.mode("overwrite").parquet(mdir)
+    val back = spark.read.parquet(mdir)
+    assert(Layout.pruneFilesByKeys(back, Seq(42L)).toSet ==
+      Layout.pruneFilesByKeys(idx, Seq(42L)).toSet)
+    // string keys: unique customer names, one file each + fpp
+    val cdir = java.nio.file.Files.createTempDirectory("graft_bis_").toString
+    val cust = Tables.load(spark, sf0001, "customer").select($"c_custkey", $"c_name")
+    cust.repartition(8, $"c_custkey").write.mode("overwrite").parquet(cdir)
+    val cidx = Layout.bloomIndex(spark, cdir, "c_name", (cust.count() / 8).max(1))
+    val name = cust.orderBy($"c_custkey").head.getString(1)
+    val hits = Layout.pruneFilesByKeys(cidx, Seq(name))
+    assert(hits.nonEmpty && hits.size <= 3)
+    val got = Layout.prunedParquet(spark, cdir, hits).filter($"c_name" === name)
+    assert(got.count() == cust.filter($"c_name" === name).count())
+  }
+
   // ---------------- bloom-prefiltered join ----------------
 
   test("bloomEquiJoin: exactly the plain inner join; the prefilter actually thins the fact side") {

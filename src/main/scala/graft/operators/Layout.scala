@@ -118,9 +118,20 @@ object Layout {
     * `<c>_nulls`. An all-null file surfaces NULL min/max (a range
     * envelope then evaluates NULL → the file prunes, which is correct:
     * NULLs never satisfy a range predicate). */
-  def zoneMap(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+  def zoneMap(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    zoneMapOf(spark.read.parquet(path), cols)
+
+  /** [[zoneMap]] over an explicit file list — e.g. ONE snapshot
+    * version's files ([[Snapshots.filesAt]]), so versioned tables index
+    * without sweeping other versions' commit directories. */
+  def zoneMapFiles(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "zoneMapFiles: no files")
+    zoneMapOf(spark.read.parquet(files: _*), cols)
+  }
+
+  private def zoneMapOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "zoneMap: no columns")
-    val df = spark.read.parquet(path)
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
       min(col(c)).as(s"${c}_min"),
       max(col(c)).as(s"${c}_max"),

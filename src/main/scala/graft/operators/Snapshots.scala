@@ -1,0 +1,201 @@
+package graft.operators
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned parquet tables: the metadata layer a 100 TB table
+  * needs for ATOMIC commits, time travel, and safe concurrent readers —
+  * the same contract Delta/Iceberg provide, built from two primitives a
+  * distributed FS already has: immutable data files and an atomic
+  * manifest rename.
+  *
+  * Layout:
+  * {{{
+  *   table/data/c<version>-<uuid>/part-*.parquet   (immutable, per commit)
+  *   table/_graft_log/v<00000000001>.json          (one manifest per version)
+  * }}}
+  *
+  * Each manifest records the commit's `action` (`append` | `overwrite`)
+  * and the files it ADDED; version v's visible file set folds the log:
+  * an overwrite resets the set, appends accumulate. Readers resolve a
+  * version to a file list (driver-side, manifest-scale — the same
+  * budget every planner's split enumeration holds) and scan ONLY those
+  * files, so a reader pinned to v is untouched by later commits: writes
+  * never mutate data files, and the manifest rename is the commit
+  * point. Writers race on the rename — the loser re-reads the log and
+  * retries at the next version (optimistic concurrency; rename-if-
+  * absent is atomic on HDFS-like stores and local FS).
+  *
+  * At scale the log stays tiny (file PATHS, not data), folding it is
+  * O(versions) driver work, and the file lists feed straight into
+  * [[Layout.zoneMapFiles]] / [[Layout.prunedParquet]] — snapshot
+  * isolation and data skipping compose. `vacuum` deletes data files
+  * unreachable from the retained versions (time travel beyond the
+  * retention horizon then fails LOUDLY on the missing manifest, never
+  * silently on missing data).
+  *
+  * Reference counterpart: the feature store's offline parquet tables
+  * are overwritten in place (`batch_processing.py` mode="overwrite"),
+  * so a serving read racing a refresh sees partial data — this layer is
+  * the engine-grade replacement.
+  */
+object Snapshots {
+  private val mapper = new ObjectMapper()
+
+  private def logDir(table: String) = new Path(table, "_graft_log")
+  private def versionFile(table: String, v: Long) =
+    new Path(logDir(table), f"v$v%011d.json")
+
+  private def fs(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Versions present in the log, ascending (empty for a fresh path). */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val f = fs(spark, table)
+    val dir = logDir(table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted.toSeq
+  }
+
+  def latestVersion(spark: SparkSession, table: String): Option[Long] =
+    versions(spark, table).lastOption
+
+  private final case class Manifest(version: Long, action: String,
+      files: Seq[String], ts: Long)
+
+  private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
+    val f = fs(spark, table)
+    val in = f.open(versionFile(table, v))
+    val node = try mapper.readTree(in) finally in.close()
+    Manifest(node.get("version").asLong(), node.get("action").asText(),
+      node.get("files").elements().asScala.map(_.asText()).toSeq,
+      node.get("ts").asLong())
+  }
+
+  /** The file set visible at `version`: fold the log from the last
+    * overwrite at-or-before it. Loud on a vacuumed/unknown version. */
+  def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] = {
+    val vs = versions(spark, table)
+    require(vs.contains(version),
+      s"snapshot version $version does not exist for $table " +
+        s"(available: ${vs.headOption.getOrElse("-")}..${vs.lastOption.getOrElse("-")}; " +
+        "earlier versions may have been vacuumed)")
+    val upTo = vs.filter(_ <= version).map(readManifest(spark, table, _))
+    val fromLastOverwrite =
+      upTo.lastIndexWhere(_.action == "overwrite") match {
+        case -1 => upTo
+        case i  => upTo.drop(i)
+      }
+    fromLastOverwrite.flatMap(_.files)
+  }
+
+  /** Write `df`'s rows as a new immutable commit directory and record
+    * the manifest; returns the committed version. `overwrite = true`
+    * resets the visible file set (a full-snapshot refresh — the
+    * reference's mode="overwrite", made atomic); `false` appends.
+    * Concurrency: the manifest CREATE is the commit point — on a
+    * version collision the loser recomputes and retries. */
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+      overwrite: Boolean = false): Long = {
+    val f = fs(spark, table)
+    val commitDir = new Path(new Path(table, "data"),
+      s"c-${UUID.randomUUID().toString.take(8)}")
+    df.write.parquet(commitDir.toString)
+    val files = f.listStatus(commitDir).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map(_.toString).sorted.toSeq
+    f.mkdirs(logDir(table))
+    var v = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
+    while (true) {
+      val target = versionFile(table, v)
+      val json = mapper.createObjectNode()
+      json.put("version", v)
+      json.put("action", if (overwrite) "overwrite" else "append")
+      json.put("ts", System.currentTimeMillis())
+      val arr = json.putArray("files")
+      files.foreach(arr.add)
+      // createNewFile semantics: create(path, overwrite=false) fails if
+      // the version was taken — the atomic commit point
+      try {
+        val out = f.create(target, false)
+        try out.write(mapper.writeValueAsBytes(json)) finally out.close()
+        return v
+      } catch {
+        case _: java.io.IOException if f.exists(target) =>
+          v = latestVersion(spark, table).map(_ + 1).getOrElse(v + 1)
+      }
+    }
+    v // unreachable
+  }
+
+  /** Read the table at `version` (default: latest). The scan touches
+    * ONLY that version's files — immutable, so the result is a
+    * consistent snapshot regardless of concurrent commits. */
+  def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    Layout.prunedParquet(spark, table + "/data", filesAt(spark, table, v))
+  }
+
+  /** Commit history as a DataFrame (version, action, n_files, ts). */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, table).map(readManifest(spark, table, _))
+      .map(m => (m.version, m.action, m.files.size, m.ts))
+      .toDF("version", "action", "n_files", "ts")
+  }
+
+  /** Delete data files unreachable from the newest `retainVersions`
+    * versions, and fold the log down to them — the storage-reclaim half
+    * of the snapshot contract. The horizon version's manifest is first
+    * REWRITTEN as a self-contained `overwrite` (checkpoint) carrying
+    * its full reconstructed file set, so retained append-versions never
+    * dangle on deleted manifests — the exact reason Delta checkpoints
+    * before log truncation. Time travel past the horizon then fails
+    * loudly in [[filesAt]] (manifest gone), never silently on missing
+    * data. Maintenance op: run with exclusive write access (the
+    * checkpoint rewrite is not atomic against a racing commit).
+    * Returns the number of data files deleted. */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Long = {
+    require(retainVersions >= 1, "vacuum: must retain at least the latest version")
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    if (vs.size <= retainVersions) return 0L
+    val keep = vs.takeRight(retainVersions)
+    val reachable = keep.flatMap(filesAt(spark, table, _)).toSet
+    // checkpoint the horizon: its manifest becomes self-contained so the
+    // fold never needs the manifests about to be dropped
+    val horizon = keep.head
+    val horizonFiles = filesAt(spark, table, horizon)
+    val horizonTs = readManifest(spark, table, horizon).ts
+    val json = mapper.createObjectNode()
+    json.put("version", horizon)
+    json.put("action", "overwrite")
+    json.put("ts", horizonTs)
+    val arr = json.putArray("files")
+    horizonFiles.foreach(arr.add)
+    val out = f.create(versionFile(table, horizon), true)
+    try out.write(mapper.writeValueAsBytes(json)) finally out.close()
+    // all data files on disk
+    val dataDir = new Path(table, "data")
+    val commitDirs = f.listStatus(dataDir).filter(_.isDirectory).map(_.getPath)
+    var deleted = 0L
+    commitDirs.foreach { d =>
+      val parts = f.listStatus(d).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      val (dead, live) = parts.partition(p => !reachable.contains(p.toString))
+      dead.foreach { p => if (f.delete(p, false)) deleted += 1 }
+      if (live.isEmpty) f.delete(d, true) // whole commit dir unreachable
+    }
+    vs.dropRight(retainVersions).foreach(v => f.delete(versionFile(table, v), false))
+    deleted
+  }
+}

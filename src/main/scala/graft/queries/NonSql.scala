@@ -176,6 +176,28 @@ object NonSql {
       .orderBy($"o_orderkey")
   }
 
+  // S19: snapshot-versioned table read — the reference overwrites its
+  // offline parquet in place (batch_processing.py mode="overwrite"), so
+  // a read racing a refresh sees partial data; Snapshots makes the
+  // manifest rename the atomic commit point. The query drives the full
+  // lifecycle (append, append, full-refresh OVERWRITE, append) and
+  // reads the latest version; the oracle is the plain table — commits
+  // must compose to exactly the data, and the stale v0/v1 files still
+  // on disk must stay invisible to the manifest-driven scan.
+  val s19SnapshotRead: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_snap_").toString
+    val orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    graft.operators.Snapshots.commit(s, tmp, orders.filter($"o_orderkey" % 2 === 0))
+    graft.operators.Snapshots.commit(s, tmp, orders.limit(7)) // churn
+    graft.operators.Snapshots.commit(s, tmp,
+      orders.filter($"o_orderkey" % 2 === 0), overwrite = true)
+    graft.operators.Snapshots.commit(s, tmp, orders.filter($"o_orderkey" % 2 === 1))
+    graft.operators.Snapshots.read(s, tmp)
+      .orderBy($"o_orderkey")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -352,7 +374,8 @@ object NonSql {
     "mm_decode_meta" -> mmDecode,
     "s5_log_roundtrip" -> s5LogRoundtrip,
     "s17_zonemap_prune" -> s17ZonemapPrune,
-    "s18_bloom_point_lookup" -> s18BloomPointLookup
+    "s18_bloom_point_lookup" -> s18BloomPointLookup,
+    "s19_snapshot_read" -> s19SnapshotRead
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -399,6 +422,9 @@ object NonSql {
         "ORDER BY o_orderkey"),
     "s18_bloom_point_lookup" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
-        "WHERE o_orderkey IN (7, 128, 1201) ORDER BY o_orderkey")
+        "WHERE o_orderkey IN (7, 128, 1201) ORDER BY o_orderkey"),
+    "s19_snapshot_read" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "ORDER BY o_orderkey")
   )
 }

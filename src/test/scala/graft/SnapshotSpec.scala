@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Layout, Snapshots}
+
+/** Snapshot-versioned tables: atomic manifest commits, time travel,
+  * overwrite semantics, commit-collision retry, vacuum with the
+  * checkpoint rewrite (retained append-versions must never dangle on
+  * deleted manifests), and composition with the data-skipping layer. */
+class SnapshotSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def tbl() =
+    java.nio.file.Files.createTempDirectory("graft_snap_").toString
+
+  private def orders = Tables.load(spark, sf0001, "orders")
+    .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+
+  test("append commits accumulate; every version stays readable as-of") {
+    val t = tbl()
+    val a = orders.filter($"o_orderkey" % 2 === 0)
+    val b = orders.filter($"o_orderkey" % 2 === 1)
+    val v0 = Snapshots.commit(spark, t, a)
+    val v1 = Snapshots.commit(spark, t, b)
+    assert(v0 == 0L && v1 == 1L)
+    // latest = union; v0 = first batch only (immutable under the append)
+    val latest = Snapshots.read(spark, t)
+    assert(latest.exceptAll(orders).isEmpty && orders.exceptAll(latest).isEmpty)
+    val asOf0 = Snapshots.read(spark, t, Some(0L))
+    assert(asOf0.exceptAll(a).isEmpty && a.exceptAll(asOf0).isEmpty)
+    val h = Snapshots.history(spark, t).orderBy($"version")
+      .select($"version", $"action").as[(Long, String)].collect().toSeq
+    assert(h == Seq((0L, "append"), (1L, "append")))
+  }
+
+  test("overwrite resets the visible set; pre-overwrite versions intact") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders)
+    val small = orders.limit(10)
+    val v1 = Snapshots.commit(spark, t, small, overwrite = true)
+    Snapshots.commit(spark, t, orders.limit(5)) // append on top
+    assert(Snapshots.read(spark, t).count() == 15)
+    assert(Snapshots.read(spark, t, Some(v1)).count() == 10)
+    // time travel to v0 still sees the full table
+    assert(Snapshots.read(spark, t, Some(0L)).count() == orders.count())
+  }
+
+  test("commit collision: the loser lands at the next free version, nothing lost") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(3))
+    // squat the next version slot, as a racing writer would
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val squat = new org.apache.hadoop.fs.Path(t, "_graft_log/v00000000001.json")
+    val out = f.create(squat, false)
+    out.write(
+      """{"version":1,"action":"append","ts":0,"files":[]}""".getBytes("UTF-8"))
+    out.close()
+    val v = Snapshots.commit(spark, t, orders.limit(4))
+    assert(v == 2L, s"collision must push the commit to v2, got v$v")
+    assert(Snapshots.read(spark, t).count() == 7)
+  }
+
+  test("vacuum: checkpoints the horizon, reclaims unreachable files, fails loudly past it") {
+    val t = tbl()
+    val a = orders.filter($"o_orderkey" % 2 === 0)
+    val b = orders.filter($"o_orderkey" % 2 === 1)
+    Snapshots.commit(spark, t, orders)                     // v0 (replaced below)
+    Snapshots.commit(spark, t, a, overwrite = true)        // v1
+    Snapshots.commit(spark, t, b)                          // v2 = a ∪ b
+    val before = Layout.parquetFileCount(spark, t + "/data")
+    val deleted = Snapshots.vacuum(spark, t, retainVersions = 2)
+    assert(deleted > 0, "v0's replaced files must be reclaimed")
+    assert(Layout.parquetFileCount(spark, t + "/data") == before - deleted)
+    // the horizon (v1) was an append-fold; after the checkpoint rewrite
+    // BOTH retained versions still read exactly
+    val v1r = Snapshots.read(spark, t, Some(1L))
+    assert(v1r.exceptAll(a).isEmpty && a.exceptAll(v1r).isEmpty)
+    val v2r = Snapshots.read(spark, t, Some(2L))
+    assert(v2r.exceptAll(orders).isEmpty && orders.exceptAll(v2r).isEmpty)
+    // past the horizon: loud manifest failure, not silent missing data
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.read(spark, t, Some(0L))
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // idempotent: nothing left to reclaim
+    assert(Snapshots.vacuum(spark, t, retainVersions = 2) == 0L)
+  }
+
+  test("vacuum retains appended history the horizon folds over (the dangling-manifest trap)") {
+    val t = tbl()
+    val a = orders.filter($"o_orderkey" < 500)
+    val b = orders.filter($"o_orderkey" >= 500 && $"o_orderkey" < 1000)
+    val c = orders.filter($"o_orderkey" >= 1000)
+    Snapshots.commit(spark, t, a)   // v0
+    Snapshots.commit(spark, t, b)   // v1 — horizon after vacuum(2)
+    Snapshots.commit(spark, t, c)   // v2
+    // nothing is unreachable (pure appends) — vacuum must delete NO data
+    assert(Snapshots.vacuum(spark, t, retainVersions = 2) == 0L)
+    // v1 references v0's files; its manifest was checkpointed, so the
+    // fold works without v0's manifest
+    val v1r = Snapshots.read(spark, t, Some(1L))
+    val ab = a.unionAll(b)
+    assert(v1r.exceptAll(ab).isEmpty && ab.exceptAll(v1r).isEmpty)
+    val v2r = Snapshots.read(spark, t, Some(2L))
+    assert(v2r.exceptAll(orders).isEmpty && orders.exceptAll(v2r).isEmpty)
+  }
+
+  test("snapshot file lists compose with the skipping layer (zoneMapFiles)") {
+    val t = tbl()
+    Snapshots.commit(spark, t,
+      orders.repartitionByRange(4, $"o_totalprice"))          // v0
+    Snapshots.commit(spark, t,
+      orders.limit(50).repartition(1), overwrite = true)      // v1
+    // index ONLY v0's files: the manifest feeds the zone map directly,
+    // no sweep of other versions' commit dirs
+    val v0files = Snapshots.filesAt(spark, t, 0L)
+    val zm = Layout.zoneMapFiles(spark, v0files, Seq("o_totalprice"))
+    assert(zm.count() == v0files.size)
+    val kept = Layout.pruneFiles(zm,
+      Layout.rangeEnvelope("o_totalprice", lit(50000.0), lit(60000.0)))
+    assert(kept.nonEmpty && kept.size < v0files.size)
+    val got = Layout.prunedParquet(spark, t + "/data", kept)
+      .filter($"o_totalprice".between(50000.0, 60000.0))
+    val want = orders.filter($"o_totalprice".between(50000.0, 60000.0))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}

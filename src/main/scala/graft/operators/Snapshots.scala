@@ -69,7 +69,7 @@ object Snapshots {
     versions(spark, table).lastOption
 
   private final case class Manifest(version: Long, action: String,
-      files: Seq[String], ts: Long)
+      files: Seq[String], ts: Long, batchId: Option[Long])
 
   private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
     val f = fs(spark, table)
@@ -77,7 +77,8 @@ object Snapshots {
     val node = try mapper.readTree(in) finally in.close()
     Manifest(node.get("version").asLong(), node.get("action").asText(),
       node.get("files").elements().asScala.map(_.asText()).toSeq,
-      node.get("ts").asLong())
+      node.get("ts").asLong(),
+      Option(node.get("batchId")).map(_.asLong()))
   }
 
   /** The file set visible at `version`: fold the log from the last
@@ -104,7 +105,11 @@ object Snapshots {
     * Concurrency: the manifest CREATE is the commit point — on a
     * version collision the loser recomputes and retries. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-      overwrite: Boolean = false): Long = {
+      overwrite: Boolean = false): Long =
+    commitWith(spark, table, df, overwrite, batchId = None)
+
+  private def commitWith(spark: SparkSession, table: String, df: DataFrame,
+      overwrite: Boolean, batchId: Option[Long]): Long = {
     val f = fs(spark, table)
     val commitDir = new Path(new Path(table, "data"),
       s"c-${UUID.randomUUID().toString.take(8)}")
@@ -120,6 +125,7 @@ object Snapshots {
       json.put("version", v)
       json.put("action", if (overwrite) "overwrite" else "append")
       json.put("ts", System.currentTimeMillis())
+      batchId.foreach(json.put("batchId", _))
       val arr = json.putArray("files")
       files.foreach(arr.add)
       // createNewFile semantics: create(path, overwrite=false) fails if
@@ -142,7 +148,66 @@ object Snapshots {
   def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
-    Layout.prunedParquet(spark, table + "/data", filesAt(spark, table, v))
+    readFiles(spark, table, filesAt(spark, table, v))
+  }
+
+  /** Rows ADDED in versions (`fromExclusive`, `toInclusive`] — the
+    * incremental-read contract that turns a snapshot table into a
+    * change feed: a downstream consumer (incremental [[MaterializedAgg]]
+    * refresh, an index append, a replication job) reads ONLY the new
+    * commits' files instead of rescanning the table. Append-only by
+    * design: an OVERWRITE inside the range is a full-recompute signal,
+    * not expressible as added rows, so it fails loudly rather than
+    * returning a wrong delta. Empty range → empty relation with the
+    * table's schema. */
+  def readChanges(spark: SparkSession, table: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(fromExclusive <= toInclusive,
+      s"readChanges: empty-or-negative range ($fromExclusive, $toInclusive]")
+    val vs = versions(spark, table)
+    require(vs.contains(toInclusive) &&
+      (fromExclusive == -1L || vs.contains(fromExclusive)),
+      s"readChanges: versions ($fromExclusive, $toInclusive] not all present " +
+        "(vacuumed?)")
+    val range = vs.filter(v => v > fromExclusive && v <= toInclusive)
+      .map(readManifest(spark, table, _))
+    range.find(_.action == "overwrite").foreach { m =>
+      throw new IllegalArgumentException(
+        s"readChanges: version ${m.version} is an OVERWRITE — the range is " +
+          "not an append delta; re-read the full snapshot instead")
+    }
+    readFiles(spark, table, range.flatMap(_.files))
+  }
+
+  /** Scan exactly `files`; an empty list resolves to an empty relation
+    * with the schema taken from any file the log knows (the commit-dir
+    * layout is nested, so a bare directory read cannot infer it). */
+  private def readFiles(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame =
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      val any = versions(spark, table).iterator
+        .flatMap(readManifest(spark, table, _).files).take(1).toSeq
+      require(any.nonEmpty, s"snapshot table $table has no data files to take a schema from")
+      spark.read.parquet(any.head).limit(0)
+    }
+
+  /** Idempotent micro-batch append for `foreachBatch` — the streaming
+    * sink contract: Structured Streaming replays a batch after a crash,
+    * so the sink must make `(batchId → commit)` exactly-once. The
+    * manifest records the batchId; a replay of an ALREADY-COMMITTED
+    * batch is a no-op (its data was durably committed — the rename
+    * happened), so the table never double-counts. Returns the version,
+    * or None for a skipped replay.
+    * {{{ stream.writeStream.foreachBatch { (df, id) =>
+    *       Snapshots.commitBatch(spark, table, df, id); () } }}} */
+  def commitBatch(spark: SparkSession, table: String, df: DataFrame,
+      batchId: Long): Option[Long] = {
+    val committed = versions(spark, table)
+      .map(readManifest(spark, table, _))
+      .exists(_.batchId.contains(batchId))
+    if (committed) None
+    else Some(commitWith(spark, table, df, overwrite = false, Some(batchId)))
   }
 
   /** Commit history as a DataFrame (version, action, n_files, ts). */

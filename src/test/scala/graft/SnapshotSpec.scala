@@ -107,6 +107,77 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(v2r.exceptAll(orders).isEmpty && orders.exceptAll(v2r).isEmpty)
   }
 
+  test("readChanges: append deltas between versions; loud on an overwrite in range") {
+    val t = tbl()
+    val a = orders.filter($"o_orderkey" < 500)
+    val b = orders.filter($"o_orderkey" >= 500 && $"o_orderkey" < 1000)
+    val c = orders.filter($"o_orderkey" >= 1000)
+    val v0 = Snapshots.commit(spark, t, a)
+    val v1 = Snapshots.commit(spark, t, b)
+    val v2 = Snapshots.commit(spark, t, c)
+    val delta = Snapshots.readChanges(spark, t, v0, v2)
+    val bc = b.unionAll(c)
+    assert(delta.exceptAll(bc).isEmpty && bc.exceptAll(delta).isEmpty)
+    // from -1 = since the beginning; empty range = empty relation
+    assert(Snapshots.readChanges(spark, t, -1L, v2).count() == orders.count())
+    assert(Snapshots.readChanges(spark, t, v2, v2).count() == 0)
+    // an overwrite in range is a full-recompute signal, never a delta
+    Snapshots.commit(spark, t, a, overwrite = true) // v3
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readChanges(spark, t, v1, 3L)
+    }
+    assert(e.getMessage.contains("OVERWRITE"))
+  }
+
+  test("incremental MV from the change feed == one-shot over the latest snapshot") {
+    import graft.operators.MaterializedAgg
+    val t = tbl()
+    val measures = Seq(
+      MaterializedAgg.countRows("n"),
+      // decimal: the fold order differs from the one-shot, so a double
+      // sum would drift in the last bits and fail the exact compare
+      MaterializedAgg.sumOf($"o_totalprice".cast("decimal(18,2)"), "sum_price"))
+    val v0 = Snapshots.commit(spark, t, orders.filter($"o_orderkey" % 3 === 0))
+    var mv = MaterializedAgg.build(
+      Snapshots.read(spark, t, Some(v0)), Seq("o_custkey"), measures)
+    // two more ingest commits, each folded from readChanges only —
+    // the stored history is never rescanned
+    var last = v0
+    for (m <- Seq(1, 2)) {
+      val v = Snapshots.commit(spark, t, orders.filter($"o_orderkey" % 3 === m))
+      val delta = MaterializedAgg.build(
+        Snapshots.readChanges(spark, t, last, v), Seq("o_custkey"), measures)
+      mv = MaterializedAgg.merge(mv, delta, Seq("o_custkey"), measures)
+      last = v
+    }
+    val oneShot = MaterializedAgg.build(
+      Snapshots.read(spark, t), Seq("o_custkey"), measures)
+    assert(mv.exceptAll(oneShot).isEmpty && oneShot.exceptAll(mv).isEmpty)
+  }
+
+  test("commitBatch: replayed micro-batches are no-ops (exactly-once append)") {
+    val t = tbl()
+    val b0 = orders.limit(10)
+    assert(Snapshots.commitBatch(spark, t, b0, batchId = 0L).contains(0L))
+    assert(Snapshots.commitBatch(spark, t, orders.limit(25), batchId = 1L).contains(1L))
+    // crash-replay of batch 1: skipped, count unchanged
+    assert(Snapshots.commitBatch(spark, t, orders.limit(25), batchId = 1L).isEmpty)
+    assert(Snapshots.read(spark, t).count() == 35)
+    // a REAL stream through foreachBatch lands exactly-once too
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[Long](spark)
+    val q = mem.toDF().toDF("o_orderkey")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Snapshots.commitBatch(spark, t + "_stream", batch, id); ()
+      }.start()
+    try {
+      mem.addData(1L to 100L: _*); q.processAllAvailable()
+      mem.addData(101L to 150L: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.read(spark, t + "_stream").count() == 150)
+  }
+
   test("snapshot file lists compose with the skipping layer (zoneMapFiles)") {
     val t = tbl()
     Snapshots.commit(spark, t,

@@ -109,11 +109,14 @@ object Snapshots {
     commitWith(spark, table, df, overwrite, batchId = None)
 
   private def commitWith(spark: SparkSession, table: String, df: DataFrame,
-      overwrite: Boolean, batchId: Option[Long]): Long = {
+      overwrite: Boolean, batchId: Option[Long],
+      maxRecordsPerFile: Option[Long] = None): Long = {
     val f = fs(spark, table)
     val commitDir = new Path(new Path(table, "data"),
       s"c-${UUID.randomUUID().toString.take(8)}")
-    df.write.parquet(commitDir.toString)
+    val writer = df.write
+    maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n))
+    writer.parquet(commitDir.toString)
     val files = f.listStatus(commitDir).map(_.getPath)
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
       .map(_.toString).sorted.toSeq
@@ -181,16 +184,51 @@ object Snapshots {
 
   /** Scan exactly `files`; an empty list resolves to an empty relation
     * with the schema taken from any file the log knows (the commit-dir
-    * layout is nested, so a bare directory read cannot infer it). */
+    * layout is nested, so a bare directory read cannot infer it).
+    * `mergeSchema` unions the per-commit schemas — schema EVOLUTION:
+    * a commit that added a column surfaces it table-wide, with NULLs
+    * for rows from older commits (parquet's own merge semantics; only
+    * widening by new nullable columns is safe — parquet fails loudly
+    * on an incompatible type change at read time). */
   private def readFiles(spark: SparkSession, table: String,
-      files: Seq[String]): DataFrame =
-    if (files.nonEmpty) spark.read.parquet(files: _*)
+      files: Seq[String], mergeSchema: Boolean = false): DataFrame =
+    if (files.nonEmpty)
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
     else {
       val any = versions(spark, table).iterator
         .flatMap(readManifest(spark, table, _).files).take(1).toSeq
       require(any.nonEmpty, s"snapshot table $table has no data files to take a schema from")
       spark.read.parquet(any.head).limit(0)
     }
+
+  /** [[read]] with schema evolution: the visible schema is the UNION of
+    * the version's commits' schemas (new nullable columns appear with
+    * NULLs for pre-evolution rows). Kept separate from [[read]] because
+    * footer-merging costs a per-file schema read at planning time —
+    * pay it when the table actually evolves. */
+  def readEvolved(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    readFiles(spark, table, filesAt(spark, table, v), mergeSchema = true)
+  }
+
+  /** Transactional OPTIMIZE: rewrite the latest version's (typically
+    * many small streaming-batch) files as one overwrite commit with
+    * `targetRowsPerFile`-bounded files, optionally Z-ordered for the
+    * skipping layer. Readers never see a half-compacted table — the
+    * manifest rename is the switch — and prior versions stay
+    * time-travelable until vacuum. Returns the new version. */
+  def compactLatest(spark: SparkSession, table: String,
+      targetRowsPerFile: Long, zorderCols: Seq[String] = Seq.empty): Long = {
+    require(targetRowsPerFile > 0, "compactLatest: targetRowsPerFile must be > 0")
+    val snap = read(spark, table)
+    val laid =
+      if (zorderCols.size >= 2) Layout.zorderBy(snap, zorderCols)
+      else snap
+    commitWith(spark, table, laid, overwrite = true, batchId = None,
+      maxRecordsPerFile = Some(targetRowsPerFile))
+  }
 
   /** Idempotent micro-batch append for `foreachBatch` — the streaming
     * sink contract: Structured Streaming replays a batch after a crash,

@@ -178,6 +178,41 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t + "_stream").count() == 150)
   }
 
+  test("schema evolution: a new nullable column surfaces table-wide via readEvolved") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders)                           // 3 cols
+    Snapshots.commit(spark, t,
+      orders.limit(10).withColumn("o_channel", lit("web")))     // +1 col
+    // the plain read keeps the un-merged (first-file) schema cheaply;
+    // the evolved read unions: old rows NULL, new rows populated
+    val ev = Snapshots.readEvolved(spark, t)
+    assert(ev.columns.contains("o_channel"))
+    assert(ev.filter($"o_channel".isNull).count() == orders.count())
+    assert(ev.filter($"o_channel" === "web").count() == 10)
+    // time travel predates the evolution: no phantom column
+    assert(!Snapshots.readEvolved(spark, t, Some(0L)).columns.contains("o_channel"))
+  }
+
+  test("compactLatest: transactional OPTIMIZE — content invariant, files bounded, history intact") {
+    val t = tbl()
+    // simulate a streaming ingest: 12 tiny commits = many small files
+    (0 until 12).foreach { i =>
+      Snapshots.commitBatch(spark, t,
+        orders.filter($"o_orderkey" % 12 === i).repartition(4), batchId = i)
+    }
+    val before = Snapshots.filesAt(spark, t, 11L).size
+    assert(before == 48, s"expected 48 small files, got $before")
+    val v = Snapshots.compactLatest(spark, t, targetRowsPerFile = 1000)
+    val after = Snapshots.filesAt(spark, t, v).size
+    assert(after < before / 4, s"compaction must shrink the file count ($before -> $after)")
+    val got = Snapshots.read(spark, t)
+    assert(got.exceptAll(orders).isEmpty && orders.exceptAll(got).isEmpty)
+    // the pre-compaction version still time-travels (until vacuum)
+    assert(Snapshots.read(spark, t, Some(11L)).count() == orders.count())
+    // and vacuum reclaims the 48 small files once the horizon passes them
+    assert(Snapshots.vacuum(spark, t, retainVersions = 1) == before)
+  }
+
   test("snapshot file lists compose with the skipping layer (zoneMapFiles)") {
     val t = tbl()
     Snapshots.commit(spark, t,

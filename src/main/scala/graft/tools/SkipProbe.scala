@@ -61,6 +61,27 @@ object SkipProbe {
         .filter($"l_extendedprice".between(lo, hi)).count()
     }
 
+    // ---- 1b. zone map at REALISTIC file counts: at 100 TB the file
+    // count scales with the data (a 128 MB-file table holds ~800 k
+    // files), and the full scan pays per-file open/footer/task costs
+    // that row-group stats never see. Same data, 1024 files.
+    val zdir2 = java.nio.file.Files.createTempDirectory("graft_skipzm_").toString
+    li.repartitionByRange(1024, $"l_extendedprice")
+      .write.mode("overwrite").parquet(zdir2)
+    val zm2 = Layout.zoneMap(spark, zdir2, Seq("l_extendedprice")).cache()
+    zm2.count()
+    val kept2 = Layout.pruneFiles(zm2,
+      Layout.rangeEnvelope("l_extendedprice", lit(lo), lit(hi)))
+    println(s"zone-map box, many-file layout: kept ${kept2.size}/" +
+      s"${Layout.parquetFileCount(spark, zdir2)} files")
+    timed("full scan + filter (1024 files)") {
+      spark.read.parquet(zdir2).filter($"l_extendedprice".between(lo, hi)).count()
+    }
+    timed("pruned scan + filter (1024 files)") {
+      Layout.prunedParquet(spark, zdir2, kept2)
+        .filter($"l_extendedprice".between(lo, hi)).count()
+    }
+
     // ---- 2. bloom index: point lookups over a hash-scattered layout
     val bdir = java.nio.file.Files.createTempDirectory("graft_skipb_").toString
     val orders = Tables.load(spark, dir, "orders")
@@ -111,6 +132,25 @@ object SkipProbe {
     }
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    // ---- 4. snapshot change feed: incremental consumers read O(delta),
+    // not O(table) — 10 ingest commits, then "what changed in the last"
+    val sdir = java.nio.file.Files.createTempDirectory("graft_skips_").toString
+    import graft.operators.Snapshots
+    val t0s = System.nanoTime()
+    (0 until 10).foreach { i =>
+      Snapshots.commitBatch(spark, sdir,
+        li.filter($"l_orderkey" % 10 === i), batchId = i)
+    }
+    println(f"snapshot: 10 commits of ${li.count() / 10} rows in " +
+      f"${(System.nanoTime() - t0s) / 1e9}%.1f s (log fold per commit is " +
+      "manifest-scale)")
+    timed("full snapshot read + agg") {
+      Snapshots.read(spark, sdir).agg(count(lit(1))).head.getLong(0)
+    }
+    timed("readChanges(last commit) + agg") {
+      Snapshots.readChanges(spark, sdir, 8L, 9L).agg(count(lit(1))).head.getLong(0)
+    }
     spark.stop()
   }
 }

@@ -195,9 +195,20 @@ object Layout {
     * parquet round-trip — persist it next to the table exactly like a
     * table format's metadata layer. */
   def bloomIndex(spark: SparkSession, path: String, keyCol: String,
+      expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame =
+    bloomIndexOf(spark.read.parquet(path), keyCol, expectedItemsPerFile, fpp)
+
+  /** [[bloomIndex]] over an explicit file list (e.g. one snapshot
+    * version's files) — same pairing as [[zoneMapFiles]]. */
+  def bloomIndexFiles(spark: SparkSession, files: Seq[String], keyCol: String,
       expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame = {
+    require(files.nonEmpty, "bloomIndexFiles: no files")
+    bloomIndexOf(spark.read.parquet(files: _*), keyCol, expectedItemsPerFile, fpp)
+  }
+
+  private def bloomIndexOf(df: DataFrame, keyCol: String,
+      expectedItemsPerFile: Long, fpp: Double): DataFrame = {
     require(expectedItemsPerFile > 0, "bloomIndex: expectedItemsPerFile must be > 0")
-    val df = spark.read.parquet(path)
     val keyType = df.schema(keyCol).dataType
     val numBits = BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp)
     val agg = new BloomFilterAggregate(

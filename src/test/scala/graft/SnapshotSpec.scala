@@ -231,5 +231,12 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
       .filter($"o_totalprice".between(50000.0, 60000.0))
     val want = orders.filter($"o_totalprice".between(50000.0, 60000.0))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the bloom index pairs the same way: point lookup inside v0 only
+    val bi = Layout.bloomIndexFiles(spark, v0files, "o_orderkey", 1024)
+    val hit = Layout.pruneFilesByKeys(bi, Seq(42L))
+    assert(hit.nonEmpty && hit.forall(v0files.contains))
+    val row = Layout.prunedParquet(spark, t + "/data", hit)
+      .filter($"o_orderkey" === 42L)
+    assert(row.count() == orders.filter($"o_orderkey" === 42L).count())
   }
 }

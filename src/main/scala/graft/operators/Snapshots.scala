@@ -89,13 +89,59 @@ object Snapshots {
       s"snapshot version $version does not exist for $table " +
         s"(available: ${vs.headOption.getOrElse("-")}..${vs.lastOption.getOrElse("-")}; " +
         "earlier versions may have been vacuumed)")
-    val upTo = vs.filter(_ <= version).map(readManifest(spark, table, _))
-    val fromLastOverwrite =
-      upTo.lastIndexWhere(_.action == "overwrite") match {
-        case -1 => upTo
-        case i  => upTo.drop(i)
-      }
-    fromLastOverwrite.flatMap(_.files)
+    // start from the newest checkpoint at-or-before `version` (O(1)
+    // reads for the folded prefix), manifests after it fold on top
+    val ckpt = checkpoints(spark, table).filter(_ <= version).lastOption
+    val base = ckpt.map(readCheckpoint(spark, table, _)).getOrElse(Seq.empty)
+    val from = ckpt.getOrElse(-1L)
+    val tail = vs.filter(v => v > from && v <= version)
+      .map(readManifest(spark, table, _))
+    tail.lastIndexWhere(_.action == "overwrite") match {
+      case -1 => base ++ tail.flatMap(_.files)
+      case i  => tail.drop(i).flatMap(_.files)
+    }
+  }
+
+  private def checkpointFile(table: String, v: Long) =
+    new Path(logDir(table), f"checkpoint-v$v%011d.json")
+
+  private def checkpoints(spark: SparkSession, table: String): Seq[Long] = {
+    val f = fs(spark, table)
+    val dir = logDir(table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("checkpoint-v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("checkpoint-v").stripSuffix(".json").toLong)
+      .sorted.toSeq
+  }
+
+  private def readCheckpoint(spark: SparkSession, table: String, v: Long): Seq[String] = {
+    val f = fs(spark, table)
+    val in = f.open(checkpointFile(table, v))
+    val node = try mapper.readTree(in) finally in.close()
+    node.get("files").elements().asScala.map(_.asText()).toSeq
+  }
+
+  /** Fold the log once and persist the file set visible at the latest
+    * version as a SIDE-CAR checkpoint — after this, every read resolves
+    * in O(commits since checkpoint) manifest reads instead of
+    * O(all versions). Commits and manifests are untouched (unlike the
+    * vacuum horizon rewrite), so [[readChanges]] ranges crossing the
+    * checkpoint stay valid — the Delta checkpoint design. Run
+    * periodically on long-lived streaming tables (e.g. every N
+    * `commitBatch`es). Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val v = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val files = filesAt(spark, table, v)
+    val f = fs(spark, table)
+    val json = mapper.createObjectNode()
+    json.put("version", v)
+    val arr = json.putArray("files")
+    files.foreach(arr.add)
+    val out = f.create(checkpointFile(table, v), true)
+    try out.write(mapper.writeValueAsBytes(json)) finally out.close()
+    v
   }
 
   /** Write `df`'s rows as a new immutable commit directory and record
@@ -299,6 +345,9 @@ object Snapshots {
       if (live.isEmpty) f.delete(d, true) // whole commit dir unreachable
     }
     vs.dropRight(retainVersions).foreach(v => f.delete(versionFile(table, v), false))
+    // checkpoints below the horizon may reference reclaimed files — drop them
+    checkpoints(spark, table).filter(_ < horizon)
+      .foreach(v => f.delete(checkpointFile(table, v), false))
     deleted
   }
 }

@@ -213,6 +213,53 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.vacuum(spark, t, retainVersions = 1) == before)
   }
 
+  test("checkpoint: sidecar fold — reads identical, manifests untouched, change feed crosses it") {
+    val t = tbl()
+    val parts = (0 until 6).map(i => orders.filter($"o_orderkey" % 6 === i))
+    parts.take(4).zipWithIndex.foreach { case (p, i) =>
+      Snapshots.commitBatch(spark, t, p, batchId = i)
+    }
+    val before = Snapshots.filesAt(spark, t, 3L)
+    val cv = Snapshots.checkpoint(spark, t)
+    assert(cv == 3L)
+    // identical resolution through the checkpoint
+    assert(Snapshots.filesAt(spark, t, 3L).sorted == before.sorted)
+    // commits continue on top; the fold starts from the checkpoint
+    parts.drop(4).zipWithIndex.foreach { case (p, i) =>
+      Snapshots.commitBatch(spark, t, p, batchId = 4 + i)
+    }
+    val latest = Snapshots.read(spark, t)
+    assert(latest.exceptAll(orders).isEmpty && orders.exceptAll(latest).isEmpty)
+    // manifests untouched: a change-feed range CROSSING the checkpoint
+    // still reads exactly the appended rows (the vacuum horizon rewrite
+    // could not do this — that is why checkpoints are sidecars)
+    val delta = Snapshots.readChanges(spark, t, 2L, 5L)
+    val want = parts.drop(3).reduce(_ unionAll _)
+    assert(delta.exceptAll(want).isEmpty && want.exceptAll(delta).isEmpty)
+    // pre-checkpoint time travel intact
+    assert(Snapshots.read(spark, t, Some(1L)).count() ==
+      parts.take(2).map(_.count()).sum)
+  }
+
+  test("checkpoint bounds the log fold: O(commits since checkpoint), not O(versions)") {
+    val t = tbl()
+    val tiny = orders.limit(2).repartition(1)
+    (0 until 60).foreach(i => Snapshots.commitBatch(spark, t, tiny, batchId = i))
+    def foldMillis(): Double = {
+      Snapshots.filesAt(spark, t, 59L) // warm FS metadata
+      val t0 = System.nanoTime()
+      (1 to 5).foreach(_ => Snapshots.filesAt(spark, t, 59L))
+      (System.nanoTime() - t0) / 5e6
+    }
+    val cold = foldMillis()
+    Snapshots.checkpoint(spark, t)
+    val ckpt = foldMillis()
+    // 60 manifest reads vs 1 checkpoint read: demand a clear drop, not
+    // a precise ratio (FS timing noise)
+    assert(ckpt < cold / 2,
+      f"checkpointed fold $ckpt%.1f ms must be well under the $cold%.1f ms full fold")
+  }
+
   test("snapshot file lists compose with the skipping layer (zoneMapFiles)") {
     val t = tbl()
     Snapshots.commit(spark, t,

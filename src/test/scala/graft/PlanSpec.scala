@@ -90,6 +90,29 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("bloomEquiJoin: the might_contain probe runs BELOW the fact exchange (scan stage)") {
+    import graft.operators.SkewJoin
+    val fact = Tables.load(spark, sf0001, "lineitem").select($"l_orderkey", $"l_quantity")
+    val dim = Tables.load(spark, sf0001, "orders")
+      .filter($"o_orderkey" % 97 === 0).select($"o_orderkey".as("l_orderkey"))
+    // force the shuffle-join shape the operator is FOR (no broadcast)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val plan = executed(SkewJoin.bloomEquiJoin(fact, dim, "l_orderkey"))
+      val probeAt = plan.indexOf("might_contain")
+      assert(probeAt >= 0, s"no bloom probe in plan:\n$plan")
+      // the tree prints top-down, fact branch first: the fact-side
+      // exchange line precedes its child filter, so "probe below the
+      // exchange" = the FIRST exchange prints before the FIRST probe,
+      // and the probe's filter sits directly on the columnar scan
+      val firstExchange = plan.indexOf("Exchange hashpartitioning")
+      assert(firstExchange >= 0 && firstExchange < probeAt,
+        s"bloom probe must be below the fact exchange (scan stage), plan:\n$plan")
+      assert(plan.substring(probeAt).contains("ColumnarToRow"),
+        s"probe filter must feed from the scan, plan:\n$plan")
+    }
+  }
+
   test("small-dimension join broadcasts (no shuffle of the big side)") {
     val orders = Tables.load(spark, sf0001, "orders")
     val nation = Tables.load(spark, sf0001, "nation")

@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Snapshot-versioned parquet tables: the metadata layer a 100 TB table
   * needs for ATOMIC commits, time travel, and safe concurrent readers —
@@ -69,7 +70,8 @@ object Snapshots {
     versions(spark, table).lastOption
 
   private final case class Manifest(version: Long, action: String,
-      files: Seq[String], ts: Long, batchId: Option[Long])
+      files: Seq[String], ts: Long, batchId: Option[Long],
+      removed: Seq[String] = Seq.empty)
 
   private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
     val f = fs(spark, table)
@@ -78,7 +80,9 @@ object Snapshots {
     Manifest(node.get("version").asLong(), node.get("action").asText(),
       node.get("files").elements().asScala.map(_.asText()).toSeq,
       node.get("ts").asLong(),
-      Option(node.get("batchId")).map(_.asLong()))
+      Option(node.get("batchId")).map(_.asLong()),
+      Option(node.get("removed"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
   }
 
   /** The file set visible at `version`: fold the log from the last
@@ -96,9 +100,15 @@ object Snapshots {
     val from = ckpt.getOrElse(-1L)
     val tail = vs.filter(v => v > from && v <= version)
       .map(readManifest(spark, table, _))
-    tail.lastIndexWhere(_.action == "overwrite") match {
-      case -1 => base ++ tail.flatMap(_.files)
-      case i  => tail.drop(i).flatMap(_.files)
+    tail.foldLeft(base) { (acc, m) =>
+      m.action match {
+        case "overwrite" => m.files
+        case "append"    => acc ++ m.files
+        case "replace"   => // copy-on-write: swap rewritten files in place
+          val dead = m.removed.toSet; acc.filterNot(dead) ++ m.files
+        case other => throw new IllegalStateException(
+          s"unknown manifest action '$other' at $table v${m.version}")
+      }
     }
   }
 
@@ -156,7 +166,14 @@ object Snapshots {
 
   private def commitWith(spark: SparkSession, table: String, df: DataFrame,
       overwrite: Boolean, batchId: Option[Long],
-      maxRecordsPerFile: Option[Long] = None): Long = {
+      maxRecordsPerFile: Option[Long] = None): Long =
+    commitAction(spark, table, df,
+      if (overwrite) "overwrite" else "append", batchId, maxRecordsPerFile)
+
+  private def commitAction(spark: SparkSession, table: String, df: DataFrame,
+      action: String, batchId: Option[Long],
+      maxRecordsPerFile: Option[Long] = None,
+      removed: Seq[String] = Seq.empty): Long = {
     val f = fs(spark, table)
     val commitDir = new Path(new Path(table, "data"),
       s"c-${UUID.randomUUID().toString.take(8)}")
@@ -172,11 +189,15 @@ object Snapshots {
       val target = versionFile(table, v)
       val json = mapper.createObjectNode()
       json.put("version", v)
-      json.put("action", if (overwrite) "overwrite" else "append")
+      json.put("action", action)
       json.put("ts", System.currentTimeMillis())
       batchId.foreach(json.put("batchId", _))
       val arr = json.putArray("files")
       files.foreach(arr.add)
+      if (removed.nonEmpty) {
+        val rm = json.putArray("removed")
+        removed.foreach(rm.add)
+      }
       // createNewFile semantics: create(path, overwrite=false) fails if
       // the version was taken — the atomic commit point
       try {
@@ -220,10 +241,10 @@ object Snapshots {
         "(vacuumed?)")
     val range = vs.filter(v => v > fromExclusive && v <= toInclusive)
       .map(readManifest(spark, table, _))
-    range.find(_.action == "overwrite").foreach { m =>
+    range.find(m => m.action == "overwrite" || m.action == "replace").foreach { m =>
       throw new IllegalArgumentException(
-        s"readChanges: version ${m.version} is an OVERWRITE — the range is " +
-          "not an append delta; re-read the full snapshot instead")
+        s"readChanges: version ${m.version} is an ${m.action.toUpperCase} — " +
+          "the range is not an append delta; re-read the full snapshot instead")
     }
     readFiles(spark, table, range.flatMap(_.files))
   }
@@ -294,12 +315,252 @@ object Snapshots {
     else Some(commitWith(spark, table, df, overwrite = false, Some(batchId)))
   }
 
-  /** Commit history as a DataFrame (version, action, n_files, ts). */
+  /** Outcome of a copy-on-write commit: the committed version (None if
+    * nothing matched — no commit was made) and the rewrite's footprint,
+    * `filesRewritten` of `filesVisible` — the number a 100 TB operator
+    * watches: a selective delete on a clustered layout should touch a
+    * handful of files, not the table. */
+  final case class Cow(version: Option[Long], filesRewritten: Int, filesVisible: Int)
+
+  /** Files of the LATEST version that contain at least one row matching
+    * `cond` — the touched set a copy-on-write rewrite is limited to.
+    * One column-pruned scan (only `cond`'s columns + file metadata
+    * reach the parquet reader); the result is file-path-scale.
+    * `candidates` optionally narrows the scan to a pre-pruned subset —
+    * compose with [[Layout.zoneMapFiles]] / [[Layout.bloomIndexFiles]]
+    * so discovery itself skips files the index already rules out. */
+  def touchedFiles(spark: SparkSession, table: String, cond: Column,
+      candidates: Option[Seq[String]] = None): Seq[String] = {
+    val visible = filesAt(spark, table,
+      latestVersion(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot committed at $table")))
+    // candidates may arrive in `_metadata.file_path` URI form (the
+    // skipping layer's key); normalize both sides through hadoop Path
+    val scan = candidates
+      .map(_.map(new Path(_).toString).filter(visible.toSet))
+      .getOrElse(visible)
+    if (scan.isEmpty) return Seq.empty
+    spark.read.parquet(scan: _*)
+      .where(cond)
+      .select(col("_metadata.file_path"))
+      .distinct().collect()
+      // normalize through hadoop Path: the manifest stores
+      // FileSystem-qualified paths, _metadata a URI form
+      .map(r => new Path(r.getString(0)).toString).toSeq.sorted
+  }
+
+  /** Row-level DELETE as copy-on-write: rewrite ONLY the files that
+    * contain matching rows (discovered by [[touchedFiles]] — pass
+    * `candidates` from the skipping layer to prune discovery too),
+    * dropping the matches; untouched files are carried by reference in
+    * a `replace` manifest. The rewrite cost is O(touched data), not
+    * O(table) — the right-to-be-forgotten primitive at 100 TB, where a
+    * clustered layout (partition/z-order on the delete key) keeps the
+    * touched set to a handful of files. Prior versions still see the
+    * deleted rows until [[vacuum]] reclaims them — an auditable
+    * retention window, or run vacuum immediately for hard deletion. */
+  def deleteWhere(spark: SparkSession, table: String, cond: Column,
+      candidates: Option[Seq[String]] = None): Cow = {
+    val touched = touchedFiles(spark, table, cond, candidates)
+    val visible = filesAt(spark, table, latestVersion(spark, table).get)
+    if (touched.isEmpty) return Cow(None, 0, visible.size)
+    val kept = spark.read.parquet(touched: _*).where(!coalesce(cond, lit(false)))
+    val v = commitAction(spark, table, kept, "replace", None, removed = touched)
+    Cow(Some(v), touched.size, visible.size)
+  }
+
+  /** Row-level UPDATE as copy-on-write: rewrite only the touched files,
+    * applying `set` (column → new-value expression, evaluated against
+    * the old row) to matching rows and carrying non-matching rows of
+    * those files unchanged. Same cost shape and manifest mechanics as
+    * [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, table: String, cond: Column,
+      set: Map[String, Column], candidates: Option[Seq[String]] = None): Cow = {
+    val touched = touchedFiles(spark, table, cond, candidates)
+    val visible = filesAt(spark, table, latestVersion(spark, table).get)
+    if (touched.isEmpty) return Cow(None, 0, visible.size)
+    // stage every new value against the OLD row first, then swap — so
+    // one set-expression never observes another's result regardless of
+    // Map iteration order
+    val sets = set.toSeq
+    val staged = sets.zipWithIndex.foldLeft(spark.read.parquet(touched: _*)) {
+      case (d, ((c, e), i)) =>
+        d.withColumn(s"__set_$i", when(cond, e).otherwise(col(c)))
+    }
+    val rewritten = sets.zipWithIndex.foldLeft(staged) {
+      case (d, ((c, _), i)) => d.withColumn(c, col(s"__set_$i"))
+    }.drop(sets.indices.map(i => s"__set_$i"): _*)
+    val v = commitAction(spark, table, rewritten, "replace", None, removed = touched)
+    Cow(Some(v), touched.size, visible.size)
+  }
+
+  /** MERGE (upsert) as copy-on-write: source rows REPLACE target rows
+    * with equal `keyCols` (null-safe `<=>`, like [[MaterializedAgg]]);
+    * source rows with no match are inserted. Only files containing a
+    * matched key are rewritten — the new commit holds those files'
+    * unmatched rows plus ALL source rows, everything else is carried by
+    * reference. Cost is O(touched data + source), never O(table):
+    * the incremental-upsert path for slowly-arriving corrections on a
+    * 100 TB table. `validate` (default true, skippable like PPR's seed
+    * check) rejects a source with duplicate keys — the Delta MERGE
+    * multiple-match error, caught before it silently double-inserts. */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String], validate: Boolean = true,
+      batchIdOpt: Option[Long] = None): Cow = {
+    require(keyCols.nonEmpty, "mergeInto: at least one key column")
+    val snap = read(spark, table)
+    require(source.columns.sorted.sameElements(snap.columns.sorted),
+      s"mergeInto: source columns ${source.columns.mkString(",")} must match " +
+        s"table columns ${snap.columns.mkString(",")}")
+    if (validate) {
+      val dup = source.groupBy(keyCols.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        "mergeInto: source has duplicate keys — one target row would match " +
+          "multiple source rows (pass validate = false to skip this check)")
+    }
+    val visible = filesAt(spark, table, latestVersion(spark, table).get)
+    // touched = files holding a row whose key appears in source; the
+    // source is the delta — broadcast-sized by contract (a table-scale
+    // "merge" is an overwrite commit, not an upsert)
+    val srcKeys = broadcast(source.select(keyCols.map(col): _*).distinct())
+    val keyEq = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val touched = spark.read.parquet(visible: _*)
+      .select(col("_metadata.file_path").as("__file") +: keyCols.map(col): _*)
+      .as("t")
+      .join(srcKeys.as("s"), keyEq, "left_semi")
+      .select(col("__file")).distinct().collect()
+      .map(r => new Path(r.getString(0)).toString).toSeq.sorted
+    val ordered = snap.columns.toSeq
+    val insertOnly = touched.isEmpty
+    val newRows =
+      if (insertOnly) source.select(ordered.map(col): _*)
+      else {
+        val unmatched = spark.read.parquet(touched: _*).as("t")
+          .join(srcKeys.as("s"), keyEq, "left_anti")
+          .select(ordered.map(c => col(s"t.$c")): _*)
+        unmatched.unionByName(source.select(ordered.map(col): _*))
+      }
+    val v = commitAction(spark, table, newRows,
+      if (insertOnly) "append" else "replace", batchIdOpt, removed = touched)
+    Cow(Some(v), touched.size, visible.size)
+  }
+
+  /** Zero-copy ROLLBACK: commit a new overwrite manifest referencing
+    * `version`'s file set — the table's latest state becomes the old
+    * snapshot WITHOUT rewriting a byte (Delta RESTORE). History is
+    * preserved: the bad commits stay time-travelable between the
+    * restored-from version and the restore commit, until vacuum.
+    * Returns the new version. */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val files = filesAt(spark, table, version) // loud on unknown/vacuumed
+    val f = fs(spark, table)
+    var v = latestVersion(spark, table).get + 1
+    while (true) {
+      val target = versionFile(table, v)
+      val json = mapper.createObjectNode()
+      json.put("version", v)
+      json.put("action", "overwrite")
+      json.put("ts", System.currentTimeMillis())
+      json.put("restoredFrom", version)
+      val arr = json.putArray("files")
+      files.foreach(arr.add)
+      try {
+        val out = f.create(target, false)
+        try out.write(mapper.writeValueAsBytes(json)) finally out.close()
+        return v
+      } catch {
+        case _: java.io.IOException if f.exists(target) =>
+          v = latestVersion(spark, table).map(_ + 1).getOrElse(v + 1)
+      }
+    }
+    v // unreachable
+  }
+
+  /** Idempotent streaming MERGE — the `foreachBatch` + upsert pattern
+    * that lands a CDC stream in a snapshot table exactly-once: like
+    * [[commitBatch]], a replayed micro-batch whose `batchId` already
+    * committed is a no-op; otherwise the batch upserts via
+    * [[mergeInto]] (matched keys replaced, new keys inserted, touched
+    * files only). The batchId is recorded on whichever manifest the
+    * merge produces (`replace` or `append`).
+    * {{{ cdc.writeStream.foreachBatch { (df, id) =>
+    *       Snapshots.mergeBatch(spark, table, df, Seq("key"), id); () } }}} */
+  def mergeBatch(spark: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String], batchId: Long): Option[Cow] = {
+    val committed = versions(spark, table)
+      .map(readManifest(spark, table, _))
+      .exists(_.batchId.contains(batchId))
+    if (committed) None
+    else Some(mergeInto(spark, table, source, keyCols, batchIdOpt = Some(batchId)))
+  }
+
+  /** Zero-copy SHALLOW clone: `dst` is born with one self-contained
+    * overwrite manifest referencing `src`'s files at `version` (default
+    * latest) — no data moves, so branching a 100 TB table is a
+    * manifest-write. The clone is immediately writable: appends land
+    * under `dst/data`, and copy-on-write DML rewrites touched files
+    * INTO the clone while untouched files stay shared — branch
+    * semantics, the parent never observes the branch's DML (and
+    * [[vacuum]] on the clone only sweeps `dst/data`, so shared parent
+    * files are structurally safe from it). The one cross-table hazard
+    * is the parent's OWN vacuum: it cannot see the clone's references,
+    * so vacuuming `src` past the cloned version breaks the clone —
+    * same contract as Delta shallow clones; retain the cloned version
+    * on the parent (or re-materialize the clone with an overwrite
+    * commit) before reclaiming. */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion(spark, src)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $src"))
+    val files = filesAt(spark, src, v)
+    require(latestVersion(spark, dst).isEmpty,
+      s"cloneShallow: $dst already has a snapshot log")
+    val f = fs(spark, dst)
+    f.mkdirs(logDir(dst))
+    val json = mapper.createObjectNode()
+    json.put("version", 0L)
+    json.put("action", "overwrite")
+    json.put("ts", System.currentTimeMillis())
+    val arr = json.putArray("files")
+    files.foreach(arr.add)
+    val out = f.create(versionFile(dst, 0L), false)
+    try out.write(mapper.writeValueAsBytes(json)) finally out.close()
+    0L
+  }
+
+  /** Register a version (default latest) as a temp view — the SQL
+    * surface: `spark.sql("SELECT ... FROM clean_docs")` over a pinned
+    * consistent snapshot. Re-register to move the view forward. */
+  def createView(spark: SparkSession, table: String, name: String,
+      version: Option[Long] = None): Unit =
+    read(spark, table, version).createOrReplaceTempView(name)
+
+  /** Continuous consumption of an APPEND-ONLY snapshot table as a
+    * Structured Streaming source: Spark's file-stream source tracks
+    * per-file progress in its own checkpoint, and every commit only
+    * ADDS immutable files under `data/&#42;/`, so new commits flow
+    * through exactly-once with zero extra machinery — the idiomatic
+    * composition, not a custom Source. Constraints follow from the
+    * mechanism and are enforced/documented: the table must stay
+    * append-only (an overwrite/compaction/copy-on-write replace would
+    * re-deliver rewritten rows — run those on a DIFFERENT table fed
+    * from this stream), and
+    * `schema` is required because streaming sources cannot infer. */
+  def streamChanges(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(table + "/data/*")
+
+  /** Commit history as a DataFrame (version, action, n_files,
+    * n_removed, ts) — `n_removed` is the copy-on-write footprint of a
+    * `replace` commit. */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     versions(spark, table).map(readManifest(spark, table, _))
-      .map(m => (m.version, m.action, m.files.size, m.ts))
-      .toDF("version", "action", "n_files", "ts")
+      .map(m => (m.version, m.action, m.files.size, m.removed.size, m.ts))
+      .toDF("version", "action", "n_files", "n_removed", "ts")
   }
 
   /** Delete data files unreachable from the newest `retainVersions`
@@ -333,9 +594,11 @@ object Snapshots {
     horizonFiles.foreach(arr.add)
     val out = f.create(versionFile(table, horizon), true)
     try out.write(mapper.writeValueAsBytes(json)) finally out.close()
-    // all data files on disk
+    // all data files on disk (a pure shallow clone has no data dir yet)
     val dataDir = new Path(table, "data")
-    val commitDirs = f.listStatus(dataDir).filter(_.isDirectory).map(_.getPath)
+    val commitDirs =
+      if (!f.exists(dataDir)) Array.empty[Path]
+      else f.listStatus(dataDir).filter(_.isDirectory).map(_.getPath)
     var deleted = 0L
     commitDirs.foreach { d =>
       val parts = f.listStatus(d).map(_.getPath)

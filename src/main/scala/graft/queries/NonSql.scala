@@ -198,6 +198,30 @@ object NonSql {
       .orderBy($"o_orderkey")
   }
 
+  // S20: the copy-on-write DML lifecycle on a snapshot table — DELETE
+  // drops low-price orders rewriting only files that hold one, UPDATE
+  // re-keys finished orders' customers, MERGE upserts a corrections
+  // batch (matched rows replaced, new keys inserted — including keys
+  // the delete removed). The final read is the oracle-comparable state;
+  // every intermediate version stays time-travelable.
+  val s20CowLifecycle: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_cow_").toString
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    graft.operators.Snapshots.commit(s, tmp,
+      base.repartitionByRange(8, $"o_orderkey"))
+    graft.operators.Snapshots.deleteWhere(s, tmp, $"o_totalprice" < 50000.0)
+    graft.operators.Snapshots.updateWhere(s, tmp, $"o_orderstatus" === "F",
+      Map("o_custkey" -> ($"o_custkey" + 1000000L)))
+    val src = base.filter($"o_orderkey" % 100 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    graft.operators.Snapshots.mergeInto(s, tmp, src, Seq("o_orderkey"))
+    graft.operators.Snapshots.read(s, tmp)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -375,7 +399,8 @@ object NonSql {
     "s5_log_roundtrip" -> s5LogRoundtrip,
     "s17_zonemap_prune" -> s17ZonemapPrune,
     "s18_bloom_point_lookup" -> s18BloomPointLookup,
-    "s19_snapshot_read" -> s19SnapshotRead
+    "s19_snapshot_read" -> s19SnapshotRead,
+    "s20_cow_lifecycle" -> s20CowLifecycle
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -425,6 +450,17 @@ object NonSql {
         "WHERE o_orderkey IN (7, 128, 1201) ORDER BY o_orderkey"),
     "s19_snapshot_read" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
-        "ORDER BY o_orderkey")
+        "ORDER BY o_orderkey"),
+    "s20_cow_lifecycle" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
+        "del AS (SELECT * FROM base WHERE NOT (o_totalprice < 50000.0)), " +
+        "upd AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderstatus = 'F' THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey, " +
+        "o_orderstatus, o_totalprice FROM del), " +
+        "src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice " +
+        "FROM base WHERE o_orderkey % 100 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT * FROM upd WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) " +
+        "UNION ALL SELECT * FROM src) ORDER BY o_orderkey")
   )
 }

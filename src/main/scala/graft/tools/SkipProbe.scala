@@ -151,6 +151,28 @@ object SkipProbe {
     timed("readChanges(last commit) + agg") {
       Snapshots.readChanges(spark, sdir, 8L, 9L).agg(count(lit(1))).head.getLong(0)
     }
+
+    // ---- 5. copy-on-write DML: a selective delete on a key-clustered
+    // snapshot rewrites O(touched files); the naive alternative (what
+    // the reference's overwrite refresh amounts to) rewrites the table.
+    val cdir = java.nio.file.Files.createTempDirectory("graft_skipc_").toString
+    Snapshots.commit(spark, cdir, li.repartitionByRange(64, $"l_orderkey"))
+    val nRows = li.count()
+    val keyMax = li.agg(max($"l_orderkey")).head.getLong(0)
+    val band = ($"l_orderkey" >= keyMax / 2 && $"l_orderkey" <= keyMax / 2 + keyMax / 100)
+    val tCow0 = System.nanoTime()
+    val cow = Snapshots.deleteWhere(spark, cdir, band)
+    val tCow = (System.nanoTime() - tCow0) / 1e9
+    println(f"cow delete (~1%% key band): rewrote ${cow.filesRewritten}/" +
+      f"${cow.filesVisible} files in $tCow%.3f s")
+    val fdir = java.nio.file.Files.createTempDirectory("graft_skipf_").toString
+    Snapshots.commit(spark, fdir, li.repartitionByRange(64, $"l_orderkey"))
+    val tFull0 = System.nanoTime()
+    Snapshots.commit(spark, fdir,
+      Snapshots.read(spark, fdir).where(!band), overwrite = true)
+    val tFull = (System.nanoTime() - tFull0) / 1e9
+    println(f"full-rewrite twin (overwrite commit): $tFull%.3f s " +
+      f"(${nRows} rows rescanned+rewritten) — cow/full = ${tCow / tFull}%.2f")
     spark.stop()
   }
 }

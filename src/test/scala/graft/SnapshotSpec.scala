@@ -260,6 +260,219 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
       f"checkpointed fold $ckpt%.1f ms must be well under the $cold%.1f ms full fold")
   }
 
+  test("createView: SQL over a pinned version; streamChanges: commits flow exactly-once") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(100))
+    Snapshots.createView(spark, t, "snap_orders", Some(0L))
+    assert(spark.sql("SELECT COUNT(*) FROM snap_orders").head.getLong(0) == 100)
+    // a later commit does not move the pinned view until re-registered
+    Snapshots.commit(spark, t, orders.limit(40))
+    assert(spark.sql("SELECT COUNT(*) FROM snap_orders").head.getLong(0) == 100)
+    Snapshots.createView(spark, t, "snap_orders")
+    assert(spark.sql("SELECT COUNT(*) FROM snap_orders").head.getLong(0) == 140)
+
+    // streaming: the file source drains existing commits, then picks up
+    // a NEW commit's files, each exactly once
+    val st = tbl()
+    Snapshots.commitBatch(spark, st, orders.limit(30), batchId = 0)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = Snapshots.streamChanges(spark, st, orders.schema)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.addAndGet(b.count()); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(sink.get() == 30)
+      Snapshots.commitBatch(spark, st, orders.limit(50), batchId = 1)
+      q.processAllAvailable()
+      assert(sink.get() == 80, s"new commit must stream once, got ${sink.get()}")
+    } finally q.stop()
+  }
+
+  test("deleteWhere: copy-on-write touches only files holding a match") {
+    val t = tbl()
+    // range-clustered on the delete key: a narrow key predicate lands
+    // in few files — the layout a 100 TB delete relies on
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    val before = Snapshots.filesAt(spark, t, 0L)
+    val nDel = orders.filter($"o_orderkey" <= 100L).count()
+    val cow = Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 100L)
+    assert(cow.version.contains(1L))
+    assert(cow.filesRewritten < before.size,
+      s"clustered delete must not rewrite all ${before.size} files")
+    // untouched files are carried BY REFERENCE (same physical paths):
+    // exactly filesRewritten of v0's paths leave the visible set
+    val after = Snapshots.filesAt(spark, t, 1L).toSet
+    val replaced = before.filterNot(after.contains)
+    assert(replaced.size == cow.filesRewritten)
+    // rows: only matches gone; time travel still sees them
+    val latest = Snapshots.read(spark, t)
+    assert(latest.count() == orders.count() - nDel)
+    assert(latest.filter($"o_orderkey" <= 100L).isEmpty)
+    assert(Snapshots.read(spark, t, Some(0L)).count() == orders.count())
+    // a no-match delete commits nothing
+    val noop = Snapshots.deleteWhere(spark, t, $"o_orderkey" < 0L)
+    assert(noop.version.isEmpty && noop.filesRewritten == 0)
+    assert(Snapshots.latestVersion(spark, t).contains(1L))
+    // history records the copy-on-write footprint
+    val h = Snapshots.history(spark, t).orderBy($"version")
+      .select($"action", $"n_removed").as[(String, Int)].collect()
+    assert(h(1) == ("replace", cow.filesRewritten))
+  }
+
+  test("deleteWhere: NULL-condition rows are kept (SQL DELETE semantics)") {
+    val t = tbl()
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(9.0)))
+      .toDF("id", "v")
+    Snapshots.commit(spark, t, df)
+    Snapshots.deleteWhere(spark, t, $"v" < 5.0)
+    val left = Snapshots.read(spark, t).select($"id").as[Long].collect().sorted
+    assert(left.toSeq == Seq(2L, 3L), "NULL predicate must not delete")
+  }
+
+  test("updateWhere: set-expressions evaluate against the OLD row") {
+    val t = tbl()
+    val df = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "a", "b")
+    Snapshots.commit(spark, t, df)
+    // a↔b swap is only correct if neither expression sees the other's result
+    val cow = Snapshots.updateWhere(spark, t, $"id" === 1L,
+      Map("a" -> ($"b" + 1L), "b" -> ($"a" + 1L)))
+    assert(cow.version.contains(1L))
+    val got = Snapshots.read(spark, t).orderBy($"id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 21L, 11L), (2L, 30L, 40L)))
+  }
+
+  test("mergeInto: matched rows replaced, new keys inserted, touched-file footprint") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    val before = Snapshots.filesAt(spark, t, 0L)
+    // corrections: re-price 5 clustered keys + insert 3 brand-new keys
+    val updates = orders.filter($"o_orderkey".between(1L, 64L)).limit(5)
+      .withColumn("o_totalprice", lit(-1.0))
+    val maxKey = orders.agg(max($"o_orderkey")).head.getLong(0)
+    val inserts = Seq(maxKey + 1, maxKey + 2, maxKey + 3)
+      .toDF("o_orderkey")
+      .withColumn("o_custkey", lit(7L))
+      .withColumn("o_totalprice", lit(99.0))
+    val cow = Snapshots.mergeInto(spark, t,
+      updates.unionByName(inserts.select(updates.columns.map(col): _*)),
+      Seq("o_orderkey"))
+    assert(cow.filesRewritten > 0 && cow.filesRewritten < before.size,
+      s"merge on clustered keys rewrote ${cow.filesRewritten}/${before.size}")
+    val latest = Snapshots.read(spark, t)
+    assert(latest.count() == orders.count() + 3)
+    assert(latest.filter($"o_totalprice" === -1.0).count() == 5)
+    assert(latest.filter($"o_orderkey" > maxKey).count() == 3)
+    // a duplicate-keyed source is rejected before it double-inserts
+    val dup = updates.unionByName(updates)
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeInto(spark, t, dup, Seq("o_orderkey"))
+    }
+    // an insert-only source appends without rewriting anything
+    val more = inserts.select(updates.columns.map(col): _*)
+      .withColumn("o_orderkey", $"o_orderkey" + 10L)
+    val cow2 = Snapshots.mergeInto(spark, t, more, Seq("o_orderkey"))
+    assert(cow2.filesRewritten == 0)
+    val acts = Snapshots.history(spark, t).orderBy($"version")
+      .select($"action").as[String].collect().toSeq
+    assert(acts == Seq("append", "replace", "append"))
+  }
+
+  test("replace commits: change feed refuses the range; vacuum reclaims dead files") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))
+    val cow = Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 50L)
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.readChanges(spark, t, -1L, cow.version.get)
+    }
+    assert(ex.getMessage.contains("REPLACE"))
+    // the replaced (pre-delete) files die at vacuum, reads survive
+    val n = Snapshots.read(spark, t).count()
+    val reclaimed = Snapshots.vacuum(spark, t, retainVersions = 1)
+    assert(reclaimed >= cow.filesRewritten)
+    assert(Snapshots.read(spark, t).count() == n)
+  }
+
+  test("copy-on-write discovery composes with the bloom index (candidates)") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    val files = Snapshots.filesAt(spark, t, 0L)
+    val bi = Layout.bloomIndexFiles(spark, files, "o_orderkey", 2048)
+    val cand = Layout.pruneFilesByKeys(bi, Seq(42L))
+    assert(cand.size < files.size, "bloom must narrow the candidate set")
+    val cow = Snapshots.deleteWhere(spark, t, $"o_orderkey" === 42L,
+      candidates = Some(cand))
+    assert(cow.filesRewritten <= cand.size)
+    assert(Snapshots.read(spark, t).filter($"o_orderkey" === 42L).isEmpty)
+    assert(Snapshots.read(spark, t).count() == orders.count() - 1)
+  }
+
+  test("restore: zero-copy rollback; the bad commits stay time-travelable") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey")) // v0
+    Snapshots.commit(spark, t, orders.limit(20))                            // v1
+    Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 500L)                  // v2
+    val v3 = Snapshots.restore(spark, t, 0L)
+    assert(v3 == 3L)
+    // latest == v0 again, by REFERENCE (same physical files, no rewrite)
+    assert(Snapshots.filesAt(spark, t, v3) == Snapshots.filesAt(spark, t, 0L))
+    assert(Snapshots.read(spark, t).count() == orders.count())
+    // the rolled-back states remain auditable until vacuum
+    assert(Snapshots.read(spark, t, Some(2L))
+      .filter($"o_orderkey" <= 500L).isEmpty)
+    intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, t, 99L) // unknown version is loud
+    }
+  }
+
+  test("mergeBatch: idempotent streaming upsert — replayed batches are no-ops") {
+    val t = tbl()
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    Snapshots.commit(spark, t, base.repartition(2))
+    val delta = Seq((2L, 99.0), (4L, 40.0)).toDF("id", "v")
+    val first = Snapshots.mergeBatch(spark, t, delta, Seq("id"), batchId = 7L)
+    assert(first.exists(_.version.contains(1L)))
+    val got = Snapshots.read(spark, t).orderBy($"id").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+    // crash-replay of the same micro-batch: no commit, no double-apply
+    assert(Snapshots.mergeBatch(spark, t, delta, Seq("id"), batchId = 7L).isEmpty)
+    assert(Snapshots.latestVersion(spark, t).contains(1L))
+    assert(Snapshots.read(spark, t).count() == 4)
+    // the next batch proceeds normally
+    val next = Snapshots.mergeBatch(spark, t,
+      Seq((4L, 41.0)).toDF("id", "v"), Seq("id"), batchId = 8L)
+    assert(next.exists(_.version.contains(2L)))
+    assert(Snapshots.read(spark, t).filter($"v" === 41.0).count() == 1)
+  }
+
+  test("cloneShallow: zero-copy branch; branch DML never touches the parent") {
+    val src = tbl(); val dst = tbl()
+    Snapshots.commit(spark, src, orders.repartitionByRange(8, $"o_orderkey"))
+    Snapshots.cloneShallow(spark, src, dst)
+    // born equal, sharing every physical file
+    assert(Snapshots.filesAt(spark, dst, 0L) == Snapshots.filesAt(spark, src, 0L))
+    assert(Snapshots.read(spark, dst).count() == orders.count())
+    // COW delete on the BRANCH: parent untouched, untouched files shared
+    val cow = Snapshots.deleteWhere(spark, dst, $"o_orderkey" <= 100L)
+    assert(Snapshots.read(spark, src).count() == orders.count(),
+      "parent must not observe branch DML")
+    val srcFiles = Snapshots.filesAt(spark, src, 0L).toSet
+    val dstFiles = Snapshots.filesAt(spark, dst, cow.version.get).toSet
+    assert((srcFiles & dstFiles).size == srcFiles.size - cow.filesRewritten,
+      "untouched files stay shared by reference")
+    // vacuum on the branch sweeps only dst/data — shared parent files
+    // are structurally out of reach
+    Snapshots.vacuum(spark, dst, retainVersions = 1)
+    assert(Snapshots.read(spark, src, Some(0L)).count() == orders.count())
+    assert(Snapshots.read(spark, dst).filter($"o_orderkey" <= 100L).isEmpty)
+    // a second clone onto an existing log is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.cloneShallow(spark, src, dst)
+    }
+  }
+
   test("snapshot file lists compose with the skipping layer (zoneMapFiles)") {
     val t = tbl()
     Snapshots.commit(spark, t,

@@ -158,8 +158,10 @@ object SkipProbe {
     val cdir = java.nio.file.Files.createTempDirectory("graft_skipc_").toString
     Snapshots.commit(spark, cdir, li.repartitionByRange(64, $"l_orderkey"))
     val nRows = li.count()
-    val keyMax = li.agg(max($"l_orderkey")).head.getLong(0)
-    val band = ($"l_orderkey" >= keyMax / 2 && $"l_orderkey" <= keyMax / 2 + keyMax / 100)
+    // ~1% of ROWS by key-quantile band (key domains can be sparse)
+    val Array(qlo, qhi) = Snapshots.read(spark, cdir)
+      .stat.approxQuantile("l_orderkey", Array(0.50, 0.51), 0.0005)
+    val band = ($"l_orderkey" >= qlo.toLong && $"l_orderkey" <= qhi.toLong)
     val tCow0 = System.nanoTime()
     val cow = Snapshots.deleteWhere(spark, cdir, band)
     val tCow = (System.nanoTime() - tCow0) / 1e9

@@ -48,6 +48,13 @@ import org.apache.spark.sql.functions._
 object Snapshots {
   private val mapper = new ObjectMapper()
 
+  /** Test seam: runs after a commit's data files are durably written
+    * and before its first manifest-create attempt — the window a
+    * racing writer's commit can land in. Specs inject a deterministic
+    * concurrent commit here to exercise the conflict checks; no-op in
+    * production. */
+  private[graft] var raceHook: () => Unit = () => ()
+
   private def logDir(table: String) = new Path(table, "_graft_log")
   private def versionFile(table: String, v: Long) =
     new Path(logDir(table), f"v$v%011d.json")
@@ -170,10 +177,29 @@ object Snapshots {
     commitAction(spark, table, df,
       if (overwrite) "overwrite" else "append", batchId, maxRecordsPerFile)
 
+  /** Write + manifest-create loop with OPTIMISTIC CONFLICT DETECTION.
+    * Appends/overwrites are commutative with concurrent commits and
+    * retry blindly at the next version. The two non-commutative shapes
+    * revalidate INSIDE the loop, before every create attempt (versions
+    * are immutable once created, so a validation done against v-1
+    * still holds when the create at v wins the race):
+    *
+    *   - `replace` (copy-on-write DML): every file this commit removes
+    *     must still be VISIBLE at the would-be base version — if a
+    *     racing writer already replaced one, committing on top would
+    *     resurrect that file's rewritten rows (lost update). Fails
+    *     with ConcurrentModificationException; the caller re-runs the
+    *     DML against the new state.
+    *   - `expectedBase` (compaction): the overwrite is only valid if
+    *     NOTHING committed since the state it compacted — otherwise
+    *     the overwrite would silently drop the concurrent commit's
+    *     rows. Same exception; re-run the compaction.
+    */
   private def commitAction(spark: SparkSession, table: String, df: DataFrame,
       action: String, batchId: Option[Long],
       maxRecordsPerFile: Option[Long] = None,
-      removed: Seq[String] = Seq.empty): Long = {
+      removed: Seq[String] = Seq.empty,
+      expectedBase: Option[Long] = None): Long = {
     val f = fs(spark, table)
     val commitDir = new Path(new Path(table, "data"),
       s"c-${UUID.randomUUID().toString.take(8)}")
@@ -184,8 +210,23 @@ object Snapshots {
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
       .map(_.toString).sorted.toSeq
     f.mkdirs(logDir(table))
+    raceHook()
     var v = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
     while (true) {
+      expectedBase.foreach { e =>
+        if (v != e + 1) throw new java.util.ConcurrentModificationException(
+          s"commit conflict at $table: expected to commit on top of v$e " +
+            s"but the log is at v${v - 1} — a concurrent commit landed; " +
+            "re-run against the new state")
+      }
+      if (removed.nonEmpty && v > 0) {
+        val visible = filesAt(spark, table, v - 1).toSet
+        val gone = removed.filterNot(visible)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"replace conflict at $table v$v: ${gone.size} of this commit's " +
+            s"removed files are no longer visible (e.g. ${gone.head}) — a " +
+            "concurrent writer replaced them; re-run the DML against the new state")
+      }
       val target = versionFile(table, v)
       val json = mapper.createObjectNode()
       json.put("version", v)
@@ -289,12 +330,16 @@ object Snapshots {
   def compactLatest(spark: SparkSession, table: String,
       targetRowsPerFile: Long, zorderCols: Seq[String] = Seq.empty): Long = {
     require(targetRowsPerFile > 0, "compactLatest: targetRowsPerFile must be > 0")
-    val snap = read(spark, table)
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val snap = read(spark, table, Some(base))
     val laid =
       if (zorderCols.size >= 2) Layout.zorderBy(snap, zorderCols)
       else snap
-    commitWith(spark, table, laid, overwrite = true, batchId = None,
-      maxRecordsPerFile = Some(targetRowsPerFile))
+    // conflict-checked: if anything commits between the read above and
+    // the manifest create, the overwrite would drop it — fail instead
+    commitAction(spark, table, laid, "overwrite", batchId = None,
+      maxRecordsPerFile = Some(targetRowsPerFile), expectedBase = Some(base))
   }
 
   /** Idempotent micro-batch append for `foreachBatch` — the streaming

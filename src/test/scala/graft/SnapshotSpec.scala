@@ -447,6 +447,79 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t).filter($"v" === 41.0).count() == 1)
   }
 
+  test("conflict detection: overlapping racing replaces fail, they never resurrect rows") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))
+    // a racing delete of an OVERLAPPING key band lands in the commit
+    // window of ours — both would rewrite the low-key file
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 100L)
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 200L)
+      }
+    } finally Snapshots.raceHook = () => ()
+    // the winner's delete is the table state; the loser left no trace
+    val latest = Snapshots.read(spark, t)
+    assert(latest.filter($"o_orderkey" <= 100L).isEmpty)
+    assert(latest.count() == orders.filter($"o_orderkey" > 100L).count())
+    // re-running the loser against the new state succeeds
+    val retry = Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 200L)
+    assert(retry.version.nonEmpty)
+    assert(Snapshots.read(spark, t).count() ==
+      orders.filter($"o_orderkey" > 200L).count())
+  }
+
+  test("conflict detection: disjoint replaces and appends commute with a replace") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    val maxKey = orders.agg(max($"o_orderkey")).head.getLong(0)
+    // racing delete touches the HIGH end; ours the LOW end — disjoint
+    // touched sets, both must land
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.deleteWhere(spark, t, $"o_orderkey" > maxKey - 100L)
+    }
+    try {
+      val cow = Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 100L)
+      assert(cow.version.contains(2L), "disjoint replace must commit after the racer")
+    } finally Snapshots.raceHook = () => ()
+    val want = orders.filter($"o_orderkey" > 100L && $"o_orderkey" <= maxKey - 100L)
+    assert(Snapshots.read(spark, t).count() == want.count())
+    // an append racing a replace also commutes: both land, nothing lost
+    val k = want.agg(min($"o_orderkey")).head.getLong(0)
+    val nBefore = Snapshots.read(spark, t).count()
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.commit(spark, t, orders.filter($"o_orderkey" =!= k).limit(7))
+    }
+    try {
+      val cow2 = Snapshots.deleteWhere(spark, t, $"o_orderkey" === k)
+      assert(cow2.version.isDefined)
+    } finally Snapshots.raceHook = () => ()
+    assert(Snapshots.read(spark, t).count() == nBefore - 1 + 7)
+  }
+
+  test("conflict detection: compaction racing an append fails loudly, never drops rows") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(100).repartition(6))
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.commit(spark, t, orders.limit(40)) // concurrent ingest
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.compactLatest(spark, t, targetRowsPerFile = 1000)
+      }
+    } finally Snapshots.raceHook = () => ()
+    // nothing lost: the append is visible; a re-run compaction keeps it
+    assert(Snapshots.read(spark, t).count() == 140)
+    Snapshots.compactLatest(spark, t, targetRowsPerFile = 1000)
+    assert(Snapshots.read(spark, t).count() == 140)
+  }
+
   test("cloneShallow: zero-copy branch; branch DML never touches the parent") {
     val src = tbl(); val dst = tbl()
     Snapshots.commit(spark, src, orders.repartitionByRange(8, $"o_orderkey"))

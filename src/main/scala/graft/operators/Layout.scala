@@ -220,6 +220,55 @@ object Layout {
       .withColumn("key_type", lit(keyType.json))
   }
 
+  /** A path may appear as a FileSystem-qualified string (`file:/x`, a
+    * snapshot manifest's form) or `_metadata.file_path`'s URI form
+    * (`file:///x`, an index manifest's key). Both forms, for driver-side
+    * membership tests across the two layers. */
+  private def pathForms(p: String): Seq[String] = {
+    val n = new Path(p).toString
+    val alt =
+      if (n.startsWith("file:/") && !n.startsWith("file:///"))
+        "file://" + n.stripPrefix("file:")
+      else n
+    Seq(p, n, alt).distinct
+  }
+
+  /** Apply a table's file-set delta to a [[zoneMap]]-style manifest
+    * WITHOUT rebuilding it: drop `removed` files' rows, index and
+    * append `added` files' rows. Paired with
+    * [[Snapshots.changedFiles]], this keeps the skipping index in
+    * lockstep with every commit — append ingest indexes O(new files),
+    * a copy-on-write replace re-indexes O(touched files) — instead of
+    * the O(table) rebuild that is unpayable per-commit at 100 TB.
+    * `removed` is file-path-scale and probed via an in-list (a replace
+    * touches a handful of files; after a full overwrite/compaction,
+    * rebuild instead). */
+  def zoneMapApply(spark: SparkSession, zmap: DataFrame, cols: Seq[String],
+      added: Seq[String], removed: Seq[String]): DataFrame = {
+    val rm = removed.flatMap(pathForms)
+    val kept =
+      if (rm.isEmpty) zmap
+      else zmap.filter(!col("file").isin(rm: _*))
+    if (added.isEmpty) kept
+    else kept.unionByName(zoneMapFiles(spark, added, cols))
+  }
+
+  /** [[zoneMapApply]]'s twin for a [[bloomIndex]] manifest: same
+    * drop-and-append fold, re-hashing only the added files. Size the
+    * filter with the SAME `expectedItemsPerFile`/`fpp` as the original
+    * build so probe behavior stays uniform across old and new rows. */
+  def bloomIndexApply(spark: SparkSession, index: DataFrame, keyCol: String,
+      expectedItemsPerFile: Long, added: Seq[String], removed: Seq[String],
+      fpp: Double = 0.01): DataFrame = {
+    val rm = removed.flatMap(pathForms)
+    val kept =
+      if (rm.isEmpty) index
+      else index.filter(!col("file").isin(rm: _*))
+    if (added.isEmpty) kept
+    else kept.unionByName(
+      bloomIndexFiles(spark, added, keyCol, expectedItemsPerFile, fpp))
+  }
+
   /** Files that MIGHT contain any of `keys` per a [[bloomIndex]]
     * manifest: no false negatives (the survivor scan + exact predicate
     * equals the full-table filter), ~fpp false positives. The manifest

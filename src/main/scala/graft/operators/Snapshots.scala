@@ -598,6 +598,24 @@ object Snapshots {
       .option("pathGlobFilter", "*.parquet")
       .parquet(table + "/data/*")
 
+  /** The file-set DELTA of `version`'s commit vs the version before it:
+    * (added, removed), both manifest-scale. This is what keeps a
+    * skipping index in lockstep with the table WITHOUT rebuilding it —
+    * feed the pair to [[Layout.zoneMapApply]] / [[Layout.bloomIndexApply]]
+    * after any commit (append: added only; copy-on-write replace: both;
+    * restore: whatever actually changed by reference). Computed as a
+    * set diff of the two visible file lists, so it is exact for every
+    * action including overwrites. */
+  def changedFiles(spark: SparkSession, table: String,
+      version: Long): (Seq[String], Seq[String]) = {
+    val vs = versions(spark, table)
+    require(vs.contains(version), s"changedFiles: unknown version $version")
+    val now = filesAt(spark, table, version).toSet
+    val before = vs.filter(_ < version).lastOption
+      .map(filesAt(spark, table, _).toSet).getOrElse(Set.empty[String])
+    ((now -- before).toSeq.sorted, (before -- now).toSeq.sorted)
+  }
+
   /** Commit history as a DataFrame (version, action, n_files,
     * n_removed, ts) — `n_removed` is the copy-on-write footprint of a
     * `replace` commit. */

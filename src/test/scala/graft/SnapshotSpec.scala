@@ -520,6 +520,46 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t).count() == 140)
   }
 
+  test("incremental index maintenance: changedFiles + zoneMapApply/bloomIndexApply == rebuild") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey")) // v0
+    val cols = Seq("o_orderkey")
+    var zm = Layout.zoneMapFiles(spark, Snapshots.filesAt(spark, t, 0L), cols)
+    var bi = Layout.bloomIndexFiles(spark, Snapshots.filesAt(spark, t, 0L),
+      "o_orderkey", 512)
+    // append ingest: delta is (new files, nothing)
+    Snapshots.commit(spark, t, orders.limit(30).repartition(2))            // v1
+    val (a1, r1) = Snapshots.changedFiles(spark, t, 1L)
+    assert(a1.size == 2 && r1.isEmpty)
+    zm = Layout.zoneMapApply(spark, zm, cols, a1, r1)
+    bi = Layout.bloomIndexApply(spark, bi, "o_orderkey", 512, a1, r1)
+    // copy-on-write delete: delta is (rewritten files, touched files)
+    val cow = Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 100L)       // v2
+    val (a2, r2) = Snapshots.changedFiles(spark, t, cow.version.get)
+    assert(r2.size == cow.filesRewritten && r2.nonEmpty)
+    zm = Layout.zoneMapApply(spark, zm, cols, a2, r2)
+    bi = Layout.bloomIndexApply(spark, bi, "o_orderkey", 512, a2, r2)
+    // the folded index equals a from-scratch rebuild over the latest version
+    val latestFiles = Snapshots.filesAt(spark, t,
+      Snapshots.latestVersion(spark, t).get)
+    val zmRebuilt = Layout.zoneMapFiles(spark, latestFiles, cols)
+    assert(zm.exceptAll(zmRebuilt).isEmpty && zmRebuilt.exceptAll(zm).isEmpty,
+      "incrementally-folded zone map must equal the rebuild")
+    // bloom: identical PRUNING behavior on live + deleted keys
+    val biRebuilt = Layout.bloomIndexFiles(spark, latestFiles, "o_orderkey", 512)
+    val probes: Seq[Any] = Seq(42L, 101L, 500L, 1201L)
+    assert(Layout.pruneFilesByKeys(bi, probes).sorted ==
+      Layout.pruneFilesByKeys(biRebuilt, probes).sorted)
+    // and the folded index actually serves pruned reads
+    val hit = Layout.pruneFilesByKeys(bi, Seq(1201L))
+    assert(hit.size < latestFiles.size)
+    // restore: changedFiles reports the by-reference delta exactly
+    val v3 = Snapshots.restore(spark, t, 0L)
+    val (a3, r3) = Snapshots.changedFiles(spark, t, v3)
+    val prev = Snapshots.filesAt(spark, t, cow.version.get).toSet
+    assert((prev -- r3 ++ a3) == Snapshots.filesAt(spark, t, v3).toSet)
+  }
+
   test("cloneShallow: zero-copy branch; branch DML never touches the parent") {
     val src = tbl(); val dst = tbl()
     Snapshots.commit(spark, src, orders.repartitionByRange(8, $"o_orderkey"))

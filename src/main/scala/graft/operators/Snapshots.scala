@@ -364,8 +364,11 @@ object Snapshots {
     * nothing matched — no commit was made) and the rewrite's footprint,
     * `filesRewritten` of `filesVisible` — the number a 100 TB operator
     * watches: a selective delete on a clustered layout should touch a
-    * handful of files, not the table. */
-  final case class Cow(version: Option[Long], filesRewritten: Int, filesVisible: Int)
+    * handful of files, not the table. `filesDropped` counts files
+    * removed METADATA-ONLY (every row matched, so nothing was
+    * rewritten — [[deleteRange]]'s fast path). */
+  final case class Cow(version: Option[Long], filesRewritten: Int,
+      filesVisible: Int, filesDropped: Int = 0)
 
   /** Files of the LATEST version that contain at least one row matching
     * `cond` — the touched set a copy-on-write rewrite is limited to.
@@ -412,6 +415,61 @@ object Snapshots {
     val kept = spark.read.parquet(touched: _*).where(!coalesce(cond, lit(false)))
     val v = commitAction(spark, table, kept, "replace", None, removed = touched)
     Cow(Some(v), touched.size, visible.size)
+  }
+
+  /** Range DELETE with a METADATA-ONLY fast path — the retention /
+    * right-to-be-forgotten shape at 100 TB: `DELETE WHERE c BETWEEN lo
+    * AND hi` on a layout clustered on `c` (time-partitioned ingest,
+    * [[Layout.zorderBy]], `repartitionByRange`). A zone map over the
+    * visible files classifies each file by its [min,max] envelope:
+    *
+    *   - fully inside [lo,hi] (and no NULLs): DROPPED from the manifest
+    *     without reading a byte — deleting a day from a year of
+    *     time-clustered data is a manifest write, like dropping a
+    *     partition;
+    *   - envelope intersects: rewritten copy-on-write (only files that
+    *     actually contain a match, via [[touchedFiles]] over just those
+    *     candidates);
+    *   - envelope disjoint: untouched, carried by reference.
+    *
+    * Pass a maintained `zm` ([[Layout.zoneMapApply]]) to skip even the
+    * zone-map build; otherwise one column-pruned scan builds it. The
+    * conflict check covers dropped files too — a racing replace of one
+    * fails the commit rather than resurrecting rows. */
+  def deleteRange(spark: SparkSession, table: String, c: String,
+      lo: Any, hi: Any, zm: Option[DataFrame] = None): Cow = {
+    val visible = filesAt(spark, table,
+      latestVersion(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot committed at $table")))
+    val zmap = zm.getOrElse(Layout.zoneMapFiles(spark, visible, Seq(c)))
+    val loL = lit(lo); val hiL = lit(hi)
+    // driver-side, manifest-scale: (file, fully-covered?, intersects?)
+    val cls = zmap.select(col("file"),
+      (col(s"${c}_min") >= loL && col(s"${c}_max") <= hiL &&
+        col(s"${c}_nulls") === 0L).as("full"),
+      Layout.rangeEnvelope(c, loL, hiL).as("hit")).collect()
+    // stat columns are NULL for all-NULL files — NULL classifies as
+    // neither fully-covered nor intersecting (range predicates never
+    // match NULL rows)
+    def truthy(r: org.apache.spark.sql.Row, i: Int) =
+      !r.isNullAt(i) && r.getBoolean(i)
+    val dropped = cls.filter(truthy(_, 1)).map(_.getString(0))
+      .map(new Path(_).toString).toSeq.sorted
+    val partial = cls.filter(r => !truthy(r, 1) && truthy(r, 2))
+      .map(_.getString(0)).toSeq
+    val cond = col(c) >= loL && col(c) <= hiL
+    val touched =
+      if (partial.isEmpty) Seq.empty
+      else touchedFiles(spark, table, cond, candidates = Some(partial))
+    if (dropped.isEmpty && touched.isEmpty)
+      return Cow(None, 0, visible.size, 0)
+    val kept =
+      if (touched.isEmpty)
+        readFiles(spark, table, Seq.empty).limit(0) // schema-only empty
+      else spark.read.parquet(touched: _*).where(!coalesce(cond, lit(false)))
+    val v = commitAction(spark, table, kept, "replace", None,
+      removed = dropped ++ touched)
+    Cow(Some(v), touched.size, visible.size, dropped.size)
   }
 
   /** Row-level UPDATE as copy-on-write: rewrite only the touched files,

@@ -167,6 +167,24 @@ object SkipProbe {
     val tCow = (System.nanoTime() - tCow0) / 1e9
     println(f"cow delete (~1%% key band): rewrote ${cow.filesRewritten}/" +
       f"${cow.filesVisible} files in $tCow%.3f s")
+    // metadata-only path: delete a ~10% key band that fully covers
+    // interior files of the clustered layout — retention at manifest speed
+    val Array(rlo, rhi) = Snapshots.read(spark, cdir)
+      .stat.approxQuantile("l_orderkey", Array(0.70, 0.80), 0.0005)
+    // a production table maintains its zone map incrementally
+    // (zoneMapApply per commit) — build once here, amortized
+    val vNow = Snapshots.latestVersion(spark, cdir).get
+    val zmC = Layout.zoneMapFiles(spark,
+      Snapshots.filesAt(spark, cdir, vNow), Seq("l_orderkey")).cache()
+    zmC.count()
+    val tMd0 = System.nanoTime()
+    val cowR = Snapshots.deleteRange(spark, cdir, "l_orderkey",
+      rlo.toLong, rhi.toLong, zm = Some(zmC))
+    val tMd = (System.nanoTime() - tMd0) / 1e9
+    println(f"deleteRange (~10%% band, maintained zone map): dropped " +
+      f"${cowR.filesDropped} files METADATA-ONLY + rewrote " +
+      f"${cowR.filesRewritten} boundary files in $tMd%.3f s")
+
     val fdir = java.nio.file.Files.createTempDirectory("graft_skipf_").toString
     Snapshots.commit(spark, fdir, li.repartitionByRange(64, $"l_orderkey"))
     val tFull0 = System.nanoTime()

@@ -560,6 +560,39 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert((prev -- r3 ++ a3) == Snapshots.filesAt(spark, t, v3).toSet)
   }
 
+  test("deleteRange: fully-covered files drop metadata-only, boundary files rewrite") {
+    val t = tbl()
+    val base = spark.range(0, 1000).toDF("id")
+      .withColumn("v", when($"id" < 990, $"id").otherwise(lit(null: java.lang.Long)))
+    Snapshots.commit(spark, t, base.repartitionByRange(8, $"v"))
+    val cow = Snapshots.deleteRange(spark, t, "v", 100L, 400L)
+    // interior files of the range die WITHOUT a rewrite; the two
+    // boundary files rewrite; the rest are untouched
+    assert(cow.filesDropped >= 1, s"expected metadata-only drops, got $cow")
+    assert(cow.filesRewritten >= 1 && cow.filesRewritten <= 2, s"got $cow")
+    assert(cow.filesDropped + cow.filesRewritten < 8)
+    val got = Snapshots.read(spark, t)
+    assert(got.filter($"v".between(100L, 400L)).isEmpty)
+    assert(got.count() == 1000 - 301)
+    // NULL rows never match a range delete — all 10 survive
+    assert(got.filter($"v".isNull).count() == 10)
+    // a maintained zone map feeds the fast path directly (no rebuild
+    // scan) and a no-match range commits nothing
+    val files = Snapshots.filesAt(spark, t, Snapshots.latestVersion(spark, t).get)
+    val zm = Layout.zoneMapFiles(spark, files, Seq("v"))
+    val noop = Snapshots.deleteRange(spark, t, "v", 5000L, 6000L, zm = Some(zm))
+    assert(noop.version.isEmpty && noop.filesDropped == 0)
+    // and with the zone map: drop everything below 50 (file 0 rewrites
+    // for its NULLs?: NULLs sort FIRST in range partitioning, so the
+    // low file holds them — it must REWRITE, not drop)
+    val cow2 = Snapshots.deleteRange(spark, t, "v", 0L, 50L, zm = Some(zm))
+    assert(cow2.version.nonEmpty)
+    val after = Snapshots.read(spark, t)
+    assert(after.filter($"v" <= 50L).isEmpty)
+    assert(after.filter($"v".isNull).count() == 10,
+      "NULLs must survive a delete of their co-located file's value range")
+  }
+
   test("cloneShallow: zero-copy branch; branch DML never touches the parent") {
     val src = tbl(); val dst = tbl()
     Snapshots.commit(spark, src, orders.repartitionByRange(8, $"o_orderkey"))

@@ -262,6 +262,22 @@ object Snapshots {
     readFiles(spark, table, filesAt(spark, table, v))
   }
 
+  /** TIMESTAMP AS OF: read the newest version whose commit time is
+    * at-or-before `tsMillis` (manifest `ts`, driver clock at commit) —
+    * the wall-clock twin of version time travel. Loud when `tsMillis`
+    * predates the first retained commit (vacuum may have truncated
+    * older history). */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no snapshot committed at $table")
+    val at = vs.map(v => v -> readManifest(spark, table, v).ts)
+      .filter(_._2 <= tsMillis).map(_._1).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"readAsOf: $tsMillis predates the first retained commit of $table " +
+            "(earlier history may have been vacuumed)"))
+    read(spark, table, Some(at))
+  }
+
   /** Rows ADDED in versions (`fromExclusive`, `toInclusive`] — the
     * incremental-read contract that turns a snapshot table into a
     * change feed: a downstream consumer (incremental [[MaterializedAgg]]

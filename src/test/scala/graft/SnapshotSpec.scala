@@ -593,6 +593,47 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
       "NULLs must survive a delete of their co-located file's value range")
   }
 
+  test("live CDC stream lands via mergeBatch: upserts apply in order, exactly-once") {
+    val t = tbl()
+    Snapshots.commit(spark, t,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v").repartition(2))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Double)](spark)
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // dedupe inside the batch (CDC streams can carry several
+        // updates for one key per trigger — keep the last)
+        val last = batch.groupBy("id")
+          .agg(org.apache.spark.sql.functions.last("v").as("v"))
+        Snapshots.mergeBatch(spark, t, last, Seq("id"), id); ()
+      }.start()
+    try {
+      mem.addData((2L, 21.0), (4L, 40.0)); q.processAllAvailable()
+      mem.addData((4L, 41.0), (5L, 50.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = Snapshots.read(spark, t).orderBy($"id").as[(Long, Double)]
+      .collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 21.0), (3L, 30.0), (4L, 41.0), (5L, 50.0)))
+    // every micro-batch's manifest carries its batchId — the replay
+    // guard a restarted stream relies on
+    val h = Snapshots.history(spark, t).count()
+    assert(h == 3)
+  }
+
+  test("readAsOf: timestamp time travel resolves the newest commit at-or-before") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(10))
+    val ts0 = Snapshots.history(spark, t).agg(max($"ts")).head.getLong(0)
+    Thread.sleep(5)
+    Snapshots.commit(spark, t, orders.limit(25))
+    assert(Snapshots.readAsOf(spark, t, ts0).count() == 10)
+    assert(Snapshots.readAsOf(spark, t, System.currentTimeMillis()).count() == 35)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, t, ts0 - 1000000L)
+    }
+  }
+
   test("cloneShallow: zero-copy branch; branch DML never touches the parent") {
     val src = tbl(); val dst = tbl()
     Snapshots.commit(spark, src, orders.repartitionByRange(8, $"o_orderkey"))

@@ -404,14 +404,22 @@ object Snapshots {
       .map(_.map(new Path(_).toString).filter(visible.toSet))
       .getOrElse(visible)
     if (scan.isEmpty) return Seq.empty
-    spark.read.parquet(scan: _*)
-      .where(cond)
-      .select(col("_metadata.file_path"))
-      .distinct().collect()
+    touchedFilesPlan(spark, scan, cond).collect()
       // normalize through hadoop Path: the manifest stores
       // FileSystem-qualified paths, _metadata a URI form
       .map(r => new Path(r.getString(0)).toString).toSeq.sorted
   }
+
+  /** The discovery scan as a DataFrame (PlanSpec pins its shape: the
+    * predicate pushes into the parquet scan and only the predicate's
+    * columns + file metadata are read — discovery over a 100 TB table
+    * is a narrow-column scan, not a table read). */
+  private[graft] def touchedFilesPlan(spark: SparkSession,
+      files: Seq[String], cond: Column): DataFrame =
+    spark.read.parquet(files: _*)
+      .where(cond)
+      .select(col("_metadata.file_path"))
+      .distinct()
 
   /** Row-level DELETE as copy-on-write: rewrite ONLY the files that
     * contain matching rows (discovered by [[touchedFiles]] — pass

@@ -26,6 +26,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(cc_num), EqualTo(cc_num,7)"), plan)
   }
 
+  test("cow discovery scan: predicate pushed down, only predicate columns read") {
+    val t = java.nio.file.Files.createTempDirectory("graft_plan_cow_").toString
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    graft.operators.Snapshots.commit(spark, t, orders.repartition(4))
+    val files = graft.operators.Snapshots.filesAt(spark, t, 0L)
+    val plan = executed(graft.operators.Snapshots
+      .touchedFilesPlan(spark, files, $"o_totalprice" < 1000.0))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), LessThan(o_totalprice,1000.0)"), plan)
+    // 4-column table, 1-column discovery read (plus file metadata)
+    assert(plan.contains("ReadSchema: struct<o_totalprice:double>"), plan)
+  }
+
   test("column pruning reaches the scan for a 2-column projection") {
     val li = Tables.load(spark, sf0001, "lineitem").select($"l_orderkey", $"l_quantity")
     val plan = li.queryExecution.executedPlan.toString

@@ -33,11 +33,13 @@ object MaterializedAgg {
     * both sides are present (either side may be NULL only when its row
     * didn't exist — [[merge]] coalesces around that). */
   final case class Measure(out: String, build: Column,
-      combine: (Column, Column) => Column)
+      combine: (Column, Column) => Column,
+      retractCombine: Option[(Column, Column) => Column] = None)
 
   /** Row count. Combine = addition. */
   def countRows(as: String): Measure =
-    Measure(as, count(lit(1)).as(as), (a, b) => a + b)
+    Measure(as, count(lit(1)).as(as), (a, b) => a + b,
+      retractCombine = Some((a, b) => a - b))
 
   /** Sum of a column (use an integer-unit column for engine-exact
     * results; double sums re-associate under merge). Combine = addition.
@@ -45,7 +47,11 @@ object MaterializedAgg {
     * semantics), and merge treats a NULL partial as absent mass. */
   def sumOf(valueCol: Column, as: String): Measure =
     Measure(as, sum(valueCol).as(as),
-      (a, b) => when(a.isNull, b).when(b.isNull, a).otherwise(a + b))
+      (a, b) => when(a.isNull, b).when(b.isNull, a).otherwise(a + b),
+      // subtracting an absent (NULL) deleted mass keeps the stored sum;
+      // a NULL stored sum with non-NULL deleted mass is the caller's
+      // inconsistency and surfaces as NULL, never a silent zero
+      retractCombine = Some((a, b) => when(b.isNull, a).otherwise(a - b)))
 
   /** Minimum. Combine = least (null-skipping in Spark). */
   def minOf(valueCol: Column, as: String): Measure =
@@ -97,5 +103,46 @@ object MaterializedAgg {
         .otherwise(m.combine(a, b)).as(m.out)
     }
     st.join(d, cond, "full_outer").select(keyOut ++ measureOut: _*)
+  }
+
+  /** RETRACTION fold — the inverse of [[merge]] for row DELETIONS
+    * (right-to-be-forgotten, corrections): subtract a delta built from
+    * the deleted rows out of the stored table. Only measures with a
+    * subtractive inverse participate (count/sum/sum-of-squares);
+    * min/max CANNOT retract incrementally — deleting the max forces a
+    * rescan of that key — so their presence is refused loudly rather
+    * than silently wrong. Keys whose `dropWhen` turns true after the
+    * fold (typically `col("n") === 0`) leave the table entirely.
+    * `validate` (skippable) rejects a delta carrying keys the stored
+    * table does not have — retracting rows that were never merged is
+    * always a pipeline bug. One broadcast-friendly left join: the
+    * stored table streams, the deletion-sized delta probes. */
+  def retract(stored: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      measures: Seq[Measure], dropWhen: Option[Column] = None,
+      validate: Boolean = true): DataFrame = {
+    val nonRetractable = measures.filter(_.retractCombine.isEmpty).map(_.out)
+    require(nonRetractable.isEmpty,
+      s"MaterializedAgg.retract: measures ${nonRetractable.mkString(",")} have " +
+        "no subtractive inverse (min/max) — rebuild their keys instead")
+    if (validate) {
+      val cond0 = keyCols.map(k => stored(k) <=> delta(k)).reduce(_ && _)
+      val orphan = delta.join(stored, cond0, "left_anti").limit(1).count()
+      require(orphan == 0L,
+        "MaterializedAgg.retract: delta has keys absent from the stored " +
+          "table — retracting never-merged rows (pass validate = false to skip)")
+    }
+    val d = delta.select(
+      keyCols.map(c => col(c).as(s"__d_$c")) ++
+        measures.map(m => col(m.out).as(s"__d_${m.out}")) :+
+        lit(true).as("__d"): _*)
+    val cond = keyCols.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    val measureOut = measures.map { m =>
+      val a = col(m.out); val b = col(s"__d_${m.out}")
+      when(col("__d").isNull, a)
+        .otherwise(m.retractCombine.get(a, b)).as(m.out)
+    }
+    val folded = stored.join(broadcast(d), cond, "left_outer")
+      .select(keyCols.map(col) ++ measureOut: _*)
+    dropWhen.fold(folded)(c => folded.filter(!coalesce(c, lit(false))))
   }
 }

@@ -97,4 +97,64 @@ class E2eCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(got.exceptAll(mvOneShot).isEmpty && mvOneShot.exceptAll(got).isEmpty,
       "delta-merged stats must equal the one-shot aggregate")
   }
+
+  /** Right-to-be-forgotten over the same composed layers: a forget
+    * request deletes specific doc_ids from the corpus snapshot
+    * copy-on-write (bloom-candidate discovery — O(touched files)),
+    * the skipping indexes fold the file delta instead of rebuilding,
+    * the stats MV RETRACTS the deleted contributions instead of
+    * re-aggregating history, and vacuum makes the deletion physical.
+    * Every layer stays equal to its from-scratch twin. */
+  test("right-to-be-forgotten: cow delete + index fold + MV retraction, all consistent") {
+    import graft.operators.Layout
+    val docs = screen(Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", $"text")).localCheckpoint()
+    val corpus = java.nio.file.Files.createTempDirectory("graft_e2e_rtbf_").toString
+    Snapshots.commit(spark, corpus, docs.repartitionByRange(8, $"doc_id"))
+    val files0 = Snapshots.filesAt(spark, corpus, 0L)
+    var bloom = Layout.bloomIndexFiles(spark, files0, "doc_id", 256)
+      .localCheckpoint()
+    var mv = MaterializedAgg.build(docs, keys, measures).localCheckpoint()
+
+    // the forget request: 5 specific documents
+    val forget = docs.select($"doc_id").orderBy($"doc_id").limit(5)
+      .as[Long].collect().toSeq
+    val deleted = Snapshots.read(spark, corpus)
+      .filter($"doc_id".isin(forget: _*)).localCheckpoint()
+    assert(deleted.count() == 5)
+
+    // 1. targeted delete: bloom candidates bound discovery AND rewrite
+    val cand = Layout.pruneFilesByKeys(bloom, forget)
+    assert(cand.size < files0.size)
+    val cow = Snapshots.deleteWhere(spark, corpus,
+      $"doc_id".isin(forget: _*), candidates = Some(cand))
+    assert(cow.filesRewritten <= cand.size)
+    val after = Snapshots.read(spark, corpus)
+    assert(after.filter($"doc_id".isin(forget: _*)).isEmpty)
+    assert(after.count() == docs.count() - 5)
+
+    // 2. index maintenance: fold the file delta; pruning == rebuild
+    val (added, removed) = Snapshots.changedFiles(spark, corpus, cow.version.get)
+    bloom = Layout.bloomIndexApply(spark, bloom, "doc_id", 256, added, removed)
+    val latestFiles = Snapshots.filesAt(spark, corpus, cow.version.get)
+    val rebuilt = Layout.bloomIndexFiles(spark, latestFiles, "doc_id", 256)
+    val probes: Seq[Any] = forget ++ Seq(docs.agg(max($"doc_id")).head.getLong(0))
+    assert(Layout.pruneFilesByKeys(bloom, probes).sorted ==
+      Layout.pruneFilesByKeys(rebuilt, probes).sorted)
+
+    // 3. MV retraction == one-shot rebuild over the post-delete corpus
+    mv = MaterializedAgg.retract(mv,
+      MaterializedAgg.build(deleted, keys, measures), keys, measures,
+      dropWhen = Some($"n_docs" === 0L))
+    val mvRebuilt = MaterializedAgg.build(after, keys, measures)
+    assert(mv.exceptAll(mvRebuilt).isEmpty && mvRebuilt.exceptAll(mv).isEmpty,
+      "retracted MV must equal the one-shot rebuild")
+
+    // 4. vacuum makes it physical: the pre-delete version is gone loudly
+    Snapshots.vacuum(spark, corpus, retainVersions = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, corpus, Some(0L))
+    }
+    assert(Snapshots.read(spark, corpus).count() == docs.count() - 5)
+  }
 }

@@ -637,6 +637,34 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       s"NULL partials must not erase stored mass: $r")
   }
 
+  test("MaterializedAgg.retract: subtracts deletions, drops emptied keys, refuses min/max") {
+    import MaterializedAgg._
+    val subtractive = Seq(countRows("n"), sumOf($"v", "s"), sumSqOf($"v", "ssq"))
+    val all = aggRows(Some(1L) -> Some(10L), Some(1L) -> Some(20L),
+      Some(2L) -> Some(5L), None -> Some(3L))
+    val stored = build(all, Seq("k"), subtractive)
+    // delete one of key 1's rows and ALL of key 2's — key 2 leaves
+    val deleted = aggRows(Some(1L) -> Some(20L), Some(2L) -> Some(5L))
+    val out = retract(stored, build(deleted, Seq("k"), subtractive),
+      Seq("k"), subtractive, dropWhen = Some($"n" === 0L))
+    val want = build(aggRows(Some(1L) -> Some(10L), None -> Some(3L)),
+      Seq("k"), subtractive)
+    assert(out.exceptAll(want).isEmpty && want.exceptAll(out).isEmpty,
+      "retract must equal a rebuild over the surviving rows")
+    // a delta keyed off rows never merged is a pipeline bug — loud
+    intercept[IllegalArgumentException] {
+      retract(stored, build(aggRows(Some(9L) -> Some(1L)), Seq("k"), subtractive),
+        Seq("k"), subtractive)
+    }
+    // min/max have no subtractive inverse — refused by name
+    val ex = intercept[IllegalArgumentException] {
+      retract(stored.withColumn("mn", lit(0L)),
+        stored.withColumn("mn", lit(0L)),
+        Seq("k"), subtractive :+ minOf($"v", "mn"))
+    }
+    assert(ex.getMessage.contains("mn"))
+  }
+
   test("MaterializedAgg: new keys append, untouched keys stream through") {
     import MaterializedAgg._
     val stored = build(aggRows(Some(1L) -> Some(10L)), Seq("k"), aggMeasures)

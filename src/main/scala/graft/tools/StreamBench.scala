@@ -162,6 +162,50 @@ object StreamBench {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    // CDC-upsert landing throughput: a stream of key updates merged
+    // into a 1 M-row key-clustered snapshot table via foreachBatch +
+    // mergeBatch (batchId-idempotent copy-on-write MERGE). Two key
+    // distributions bracket the deployment envelope: CLUSTERED batches
+    // (each hits one ~1 % key band → O(1) files rewritten per batch)
+    // vs UNIFORM batches (keys scattered → every file touched — the
+    // worst case; a real CDC feed lands between them).
+    import graft.operators.Snapshots
+    val nu = sys.env.getOrElse("SPARK_GRAFT_CDC_N", "60000").toInt
+    val uBatches = 6
+    val baseN = 1000000L
+    def cdcRun(label: String, keyFor: (Int, Int) => Long): Unit = {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_sbench_cdc_").toString
+      Snapshots.commit(spark, tbl, spark.range(baseN).toDF("id")
+        .withColumn("v", $"id" * 1.0).repartitionByRange(16, $"id"))
+      val umem = MemoryStream[(Long, Double)](spark)
+      val uq = umem.toDF().toDF("id", "v")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val lastWins = b.groupBy("id")
+            .agg(org.apache.spark.sql.functions.last("v").as("v"))
+          Snapshots.mergeBatch(spark, tbl, lastWins, Seq("id"), id); ()
+        }.start()
+      val t3 = System.nanoTime()
+      val perU = nu / uBatches
+      (0 until uBatches).foreach { b =>
+        umem.addData((0 until perU).map(i => (keyFor(b, i), -1.0 * b)))
+        uq.processAllAvailable()
+      }
+      val secsU = (System.nanoTime() - t3) / 1e9
+      uq.stop()
+      val rewrites = Snapshots.history(spark, tbl)
+        .agg(org.apache.spark.sql.functions.sum($"n_removed")).head.getLong(0)
+      println(f"cdc_upsert_bench[$label]: $nu%d upserts into $baseN%d rows in " +
+        f"$secsU%.1f s = ${nu / secsU}%.0f rows/s " +
+        f"($uBatches batches, $rewrites%d file rewrites total)")
+    }
+    // clustered: batch b updates a contiguous band at ~b/10 of the keyspace
+    cdcRun("clustered", (b, i) => (baseN / 10 * b + i.toLong) % baseN)
+    // uniform: multiplicative scatter across the whole keyspace
+    cdcRun("uniform", (b, i) =>
+      (((b.toLong * 1000003L + i.toLong) * 2654435761L) >>> 12) % baseN)
     spark.stop()
   }
 }

@@ -55,6 +55,44 @@ object Snapshots {
     * production. */
   private[graft] var raceHook: () => Unit = () => ()
 
+  /** Create `target` with `bytes` if-and-only-if it does not exist;
+    * returns false when another writer holds the slot. This IS the
+    * commit point, so creation must be ATOMIC under contention:
+    *   - HDFS-like stores: `create(overwrite = false)` is an atomic
+    *     namespace operation — used directly;
+    *   - local/POSIX paths (tests, NFS-mounted shared dirs): Hadoop's
+    *     LocalFileSystem `create` is CHECK-THEN-ACT (two racing writers
+    *     can both pass the exists check and one silently clobbers the
+    *     other) — instead the content is staged to a temp file and
+    *     HARD-LINKED into place: `link(2)` atomically fails with EEXIST
+    *     if the slot is taken, and the target carries its full content
+    *     the instant it appears (no half-written manifest window). */
+  private def createExclusive(f: org.apache.hadoop.fs.FileSystem,
+      target: Path, bytes: Array[Byte]): Boolean = {
+    val scheme = Option(target.toUri.getScheme)
+      .orElse(Option(f.getUri.getScheme)).getOrElse("file")
+    if (scheme == "file") {
+      val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID().toString.take(12)}")
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val qualify = (p: Path) =>
+        java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(qualify(target), qualify(tmp)); true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally f.delete(tmp, false)
+    } else {
+      try {
+        val out = f.create(target, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException if f.exists(target) => false
+      }
+    }
+  }
+
   private def logDir(table: String) = new Path(table, "_graft_log")
   private def versionFile(table: String, v: Long) =
     new Path(logDir(table), f"v$v%011d.json")
@@ -200,6 +238,7 @@ object Snapshots {
       maxRecordsPerFile: Option[Long] = None,
       removed: Seq[String] = Seq.empty,
       expectedBase: Option[Long] = None): Long = {
+    enforceConstraints(spark, table, df) // before any bytes land
     val f = fs(spark, table)
     val commitDir = new Path(new Path(table, "data"),
       s"c-${UUID.randomUUID().toString.take(8)}")
@@ -239,16 +278,10 @@ object Snapshots {
         val rm = json.putArray("removed")
         removed.foreach(rm.add)
       }
-      // createNewFile semantics: create(path, overwrite=false) fails if
-      // the version was taken — the atomic commit point
-      try {
-        val out = f.create(target, false)
-        try out.write(mapper.writeValueAsBytes(json)) finally out.close()
-        return v
-      } catch {
-        case _: java.io.IOException if f.exists(target) =>
-          v = latestVersion(spark, table).map(_ + 1).getOrElse(v + 1)
-      }
+      // atomic create-if-absent IS the commit point (hard-link on
+      // local/POSIX, exclusive create on HDFS-like stores)
+      if (createExclusive(f, target, mapper.writeValueAsBytes(json))) return v
+      v = latestVersion(spark, table).map(_ + 1).getOrElse(v + 1)
     }
     v // unreachable
   }
@@ -260,6 +293,78 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
     readFiles(spark, table, filesAt(spark, table, v))
+  }
+
+  private def constraintsFile(table: String) =
+    new Path(logDir(table), "constraints.json")
+
+  /** CHECK constraints, enforced at COMMIT time (the Delta
+    * `ADD CONSTRAINT` contract): every subsequent commit/DML batch is
+    * validated against every registered SQL predicate BEFORE its
+    * manifest lands — a violating batch is refused whole and the table
+    * is untouched (its orphaned data files are vacuum-swept). The check
+    * costs one aggregate over the BATCH (delta-sized), never a table
+    * scan: existing data was already checked when it committed.
+    * Registering a constraint validates the CURRENT snapshot first, so
+    * a table can never hold a row violating a live constraint.
+    * Constraints persist in the table's log dir and survive reopen. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      sqlExpr: String): Unit = {
+    require(name.nonEmpty && sqlExpr.nonEmpty, "addConstraint: empty name/expr")
+    val existing = constraints(spark, table)
+    require(!existing.contains(name), s"constraint '$name' already exists")
+    // the current snapshot must satisfy the new constraint
+    latestVersion(spark, table).foreach { v =>
+      // SQL-standard CHECK: NULL satisfies; only definite FALSE violates
+      val bad = read(spark, table, Some(v))
+        .where(!coalesce(expr(sqlExpr), lit(true))).limit(1).count()
+      require(bad == 0L,
+        s"addConstraint '$name': the current snapshot violates ($sqlExpr)")
+    }
+    writeConstraints(spark, table, existing + (name -> sqlExpr))
+  }
+
+  def dropConstraint(spark: SparkSession, table: String, name: String): Unit =
+    writeConstraints(spark, table, constraints(spark, table) - name)
+
+  /** Registered constraints (name → SQL predicate). */
+  def constraints(spark: SparkSession, table: String): Map[String, String] = {
+    val f = fs(spark, table)
+    val cf = constraintsFile(table)
+    if (!f.exists(cf)) return Map.empty
+    val in = f.open(cf)
+    val node = try mapper.readTree(in) finally in.close()
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  private def writeConstraints(spark: SparkSession, table: String,
+      cs: Map[String, String]): Unit = {
+    val f = fs(spark, table)
+    f.mkdirs(logDir(table))
+    val json = mapper.createObjectNode()
+    cs.toSeq.sortBy(_._1).foreach { case (k, v) => json.put(k, v) }
+    val out = f.create(constraintsFile(table), true)
+    try out.write(mapper.writeValueAsBytes(json)) finally out.close()
+  }
+
+  /** Fail if `df` (a batch about to commit) violates any registered
+    * constraint. One pass computing every constraint's violation count
+    * together. */
+  private def enforceConstraints(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
+    val cs = constraints(spark, table)
+    if (cs.isEmpty) return
+    val aggs = cs.toSeq.sortBy(_._1).map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = cs.toSeq.sortBy(_._1).zipWithIndex.collect {
+      case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n ($e): ${row.getLong(i)} rows"
+    }
+    if (violated.nonEmpty) throw new IllegalArgumentException(
+      s"commit to $table refused — CHECK constraint(s) violated: " +
+        violated.mkString("; "))
   }
 
   /** TIMESTAMP AS OF: read the newest version whose commit time is
@@ -592,14 +697,8 @@ object Snapshots {
       json.put("restoredFrom", version)
       val arr = json.putArray("files")
       files.foreach(arr.add)
-      try {
-        val out = f.create(target, false)
-        try out.write(mapper.writeValueAsBytes(json)) finally out.close()
-        return v
-      } catch {
-        case _: java.io.IOException if f.exists(target) =>
-          v = latestVersion(spark, table).map(_ + 1).getOrElse(v + 1)
-      }
+      if (createExclusive(f, target, mapper.writeValueAsBytes(json))) return v
+      v = latestVersion(spark, table).map(_ + 1).getOrElse(v + 1)
     }
     v // unreachable
   }
@@ -651,8 +750,8 @@ object Snapshots {
     json.put("ts", System.currentTimeMillis())
     val arr = json.putArray("files")
     files.foreach(arr.add)
-    val out = f.create(versionFile(dst, 0L), false)
-    try out.write(mapper.writeValueAsBytes(json)) finally out.close()
+    require(createExclusive(f, versionFile(dst, 0L), mapper.writeValueAsBytes(json)),
+      s"cloneShallow: a racing writer created $dst's log first")
     0L
   }
 

@@ -634,6 +634,42 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("CHECK constraints: violating commits refused whole, SQL NULL semantics, persist") {
+    val t = tbl()
+    Snapshots.addConstraint(spark, t, "price_pos", "o_totalprice > 0")
+    Snapshots.commit(spark, t, orders.limit(50))
+    // a batch with ONE bad row is refused whole — no version, no rows
+    val bad = orders.limit(10)
+      .withColumn("o_totalprice", when($"o_orderkey" % 3 === 0, -1.0)
+        .otherwise($"o_totalprice"))
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, t, bad)
+    }
+    assert(ex.getMessage.contains("price_pos"))
+    assert(Snapshots.latestVersion(spark, t).contains(0L))
+    assert(Snapshots.read(spark, t).count() == 50)
+    // SQL CHECK semantics: NULL satisfies (only definite FALSE violates)
+    Snapshots.commit(spark, t, orders.limit(5)
+      .withColumn("o_totalprice", lit(null).cast("double")))
+    assert(Snapshots.read(spark, t).count() == 55)
+    // DML goes through the same gate: an UPDATE to a violating value dies
+    val ex2 = intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, t, $"o_orderkey" > 0L,
+        Map("o_totalprice" -> lit(-5.0)))
+    }
+    assert(ex2.getMessage.contains("price_pos"))
+    assert(Snapshots.read(spark, t).filter($"o_totalprice" === -5.0).isEmpty)
+    // registering a constraint the CURRENT snapshot violates is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.addConstraint(spark, t, "impossible", "o_totalprice > 1e12")
+    }
+    // constraints persist on disk and drop cleanly
+    assert(Snapshots.constraints(spark, t) == Map("price_pos" -> "o_totalprice > 0"))
+    Snapshots.dropConstraint(spark, t, "price_pos")
+    Snapshots.commit(spark, t, bad) // now allowed
+    assert(Snapshots.read(spark, t).count() == 65)
+  }
+
   test("cloneShallow: zero-copy branch; branch DML never touches the parent") {
     val src = tbl(); val dst = tbl()
     Snapshots.commit(spark, src, orders.repartitionByRange(8, $"o_orderkey"))

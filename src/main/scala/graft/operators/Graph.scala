@@ -42,9 +42,18 @@ object Graph {
     * tables without bound. */
   private type Caches = scala.collection.mutable.ArrayBuffer[DataFrame]
 
-  private def matEdges(df: DataFrame, track: Caches): DataFrame = {
+  /** `eager = true` forces materialization NOW (one cached count):
+    * required when the table feeds several stages of ONE downstream job
+    * — lazy persist would let those stages race and each recompute the
+    * plan before the cache populates (the triangle count's orientation
+    * table feeds four consumers; measured 5.9x wall regression when it
+    * went lazy). Iterative consumers (pageRank's per-superstep reuse)
+    * stay lazy: the first superstep materializes serially anyway. */
+  private def matEdges(df: DataFrame, track: Caches,
+      eager: Boolean = false): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     track += p
+    if (eager) p.count()
     p
   }
 
@@ -309,7 +318,7 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
       .distinct()
-      .transform(df => matEdges(df, cached))
+      .transform(df => matEdges(df, cached, eager = true))
     // undirected degree per node (each edge touches both endpoints)
     val deg = und.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -321,7 +330,7 @@ object Graph {
           struct(col("x").as("a"), col("y").as("b")))
           .otherwise(struct(col("y").as("a"), col("x").as("b"))).as("e"))
       .select(col("e.a"), col("e.b"))
-      .transform(df => matEdges(df, cached))
+      .transform(df => matEdges(df, cached, eager = true))
     val wedges = o.as("ab").join(o.as("ac"),
         col("ab.a") === col("ac.a") && col("ab.b") =!= col("ac.b"))
       .select(col("ab.b").as("p"), col("ac.b").as("q"))

@@ -818,6 +818,18 @@ object Snapshots {
     * data. Maintenance op: run with exclusive write access (the
     * checkpoint rewrite is not atomic against a racing commit).
     * Returns the number of data files deleted. */
+  /** Age-based retention: [[vacuum]] keeping every version committed
+    * at-or-after `cutoffMillis` (manifest clock; always at least the
+    * latest) — the `RETAIN n DAYS` spelling of the same contract.
+    * Commit timestamps are monotone under the single-log design, so
+    * the cutoff maps to a contiguous retained suffix. */
+  def vacuumOlderThan(spark: SparkSession, table: String,
+      cutoffMillis: Long): Long = {
+    val keep = versions(spark, table)
+      .count(readManifest(spark, table, _).ts >= cutoffMillis)
+    vacuum(spark, table, math.max(1, keep))
+  }
+
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Long = {
     require(retainVersions >= 1, "vacuum: must retain at least the latest version")
     val f = fs(spark, table)

@@ -670,6 +670,28 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t).count() == 65)
   }
 
+  test("vacuumOlderThan: age-based retention keeps the at-or-after suffix") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(10))
+    Thread.sleep(5)
+    Snapshots.commit(spark, t, orders.limit(20))
+    val cut = Snapshots.history(spark, t).agg(max($"ts")).head.getLong(0)
+    Thread.sleep(5)
+    Snapshots.commit(spark, t, orders.limit(30))
+    Snapshots.vacuumOlderThan(spark, t, cut)
+    // v0 is gone (pre-cutoff), v1 (at cutoff) and v2 retained
+    assert(Snapshots.versions(spark, t) == Seq(1L, 2L))
+    assert(Snapshots.read(spark, t).count() == 60)
+    assert(Snapshots.read(spark, t, Some(1L)).count() == 30)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, t, Some(0L))
+    }
+    // a cutoff in the future still retains the latest version
+    Snapshots.vacuumOlderThan(spark, t, System.currentTimeMillis() + 1000000L)
+    assert(Snapshots.versions(spark, t) == Seq(2L))
+    assert(Snapshots.read(spark, t).count() == 60)
+  }
+
   test("cloneShallow: zero-copy branch; branch DML never touches the parent") {
     val src = tbl(); val dst = tbl()
     Snapshots.commit(spark, src, orders.repartitionByRange(8, $"o_orderkey"))

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   *   table/_graft_log/v<00000000001>.json          (one manifest per version)
   * }}}
   *
-  * Each manifest records the commit's `action` (`append` | `overwrite`)
-  * and the files it ADDED; version v's visible file set folds the log:
-  * an overwrite resets the set, appends accumulate. Readers resolve a
+  * Each manifest records the commit's `action` (`append` | `overwrite`
+  * | `replace` (copy-on-write DML) | `dv` (merge-on-read deletion
+  * vectors)) and the files it ADDED; version v's visible state folds
+  * the log: an overwrite resets it, appends accumulate, replaces swap
+  * rewritten files in place, dv commits attach deletion-vector
+  * sidecars readers subtract at scan time. Readers resolve a
   * version to a file list (driver-side, manifest-scale — the same
   * budget every planner's split enumeration holds) and scan ONLY those
   * files, so a reader pinned to v is untouched by later commits: writes
@@ -116,23 +119,40 @@ object Snapshots {
 
   private final case class Manifest(version: Long, action: String,
       files: Seq[String], ts: Long, batchId: Option[Long],
-      removed: Seq[String] = Seq.empty)
+      removed: Seq[String] = Seq.empty,
+      dvs: Seq[String] = Seq.empty,
+      removedDvs: Seq[String] = Seq.empty)
 
   private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
     val f = fs(spark, table)
     val in = f.open(versionFile(table, v))
     val node = try mapper.readTree(in) finally in.close()
+    def arr(name: String): Seq[String] = Option(node.get(name))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     Manifest(node.get("version").asLong(), node.get("action").asText(),
       node.get("files").elements().asScala.map(_.asText()).toSeq,
       node.get("ts").asLong(),
       Option(node.get("batchId")).map(_.asLong()),
-      Option(node.get("removed"))
-        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
+      arr("removed"), arr("dvs"), arr("removedDvs"))
   }
+
+  /** The visible state at a version: the data FILES plus the DELETION
+    * VECTOR sidecars logically subtracted from them (merge-on-read —
+    * each DV row is a `(file_path, row_index)` the readers must skip).
+    * Both lists are manifest-scale. */
+  private final case class State(files: Seq[String], dvs: Seq[String])
 
   /** The file set visible at `version`: fold the log from the last
     * overwrite at-or-before it. Loud on a vacuumed/unknown version. */
-  def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] = {
+  def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] =
+    stateAt(spark, table, version).files
+
+  /** Full visible state (data files + deletion-vector sidecars) at
+    * `version` — the generalized log fold [[filesAt]] delegates to.
+    * DV rows referencing files a later `replace`/`overwrite` removed
+    * are stale-but-harmless: readers apply DVs per file, and a removed
+    * file is never scanned. */
+  private def stateAt(spark: SparkSession, table: String, version: Long): State = {
     val vs = versions(spark, table)
     require(vs.contains(version),
       s"snapshot version $version does not exist for $table " +
@@ -141,16 +161,20 @@ object Snapshots {
     // start from the newest checkpoint at-or-before `version` (O(1)
     // reads for the folded prefix), manifests after it fold on top
     val ckpt = checkpoints(spark, table).filter(_ <= version).lastOption
-    val base = ckpt.map(readCheckpoint(spark, table, _)).getOrElse(Seq.empty)
+    val base = ckpt.map(readCheckpoint(spark, table, _)).getOrElse(State(Seq.empty, Seq.empty))
     val from = ckpt.getOrElse(-1L)
     val tail = vs.filter(v => v > from && v <= version)
       .map(readManifest(spark, table, _))
     tail.foldLeft(base) { (acc, m) =>
       m.action match {
-        case "overwrite" => m.files
-        case "append"    => acc ++ m.files
+        case "overwrite" => State(m.files, m.dvs) // self-contained reset
+        case "append"    => State(acc.files ++ m.files, acc.dvs ++ m.dvs)
         case "replace"   => // copy-on-write: swap rewritten files in place
-          val dead = m.removed.toSet; acc.filterNot(dead) ++ m.files
+          val dead = m.removed.toSet; val deadDv = m.removedDvs.toSet
+          State(acc.files.filterNot(dead) ++ m.files,
+            acc.dvs.filterNot(deadDv) ++ m.dvs)
+        case "dv"        => // merge-on-read: mark rows deleted, append inserts
+          State(acc.files ++ m.files, acc.dvs ++ m.dvs)
         case other => throw new IllegalStateException(
           s"unknown manifest action '$other' at $table v${m.version}")
       }
@@ -170,11 +194,13 @@ object Snapshots {
       .sorted.toSeq
   }
 
-  private def readCheckpoint(spark: SparkSession, table: String, v: Long): Seq[String] = {
+  private def readCheckpoint(spark: SparkSession, table: String, v: Long): State = {
     val f = fs(spark, table)
     val in = f.open(checkpointFile(table, v))
     val node = try mapper.readTree(in) finally in.close()
-    node.get("files").elements().asScala.map(_.asText()).toSeq
+    State(node.get("files").elements().asScala.map(_.asText()).toSeq,
+      Option(node.get("dvs"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
   }
 
   /** Fold the log once and persist the file set visible at the latest
@@ -188,12 +214,16 @@ object Snapshots {
   def checkpoint(spark: SparkSession, table: String): Long = {
     val v = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
-    val files = filesAt(spark, table, v)
+    val st = stateAt(spark, table, v)
     val f = fs(spark, table)
     val json = mapper.createObjectNode()
     json.put("version", v)
     val arr = json.putArray("files")
-    files.foreach(arr.add)
+    st.files.foreach(arr.add)
+    if (st.dvs.nonEmpty) {
+      val dv = json.putArray("dvs")
+      st.dvs.foreach(dv.add)
+    }
     val out = f.create(checkpointFile(table, v), true)
     try out.write(mapper.writeValueAsBytes(json)) finally out.close()
     v
@@ -237,17 +267,60 @@ object Snapshots {
       action: String, batchId: Option[Long],
       maxRecordsPerFile: Option[Long] = None,
       removed: Seq[String] = Seq.empty,
-      expectedBase: Option[Long] = None): Long = {
+      expectedBase: Option[Long] = None,
+      baseDvs: Option[Set[String]] = None,
+      dvs: Seq[String] = Seq.empty,
+      removedDvs: Seq[String] = Seq.empty,
+      requireVisible: Seq[String] = Seq.empty): Long = {
     enforceConstraints(spark, table, df) // before any bytes land
+    val files = writeData(spark, table, df, maxRecordsPerFile)
+    commitManifest(spark, table, files, action, batchId,
+      removed = removed, expectedBase = expectedBase, baseDvs = baseDvs,
+      dvs = dvs, removedDvs = removedDvs, requireVisible = requireVisible)
+  }
+
+  /** Write `df` as a new immutable commit directory; returns the part
+    * files (durable but INVISIBLE until a manifest references them —
+    * a crash here leaves orphans for [[vacuum]] to sweep). */
+  private def writeData(spark: SparkSession, table: String, df: DataFrame,
+      maxRecordsPerFile: Option[Long] = None): Seq[String] = {
     val f = fs(spark, table)
     val commitDir = new Path(new Path(table, "data"),
       s"c-${UUID.randomUUID().toString.take(8)}")
     val writer = df.write
     maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n))
     writer.parquet(commitDir.toString)
-    val files = f.listStatus(commitDir).map(_.getPath)
+    f.listStatus(commitDir).map(_.getPath)
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
       .map(_.toString).sorted.toSeq
+  }
+
+  /** The manifest-create retry loop shared by every commit shape. All
+    * conflict checks run INSIDE the loop, against the would-be base
+    * version (immutable once created, so a check against v-1 still
+    * holds when the create at v wins):
+    *   - `removed`: every file this replace removes must still be
+    *     visible (a racing replace of one would be resurrected);
+    *   - `requireVisible`: files this commit only DEPENDS on (a DV
+    *     marks rows deleted IN them) must still be visible — a racing
+    *     rewrite of one would orphan the deletes;
+    *   - `baseDvs`: replace-shaped commits rewrote rows with a specific
+    *     DV set applied; if the visible DV set changed since (a racing
+    *     merge-on-read delete), committing would resurrect those
+    *     deletes — conservative set equality, rerun on mismatch.
+    *     (DV-vs-DV commits skip this: deletes commute.)
+    *   - `expectedBase`: compactions/overwrites of a read state refuse
+    *     to clobber ANY concurrent commit. */
+  private def commitManifest(spark: SparkSession, table: String,
+      files: Seq[String], action: String, batchId: Option[Long],
+      removed: Seq[String] = Seq.empty,
+      expectedBase: Option[Long] = None,
+      dvs: Seq[String] = Seq.empty,
+      removedDvs: Seq[String] = Seq.empty,
+      requireVisible: Seq[String] = Seq.empty,
+      baseDvs: Option[Set[String]] = None,
+      restoredFrom: Option[Long] = None): Long = {
+    val f = fs(spark, table)
     f.mkdirs(logDir(table))
     raceHook()
     var v = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
@@ -258,13 +331,21 @@ object Snapshots {
             s"but the log is at v${v - 1} — a concurrent commit landed; " +
             "re-run against the new state")
       }
-      if (removed.nonEmpty && v > 0) {
+      if ((removed.nonEmpty || requireVisible.nonEmpty) && v > 0) {
         val visible = filesAt(spark, table, v - 1).toSet
-        val gone = removed.filterNot(visible)
+        val gone = (removed ++ requireVisible).filterNot(visible)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"replace conflict at $table v$v: ${gone.size} of this commit's " +
-            s"removed files are no longer visible (e.g. ${gone.head}) — a " +
-            "concurrent writer replaced them; re-run the DML against the new state")
+            s"removed/required files are no longer visible (e.g. ${gone.head}) " +
+            "— a concurrent writer replaced them; re-run the DML against the new state")
+      }
+      baseDvs.foreach { bd =>
+        val now = if (v > 0) stateAt(spark, table, v - 1).dvs.toSet
+          else Set.empty[String]
+        if (now != bd) throw new java.util.ConcurrentModificationException(
+          s"replace conflict at $table v$v: the table's deletion-vector set " +
+            "changed since this rewrite read it — a concurrent merge-on-read " +
+            "delete landed; re-run the DML against the new state")
       }
       val target = versionFile(table, v)
       val json = mapper.createObjectNode()
@@ -272,11 +353,20 @@ object Snapshots {
       json.put("action", action)
       json.put("ts", System.currentTimeMillis())
       batchId.foreach(json.put("batchId", _))
+      restoredFrom.foreach(json.put("restoredFrom", _))
       val arr = json.putArray("files")
       files.foreach(arr.add)
       if (removed.nonEmpty) {
         val rm = json.putArray("removed")
         removed.foreach(rm.add)
+      }
+      if (dvs.nonEmpty) {
+        val d = json.putArray("dvs")
+        dvs.foreach(d.add)
+      }
+      if (removedDvs.nonEmpty) {
+        val d = json.putArray("removedDvs")
+        removedDvs.foreach(d.add)
       }
       // atomic create-if-absent IS the commit point (hard-link on
       // local/POSIX, exclusive create on HDFS-like stores)
@@ -292,7 +382,7 @@ object Snapshots {
   def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
-    readFiles(spark, table, filesAt(spark, table, v))
+    readState(spark, table, stateAt(spark, table, v))
   }
 
   private def constraintsFile(table: String) =
@@ -403,7 +493,8 @@ object Snapshots {
         "(vacuumed?)")
     val range = vs.filter(v => v > fromExclusive && v <= toInclusive)
       .map(readManifest(spark, table, _))
-    range.find(m => m.action == "overwrite" || m.action == "replace").foreach { m =>
+    range.find(m => m.action == "overwrite" || m.action == "replace" ||
+        m.action == "dv").foreach { m =>
       throw new IllegalArgumentException(
         s"readChanges: version ${m.version} is an ${m.action.toUpperCase} — " +
           "the range is not an append delta; re-read the full snapshot instead")
@@ -419,6 +510,37 @@ object Snapshots {
     * for rows from older commits (parquet's own merge semantics; only
     * widening by new nullable columns is safe — parquet fails loudly
     * on an incompatible type change at read time). */
+  /** Scan a state, subtracting its deletion vectors (merge-on-read).
+    * Files with no DV rows scan PLAIN — no join anywhere near them, so
+    * at 100 TB the anti-join's left side is bounded by the DIRTY file
+    * set (deletion-locality-sized), not the table. Dirty files
+    * anti-join the DV table on `(_metadata.file_path, row_index)`;
+    * the DV side is an ordinary parquet scan with known size, so
+    * Catalyst broadcasts it whenever it is small (the common case —
+    * DVs are deletion-sized) and falls back to a shuffled join when a
+    * mass-delete made it big. */
+  private def readState(spark: SparkSession, table: String, st: State,
+      mergeSchema: Boolean = false): DataFrame = {
+    if (st.dvs.isEmpty) return readFiles(spark, table, st.files, mergeSchema)
+    val dv = spark.read.parquet(st.dvs: _*)
+    // dirty = visible files holding at least one DV row (driver-side,
+    // file-scale; manifest paths are FS-qualified, DV paths URI-form —
+    // normalize both through hadoop Path, like touchedFiles)
+    val dvFiles = dv.select("file_path").distinct().collect()
+      .map(r => new Path(r.getString(0)).toString).toSet
+    val (dirty, clean) = st.files.partition(f => dvFiles.contains(new Path(f).toString))
+    if (dirty.isEmpty) return readFiles(spark, table, st.files, mergeSchema)
+    val scan = readFiles(spark, table, dirty, mergeSchema)
+      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .withColumn("__graft_ri", col("_metadata.row_index"))
+    val applied = scan.join(dv,
+      scan("__graft_fp") === dv("file_path") && scan("__graft_ri") === dv("row_index"),
+      "left_anti").drop("__graft_fp", "__graft_ri")
+    if (clean.isEmpty) applied
+    else applied.unionByName(readFiles(spark, table, clean, mergeSchema),
+      allowMissingColumns = mergeSchema)
+  }
+
   private def readFiles(spark: SparkSession, table: String,
       files: Seq[String], mergeSchema: Boolean = false): DataFrame =
     if (files.nonEmpty)
@@ -439,7 +561,7 @@ object Snapshots {
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
-    readFiles(spark, table, filesAt(spark, table, v), mergeSchema = true)
+    readState(spark, table, stateAt(spark, table, v), mergeSchema = true)
   }
 
   /** Transactional OPTIMIZE: rewrite the latest version's (typically
@@ -487,9 +609,11 @@ object Snapshots {
     * watches: a selective delete on a clustered layout should touch a
     * handful of files, not the table. `filesDropped` counts files
     * removed METADATA-ONLY (every row matched, so nothing was
-    * rewritten — [[deleteRange]]'s fast path). */
+    * rewritten — [[deleteRange]]'s fast path); `dvRows` counts rows a
+    * merge-on-read commit marked dead in a deletion vector
+    * ([[deleteWhereMor]]/[[mergeIntoMor]]: filesRewritten stays 0). */
   final case class Cow(version: Option[Long], filesRewritten: Int,
-      filesVisible: Int, filesDropped: Int = 0)
+      filesVisible: Int, filesDropped: Int = 0, dvRows: Long = 0L)
 
   /** Files of the LATEST version that contain at least one row matching
     * `cond` — the touched set a copy-on-write rewrite is limited to.
@@ -536,14 +660,25 @@ object Snapshots {
     * touched set to a handful of files. Prior versions still see the
     * deleted rows until [[vacuum]] reclaims them — an auditable
     * retention window, or run vacuum immediately for hard deletion. */
+  /** Scan exactly `files` with the state's deletion vectors applied —
+    * what every copy-on-write rewrite must read: a plain file scan
+    * would RESURRECT merge-on-read-deleted rows into the rewritten
+    * files. No-op (plain scan) when the table has no DVs. */
+  private def readFilesWithDvs(spark: SparkSession, table: String,
+      st: State, files: Seq[String]): DataFrame =
+    readState(spark, table, State(files, st.dvs))
+
   def deleteWhere(spark: SparkSession, table: String, cond: Column,
       candidates: Option[Seq[String]] = None): Cow = {
+    val st = stateAt(spark, table, latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table")))
     val touched = touchedFiles(spark, table, cond, candidates)
-    val visible = filesAt(spark, table, latestVersion(spark, table).get)
-    if (touched.isEmpty) return Cow(None, 0, visible.size)
-    val kept = spark.read.parquet(touched: _*).where(!coalesce(cond, lit(false)))
-    val v = commitAction(spark, table, kept, "replace", None, removed = touched)
-    Cow(Some(v), touched.size, visible.size)
+    if (touched.isEmpty) return Cow(None, 0, st.files.size)
+    val kept = readFilesWithDvs(spark, table, st, touched)
+      .where(!coalesce(cond, lit(false)))
+    val v = commitAction(spark, table, kept, "replace", None,
+      removed = touched, baseDvs = Some(st.dvs.toSet))
+    Cow(Some(v), touched.size, st.files.size)
   }
 
   /** Range DELETE with a METADATA-ONLY fast path — the retention /
@@ -567,9 +702,10 @@ object Snapshots {
     * fails the commit rather than resurrecting rows. */
   def deleteRange(spark: SparkSession, table: String, c: String,
       lo: Any, hi: Any, zm: Option[DataFrame] = None): Cow = {
-    val visible = filesAt(spark, table,
+    val st = stateAt(spark, table,
       latestVersion(spark, table).getOrElse(
         throw new IllegalArgumentException(s"no snapshot committed at $table")))
+    val visible = st.files
     val zmap = zm.getOrElse(Layout.zoneMapFiles(spark, visible, Seq(c)))
     val loL = lit(lo); val hiL = lit(hi)
     // driver-side, manifest-scale: (file, fully-covered?, intersects?)
@@ -595,9 +731,10 @@ object Snapshots {
     val kept =
       if (touched.isEmpty)
         readFiles(spark, table, Seq.empty).limit(0) // schema-only empty
-      else spark.read.parquet(touched: _*).where(!coalesce(cond, lit(false)))
+      else readFilesWithDvs(spark, table, st, touched)
+        .where(!coalesce(cond, lit(false)))
     val v = commitAction(spark, table, kept, "replace", None,
-      removed = dropped ++ touched)
+      removed = dropped ++ touched, baseDvs = Some(st.dvs.toSet))
     Cow(Some(v), touched.size, visible.size, dropped.size)
   }
 
@@ -608,22 +745,24 @@ object Snapshots {
     * [[deleteWhere]]. */
   def updateWhere(spark: SparkSession, table: String, cond: Column,
       set: Map[String, Column], candidates: Option[Seq[String]] = None): Cow = {
+    val st = stateAt(spark, table, latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table")))
     val touched = touchedFiles(spark, table, cond, candidates)
-    val visible = filesAt(spark, table, latestVersion(spark, table).get)
-    if (touched.isEmpty) return Cow(None, 0, visible.size)
+    if (touched.isEmpty) return Cow(None, 0, st.files.size)
     // stage every new value against the OLD row first, then swap — so
     // one set-expression never observes another's result regardless of
     // Map iteration order
     val sets = set.toSeq
-    val staged = sets.zipWithIndex.foldLeft(spark.read.parquet(touched: _*)) {
+    val staged = sets.zipWithIndex.foldLeft(readFilesWithDvs(spark, table, st, touched)) {
       case (d, ((c, e), i)) =>
         d.withColumn(s"__set_$i", when(cond, e).otherwise(col(c)))
     }
     val rewritten = sets.zipWithIndex.foldLeft(staged) {
       case (d, ((c, _), i)) => d.withColumn(c, col(s"__set_$i"))
     }.drop(sets.indices.map(i => s"__set_$i"): _*)
-    val v = commitAction(spark, table, rewritten, "replace", None, removed = touched)
-    Cow(Some(v), touched.size, visible.size)
+    val v = commitAction(spark, table, rewritten, "replace", None,
+      removed = touched, baseDvs = Some(st.dvs.toSet))
+    Cow(Some(v), touched.size, st.files.size)
   }
 
   /** MERGE (upsert) as copy-on-write: source rows REPLACE target rows
@@ -651,7 +790,8 @@ object Snapshots {
         "mergeInto: source has duplicate keys — one target row would match " +
           "multiple source rows (pass validate = false to skip this check)")
     }
-    val visible = filesAt(spark, table, latestVersion(spark, table).get)
+    val st = stateAt(spark, table, latestVersion(spark, table).get)
+    val visible = st.files
     // touched = files holding a row whose key appears in source; the
     // source is the delta — broadcast-sized by contract (a table-scale
     // "merge" is an overwrite commit, not an upsert)
@@ -668,13 +808,14 @@ object Snapshots {
     val newRows =
       if (insertOnly) source.select(ordered.map(col): _*)
       else {
-        val unmatched = spark.read.parquet(touched: _*).as("t")
+        val unmatched = readFilesWithDvs(spark, table, st, touched).as("t")
           .join(srcKeys.as("s"), keyEq, "left_anti")
           .select(ordered.map(c => col(s"t.$c")): _*)
         unmatched.unionByName(source.select(ordered.map(col): _*))
       }
     val v = commitAction(spark, table, newRows,
-      if (insertOnly) "append" else "replace", batchIdOpt, removed = touched)
+      if (insertOnly) "append" else "replace", batchIdOpt, removed = touched,
+      baseDvs = if (insertOnly) None else Some(st.dvs.toSet))
     Cow(Some(v), touched.size, visible.size)
   }
 
@@ -685,22 +826,9 @@ object Snapshots {
     * restored-from version and the restore commit, until vacuum.
     * Returns the new version. */
   def restore(spark: SparkSession, table: String, version: Long): Long = {
-    val files = filesAt(spark, table, version) // loud on unknown/vacuumed
-    val f = fs(spark, table)
-    var v = latestVersion(spark, table).get + 1
-    while (true) {
-      val target = versionFile(table, v)
-      val json = mapper.createObjectNode()
-      json.put("version", v)
-      json.put("action", "overwrite")
-      json.put("ts", System.currentTimeMillis())
-      json.put("restoredFrom", version)
-      val arr = json.putArray("files")
-      files.foreach(arr.add)
-      if (createExclusive(f, target, mapper.writeValueAsBytes(json))) return v
-      v = latestVersion(spark, table).map(_ + 1).getOrElse(v + 1)
-    }
-    v // unreachable
+    val st = stateAt(spark, table, version) // loud on unknown/vacuumed
+    commitManifest(spark, table, st.files, "overwrite", None,
+      dvs = st.dvs, restoredFrom = Some(version))
   }
 
   /** Idempotent streaming MERGE — the `foreachBatch` + upsert pattern
@@ -721,6 +849,191 @@ object Snapshots {
     else Some(mergeInto(spark, table, source, keyCols, batchIdOpt = Some(batchId)))
   }
 
+  // ------------------------------------------------------------------
+  // Merge-on-read: deletion vectors (Delta DVs / Iceberg v2 position
+  // deletes). Copy-on-write pays a file REWRITE per touched file —
+  // the right trade for clustered DML, and exactly the wrong one for
+  // SCATTERED deletes/upserts: the round's CDC bench measured a
+  // uniform key feed rewriting every file every batch (16/16 per
+  // trigger). A DV commit instead writes a deletion-sized sidecar of
+  // `(file_path, row_index)` positions and marks the rows dead in the
+  // manifest — write cost O(deleted rows), zero data files rewritten.
+  // Readers subtract DVs at scan time (dirty files anti-join the
+  // sidecar, clean files scan plain), so reads pay a deletion-sized
+  // join until [[purgeDeletes]] folds the DVs back into clean files.
+  // Write-optimized MOR and read-optimized COW compose on one table:
+  // land scattered CDC with [[mergeBatchMor]], purge on a coarse
+  // cadence.
+  // ------------------------------------------------------------------
+
+  private def dvRoot(table: String) = new Path(table, "dv")
+
+  /** Write a `(file_path, row_index)` frame as a DV sidecar; returns
+    * its part files, or empty (dir removed) when the frame is empty. */
+  private def writeDv(spark: SparkSession, table: String,
+      dvDf: DataFrame): Seq[String] = {
+    val f = fs(spark, table)
+    val dir = new Path(dvRoot(table), s"d-${UUID.randomUUID().toString.take(8)}")
+    dvDf.select(col("file_path").cast("string"), col("row_index").cast("long"))
+      .write.parquet(dir.toString)
+    val parts = f.listStatus(dir).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map(_.toString).sorted.toSeq
+    if (parts.isEmpty || spark.read.parquet(parts: _*).isEmpty) {
+      f.delete(dir, true); Seq.empty
+    } else parts
+  }
+
+  /** Row-level DELETE as MERGE-ON-READ: write a deletion-vector
+    * sidecar of the matching rows' `(file, row_index)` positions and
+    * commit a `dv` manifest — NO data file is rewritten, so the write
+    * cost is O(matching rows) regardless of how scattered they are
+    * (the shape where [[deleteWhere]]'s copy-on-write degenerates to
+    * rewriting the table). Reads pay the DV anti-join on dirty files
+    * until [[purgeDeletes]]. Rows already DV-deleted are excluded, so
+    * a repeated delete is a no-op (version None). Conflicts: DV
+    * commits commute with each other and with appends; a racing
+    * REWRITE of a referenced file fails the commit loudly. */
+  def deleteWhereMor(spark: SparkSession, table: String, cond: Column,
+      candidates: Option[Seq[String]] = None): Cow = {
+    val st = stateAt(spark, table, latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table")))
+    val touched = touchedFiles(spark, table, cond, candidates)
+    if (touched.isEmpty) return Cow(None, 0, st.files.size)
+    val matches = spark.read.parquet(touched: _*)
+      .where(cond)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+    val fresh =
+      if (st.dvs.isEmpty) matches
+      else matches.join(spark.read.parquet(st.dvs: _*),
+        Seq("file_path", "row_index"), "left_anti")
+    val dvParts = writeDv(spark, table, fresh)
+    if (dvParts.isEmpty) return Cow(None, 0, st.files.size)
+    val dv = spark.read.parquet(dvParts: _*)
+    val referenced = dv.select("file_path").distinct().collect()
+      .map(r => new Path(r.getString(0)).toString).toSeq.sorted
+    val n = dv.count()
+    val v = commitManifest(spark, table, Seq.empty, "dv", None,
+      dvs = dvParts, requireVisible = referenced)
+    Cow(Some(v), 0, st.files.size, dvRows = n)
+  }
+
+  /** MERGE (upsert) as MERGE-ON-READ: matched target rows are marked
+    * dead in a deletion vector and ALL source rows append as new files
+    * — one `dv` manifest, ZERO files rewritten. This is the scattered-
+    * key CDC landing shape: [[mergeInto]]'s copy-on-write footprint is
+    * O(files containing a matched key) — every file, for a uniform key
+    * feed — while MOR's is O(batch). The read-side debt (DV anti-join
+    * over the dirty files) is repaid on a coarse cadence by
+    * [[purgeDeletes]] or [[compactLatest]]. Same source contract as
+    * [[mergeInto]] (schema equality, duplicate-key validation). */
+  def mergeIntoMor(spark: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String], validate: Boolean = true,
+      batchIdOpt: Option[Long] = None): Cow = {
+    require(keyCols.nonEmpty, "mergeIntoMor: at least one key column")
+    val snap = read(spark, table)
+    require(source.columns.sorted.sameElements(snap.columns.sorted),
+      s"mergeIntoMor: source columns ${source.columns.mkString(",")} must match " +
+        s"table columns ${snap.columns.mkString(",")}")
+    if (validate) {
+      val dup = source.groupBy(keyCols.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        "mergeIntoMor: source has duplicate keys — one target row would match " +
+          "multiple source rows (pass validate = false to skip this check)")
+    }
+    val st = stateAt(spark, table, latestVersion(spark, table).get)
+    enforceConstraints(spark, table, source) // before any bytes land
+    val srcKeys = broadcast(source.select(keyCols.map(col): _*).distinct())
+    val keyEq = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    // positions of live matched target rows — the DV delta
+    val matches = spark.read.parquet(st.files: _*)
+      .select(col("_metadata.file_path").as("file_path") +:
+        col("_metadata.row_index").as("row_index") +: keyCols.map(col): _*)
+      .as("t")
+      .join(srcKeys.as("s"), keyEq, "left_semi")
+      .select(col("file_path"), col("row_index"))
+    val fresh =
+      if (st.dvs.isEmpty) matches
+      else matches.join(spark.read.parquet(st.dvs: _*),
+        Seq("file_path", "row_index"), "left_anti")
+    val dvParts = writeDv(spark, table, fresh)
+    val (referenced, n) =
+      if (dvParts.isEmpty) (Seq.empty[String], 0L)
+      else {
+        val dv = spark.read.parquet(dvParts: _*)
+        (dv.select("file_path").distinct().collect()
+          .map(r => new Path(r.getString(0)).toString).toSeq.sorted,
+          dv.count())
+      }
+    val ordered = snap.columns.toSeq
+    val files = writeData(spark, table, source.select(ordered.map(col): _*))
+    val v = commitManifest(spark, table, files, "dv", batchIdOpt,
+      dvs = dvParts, requireVisible = referenced)
+    Cow(Some(v), 0, st.files.size, dvRows = n)
+  }
+
+  /** Idempotent streaming MOR merge — [[mergeBatch]]'s exactly-once
+    * `foreachBatch` contract over [[mergeIntoMor]]: the write-optimized
+    * CDC landing for scattered key feeds (bounded write amplification
+    * at any key distribution; purge on a coarse cadence). */
+  def mergeBatchMor(spark: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String], batchId: Long): Option[Cow] = {
+    val committed = versions(spark, table)
+      .map(readManifest(spark, table, _))
+      .exists(_.batchId.contains(batchId))
+    if (committed) None
+    else Some(mergeIntoMor(spark, table, source, keyCols, batchIdOpt = Some(batchId)))
+  }
+
+  /** Merge-on-read DEBT at the latest version: (dirty data files,
+    * dead rows, DV sidecar files) — the purge-cadence signal. A table
+    * serving latency-sensitive reads purges when dirtyFiles or dvRows
+    * crosses its budget; zero debt means reads are join-free. One
+    * sidecar-scale scan. */
+  final case class DvStats(dirtyFiles: Int, dvRows: Long, dvFiles: Int)
+
+  def dvStats(spark: SparkSession, table: String): DvStats = {
+    val st = stateAt(spark, table, latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table")))
+    if (st.dvs.isEmpty) return DvStats(0, 0L, 0)
+    val visible = st.files.map(new Path(_).toString).toSet
+    val dv = spark.read.parquet(st.dvs: _*)
+    val perFile = dv.groupBy(col("file_path")).count().collect()
+    // stale DV rows (their file already rewritten away) are not debt
+    val live = perFile.filter(r => visible.contains(new Path(r.getString(0)).toString))
+    DvStats(live.length, live.map(_.getLong(1)).sum, st.dvs.size)
+  }
+
+  /** Fold the deletion vectors back into clean data files — Delta's
+    * `REORG TABLE ... APPLY (PURGE)`: rewrite ONLY the dirty files
+    * (those with DV rows) copy-on-write with their DVs applied, and
+    * drop every DV from the manifest. Read plans are join-free again;
+    * write cost is O(dirty data). Run on a coarse cadence against the
+    * per-batch MOR landings. Conflicts: a racing MOR delete fails the
+    * commit (its DV would be silently cleared); rerun after it. */
+  def purgeDeletes(spark: SparkSession, table: String): Cow = {
+    val st = stateAt(spark, table, latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table")))
+    if (st.dvs.isEmpty) return Cow(None, 0, st.files.size)
+    val dvFiles = spark.read.parquet(st.dvs: _*)
+      .select("file_path").distinct().collect()
+      .map(r => new Path(r.getString(0)).toString).toSet
+    val dirty = st.files.filter(f => dvFiles.contains(new Path(f).toString)).sorted
+    if (dirty.isEmpty) {
+      // stale DVs only (every referenced file already rewritten away):
+      // drop them metadata-only
+      val v = commitManifest(spark, table, Seq.empty, "replace", None,
+        removedDvs = st.dvs, baseDvs = Some(st.dvs.toSet))
+      return Cow(Some(v), 0, st.files.size)
+    }
+    val kept = readFilesWithDvs(spark, table, st, dirty)
+    val v = commitAction(spark, table, kept, "replace", None,
+      removed = dirty, baseDvs = Some(st.dvs.toSet), removedDvs = st.dvs)
+    Cow(Some(v), dirty.size, st.files.size)
+  }
+
   /** Zero-copy SHALLOW clone: `dst` is born with one self-contained
     * overwrite manifest referencing `src`'s files at `version` (default
     * latest) — no data moves, so branching a 100 TB table is a
@@ -739,7 +1052,7 @@ object Snapshots {
       version: Option[Long] = None): Long = {
     val v = version.orElse(latestVersion(spark, src)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $src"))
-    val files = filesAt(spark, src, v)
+    val st = stateAt(spark, src, v)
     require(latestVersion(spark, dst).isEmpty,
       s"cloneShallow: $dst already has a snapshot log")
     val f = fs(spark, dst)
@@ -749,7 +1062,11 @@ object Snapshots {
     json.put("action", "overwrite")
     json.put("ts", System.currentTimeMillis())
     val arr = json.putArray("files")
-    files.foreach(arr.add)
+    st.files.foreach(arr.add)
+    if (st.dvs.nonEmpty) {
+      val d = json.putArray("dvs")
+      st.dvs.foreach(d.add)
+    }
     require(createExclusive(f, versionFile(dst, 0L), mapper.writeValueAsBytes(json)),
       s"cloneShallow: a racing writer created $dst's log first")
     0L
@@ -770,8 +1087,9 @@ object Snapshots {
     * composition, not a custom Source. Constraints follow from the
     * mechanism and are enforced/documented: the table must stay
     * append-only (an overwrite/compaction/copy-on-write replace would
-    * re-deliver rewritten rows — run those on a DIFFERENT table fed
-    * from this stream), and
+    * re-deliver rewritten rows, and a merge-on-read `dv` commit's
+    * deletes would be silently missed — run those on a DIFFERENT
+    * table fed from this stream), and
     * `schema` is required because streaming sources cannot infer. */
   def streamChanges(spark: SparkSession, table: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -798,13 +1116,27 @@ object Snapshots {
   }
 
   /** Commit history as a DataFrame (version, action, n_files,
-    * n_removed, ts) — `n_removed` is the copy-on-write footprint of a
-    * `replace` commit. */
+    * n_removed, n_dvs, ts) — `n_removed` is the copy-on-write rewrite
+    * footprint of a `replace` commit; `n_dvs` counts deletion-vector
+    * sidecar files a `dv` commit added (merge-on-read: rewrites 0). */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     versions(spark, table).map(readManifest(spark, table, _))
-      .map(m => (m.version, m.action, m.files.size, m.removed.size, m.ts))
-      .toDF("version", "action", "n_files", "n_removed", "ts")
+      .map(m => (m.version, m.action, m.files.size, m.removed.size,
+        m.dvs.size, m.ts))
+      .toDF("version", "action", "n_files", "n_removed", "n_dvs", "ts")
+  }
+
+  /** Age-based retention: [[vacuum]] keeping every version committed
+    * at-or-after `cutoffMillis` (manifest clock; always at least the
+    * latest) — the `RETAIN n DAYS` spelling of the same contract.
+    * Commit timestamps are monotone under the single-log design, so
+    * the cutoff maps to a contiguous retained suffix. */
+  def vacuumOlderThan(spark: SparkSession, table: String,
+      cutoffMillis: Long): Long = {
+    val keep = versions(spark, table)
+      .count(readManifest(spark, table, _).ts >= cutoffMillis)
+    vacuum(spark, table, math.max(1, keep))
   }
 
   /** Delete data files unreachable from the newest `retainVersions`
@@ -818,43 +1150,36 @@ object Snapshots {
     * data. Maintenance op: run with exclusive write access (the
     * checkpoint rewrite is not atomic against a racing commit).
     * Returns the number of data files deleted. */
-  /** Age-based retention: [[vacuum]] keeping every version committed
-    * at-or-after `cutoffMillis` (manifest clock; always at least the
-    * latest) — the `RETAIN n DAYS` spelling of the same contract.
-    * Commit timestamps are monotone under the single-log design, so
-    * the cutoff maps to a contiguous retained suffix. */
-  def vacuumOlderThan(spark: SparkSession, table: String,
-      cutoffMillis: Long): Long = {
-    val keep = versions(spark, table)
-      .count(readManifest(spark, table, _).ts >= cutoffMillis)
-    vacuum(spark, table, math.max(1, keep))
-  }
-
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Long = {
     require(retainVersions >= 1, "vacuum: must retain at least the latest version")
     val f = fs(spark, table)
     val vs = versions(spark, table)
     if (vs.size <= retainVersions) return 0L
     val keep = vs.takeRight(retainVersions)
-    val reachable = keep.flatMap(filesAt(spark, table, _)).toSet
+    val keptStates = keep.map(stateAt(spark, table, _))
+    val reachable = (keptStates.flatMap(_.files) ++ keptStates.flatMap(_.dvs)).toSet
     // checkpoint the horizon: its manifest becomes self-contained so the
     // fold never needs the manifests about to be dropped
     val horizon = keep.head
-    val horizonFiles = filesAt(spark, table, horizon)
+    val horizonState = keptStates.head
     val horizonTs = readManifest(spark, table, horizon).ts
     val json = mapper.createObjectNode()
     json.put("version", horizon)
     json.put("action", "overwrite")
     json.put("ts", horizonTs)
     val arr = json.putArray("files")
-    horizonFiles.foreach(arr.add)
+    horizonState.files.foreach(arr.add)
+    if (horizonState.dvs.nonEmpty) {
+      val d = json.putArray("dvs")
+      horizonState.dvs.foreach(d.add)
+    }
     val out = f.create(versionFile(table, horizon), true)
     try out.write(mapper.writeValueAsBytes(json)) finally out.close()
-    // all data files on disk (a pure shallow clone has no data dir yet)
-    val dataDir = new Path(table, "data")
-    val commitDirs =
-      if (!f.exists(dataDir)) Array.empty[Path]
-      else f.listStatus(dataDir).filter(_.isDirectory).map(_.getPath)
+    // all data + DV files on disk (a pure shallow clone has neither yet)
+    def sweepDirs(root: Path): Array[Path] =
+      if (!f.exists(root)) Array.empty[Path]
+      else f.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    val commitDirs = sweepDirs(new Path(table, "data")) ++ sweepDirs(dvRoot(table))
     var deleted = 0L
     commitDirs.foreach { d =>
       val parts = f.listStatus(d).map(_.getPath)

@@ -222,6 +222,30 @@ object NonSql {
       .orderBy($"o_orderkey")
   }
 
+  // S21: merge-on-read lifecycle on a snapshot table — deletion-vector
+  // DELETE (zero files rewritten), MOR MERGE (matched rows marked dead
+  // in a DV, source appended), purge (DVs folded back into clean
+  // files), then a second MOR delete so the final read exercises the
+  // live DV anti-join path. The SQL twin proves MOR == the plain
+  // relational semantics at sf scale.
+  val s21MorLifecycle: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_mor_").toString
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    graft.operators.Snapshots.commit(s, tmp,
+      base.repartitionByRange(8, $"o_orderkey"))
+    graft.operators.Snapshots.deleteWhereMor(s, tmp, $"o_totalprice" < 50000.0)
+    val src = base.filter($"o_orderkey" % 100 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    graft.operators.Snapshots.mergeIntoMor(s, tmp, src, Seq("o_orderkey"))
+    graft.operators.Snapshots.purgeDeletes(s, tmp)
+    graft.operators.Snapshots.deleteWhereMor(s, tmp, $"o_totalprice" > 400000.0)
+    graft.operators.Snapshots.read(s, tmp)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -400,7 +424,8 @@ object NonSql {
     "s17_zonemap_prune" -> s17ZonemapPrune,
     "s18_bloom_point_lookup" -> s18BloomPointLookup,
     "s19_snapshot_read" -> s19SnapshotRead,
-    "s20_cow_lifecycle" -> s20CowLifecycle
+    "s20_cow_lifecycle" -> s20CowLifecycle,
+    "s21_mor_lifecycle" -> s21MorLifecycle
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -461,6 +486,15 @@ object NonSql {
         "FROM base WHERE o_orderkey % 100 = 0) " +
         "SELECT * FROM (" +
         "SELECT * FROM upd WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) " +
-        "UNION ALL SELECT * FROM src) ORDER BY o_orderkey")
+        "UNION ALL SELECT * FROM src) ORDER BY o_orderkey"),
+    "s21_mor_lifecycle" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
+        "del AS (SELECT * FROM base WHERE NOT (o_totalprice < 50000.0)), " +
+        "src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice " +
+        "FROM base WHERE o_orderkey % 100 = 0), " +
+        "merged AS (SELECT * FROM del WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) " +
+        "UNION ALL SELECT * FROM src) " +
+        "SELECT * FROM merged WHERE NOT (o_totalprice > 400000.0) " +
+        "ORDER BY o_orderkey")
   )
 }

@@ -193,6 +193,41 @@ object SkipProbe {
     val tFull = (System.nanoTime() - tFull0) / 1e9
     println(f"full-rewrite twin (overwrite commit): $tFull%.3f s " +
       f"(${nRows} rows rescanned+rewritten) — cow/full = ${tCow / tFull}%.2f")
+
+    // ---- 6. merge-on-read price: a SCATTERED ~1%-of-rows delete on
+    // the same clustered layout — the shape where COW's touched set is
+    // EVERY file (key locality does not help a hash-scattered match).
+    // MOR writes a deletion-sized sidecar and rewrites nothing; the
+    // read-side debt and its purge are then measured on the same table.
+    val scattered = pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(100)) === 0
+    val cowDir = java.nio.file.Files.createTempDirectory("graft_skipmc_").toString
+    Snapshots.commit(spark, cowDir, li.repartitionByRange(64, $"l_orderkey"))
+    val tC0 = System.nanoTime()
+    val cowS = Snapshots.deleteWhere(spark, cowDir, scattered)
+    val tCS = (System.nanoTime() - tC0) / 1e9
+    println(f"scattered 1%% delete, COW: rewrote ${cowS.filesRewritten}/" +
+      f"${cowS.filesVisible} files in $tCS%.3f s")
+    val morDir = java.nio.file.Files.createTempDirectory("graft_skipmm_").toString
+    Snapshots.commit(spark, morDir, li.repartitionByRange(64, $"l_orderkey"))
+    val tM0 = System.nanoTime()
+    val morS = Snapshots.deleteWhereMor(spark, morDir, scattered)
+    val tMS = (System.nanoTime() - tM0) / 1e9
+    println(f"scattered 1%% delete, MOR: ${morS.dvRows} rows to a DV sidecar, " +
+      f"0/${morS.filesVisible} files rewritten, in $tMS%.3f s")
+    timed("read-after, COW (plain)") {
+      Snapshots.read(spark, cowDir).agg(count(lit(1))).head.getLong(0)
+    }
+    timed("read-after, MOR (DV anti-join)") {
+      Snapshots.read(spark, morDir).agg(count(lit(1))).head.getLong(0)
+    }
+    val tP0 = System.nanoTime()
+    val purged = Snapshots.purgeDeletes(spark, morDir)
+    val tP = (System.nanoTime() - tP0) / 1e9
+    println(f"purge: rewrote ${purged.filesRewritten}/${purged.filesVisible} " +
+      f"files once in $tP%.3f s")
+    timed("read-after-purge (plain again)") {
+      Snapshots.read(spark, morDir).agg(count(lit(1))).head.getLong(0)
+    }
     spark.stop()
   }
 }

@@ -175,7 +175,8 @@ object StreamBench {
     val nu = sys.env.getOrElse("SPARK_GRAFT_CDC_N", "60000").toInt
     val uBatches = 6
     val baseN = 1000000L
-    def cdcRun(label: String, keyFor: (Int, Int) => Long): Unit = {
+    def cdcRun(label: String, keyFor: (Int, Int) => Long,
+        mor: Boolean = false): Unit = {
       val tbl = java.nio.file.Files.createTempDirectory("graft_sbench_cdc_").toString
       Snapshots.commit(spark, tbl, spark.range(baseN).toDF("id")
         .withColumn("v", $"id" * 1.0).repartitionByRange(16, $"id"))
@@ -185,7 +186,9 @@ object StreamBench {
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
           val lastWins = b.groupBy("id")
             .agg(org.apache.spark.sql.functions.last("v").as("v"))
-          Snapshots.mergeBatch(spark, tbl, lastWins, Seq("id"), id); ()
+          if (mor) Snapshots.mergeBatchMor(spark, tbl, lastWins, Seq("id"), id)
+          else Snapshots.mergeBatch(spark, tbl, lastWins, Seq("id"), id)
+          ()
         }.start()
       val t3 = System.nanoTime()
       val perU = nu / uBatches
@@ -197,15 +200,39 @@ object StreamBench {
       uq.stop()
       val rewrites = Snapshots.history(spark, tbl)
         .agg(org.apache.spark.sql.functions.sum($"n_removed")).head.getLong(0)
+      // read amplification: a full-table aggregate after landing (MOR
+      // pays the DV anti-join here; COW reads plain)
+      val t4 = System.nanoTime()
+      Snapshots.read(spark, tbl).agg(
+        org.apache.spark.sql.functions.sum($"v")).head
+      val readS = (System.nanoTime() - t4) / 1e9
       println(f"cdc_upsert_bench[$label]: $nu%d upserts into $baseN%d rows in " +
         f"$secsU%.1f s = ${nu / secsU}%.0f rows/s " +
-        f"($uBatches batches, $rewrites%d file rewrites total)")
+        f"($uBatches batches, $rewrites%d file rewrites total, " +
+        f"read-after $readS%.2f s)")
+      if (mor) {
+        // fold the DVs back on the coarse cadence; reads go plain again
+        val t5 = System.nanoTime()
+        val purge = Snapshots.purgeDeletes(spark, tbl)
+        val purgeS = (System.nanoTime() - t5) / 1e9
+        val t6 = System.nanoTime()
+        Snapshots.read(spark, tbl).agg(
+          org.apache.spark.sql.functions.sum($"v")).head
+        val readS2 = (System.nanoTime() - t6) / 1e9
+        println(f"cdc_upsert_bench[$label]: purge rewrote " +
+          f"${purge.filesRewritten}%d/${purge.filesVisible}%d files in " +
+          f"$purgeS%.1f s; read-after-purge $readS2%.2f s")
+      }
     }
     // clustered: batch b updates a contiguous band at ~b/10 of the keyspace
     cdcRun("clustered", (b, i) => (baseN / 10 * b + i.toLong) % baseN)
-    // uniform: multiplicative scatter across the whole keyspace
-    cdcRun("uniform", (b, i) =>
-      (((b.toLong * 1000003L + i.toLong) * 2654435761L) >>> 12) % baseN)
+    // uniform: multiplicative scatter across the whole keyspace — the
+    // shape where copy-on-write rewrites every file every batch and
+    // merge-on-read rewrites none
+    def uniformKey(b: Int, i: Int): Long =
+      (((b.toLong * 1000003L + i.toLong) * 2654435761L) >>> 12) % baseN
+    cdcRun("uniform", uniformKey)
+    cdcRun("uniform-mor", uniformKey, mor = true)
     spark.stop()
   }
 }

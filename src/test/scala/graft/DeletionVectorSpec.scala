@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Snapshots
+
+/** Merge-on-read deletion vectors on snapshot tables: DV commits
+  * rewrite ZERO data files (the write-optimized DML shape for
+  * scattered deletes/upserts, where copy-on-write degenerates to
+  * rewriting the table), readers subtract DVs at scan time, COW DML
+  * on a DV'd table never resurrects deleted rows, purge folds DVs
+  * back into clean files, and DV state survives checkpoint / restore /
+  * clone / vacuum. Conflict matrix: DV∥DV and DV∥append commute;
+  * DV∥rewrite of a shared file fails loudly both ways. */
+class DeletionVectorSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def tbl() =
+    java.nio.file.Files.createTempDirectory("graft_dv_").toString
+
+  private def orders = Tables.load(spark, sf0001, "orders")
+    .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+
+  test("MOR delete: zero rewrites, rows gone, every data file shared by reference") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    val files0 = Snapshots.filesAt(spark, t, 0L)
+    val nDel = orders.filter($"o_orderkey" <= 100L).count()
+    val cow = Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 100L)
+    assert(cow.version.contains(1L))
+    assert(cow.filesRewritten == 0, "merge-on-read must rewrite nothing")
+    assert(cow.dvRows == nDel)
+    // data files are untouched and fully shared with v0
+    assert(Snapshots.filesAt(spark, t, 1L).sorted == files0.sorted)
+    val latest = Snapshots.read(spark, t)
+    val want = orders.filter($"o_orderkey" > 100L)
+    assert(latest.exceptAll(want).isEmpty && want.exceptAll(latest).isEmpty)
+    // time travel: v0 still sees the deleted rows
+    assert(Snapshots.read(spark, t, Some(0L)).count() == orders.count())
+    val h = Snapshots.history(spark, t).orderBy($"version")
+      .select($"action", $"n_files", $"n_removed", $"n_dvs")
+      .as[(String, Int, Int, Int)].collect().toSeq
+    assert(h.head == (("append", 8, 0, 0)))
+    assert(h(1)._1 == "dv" && h(1)._2 == 0 && h(1)._3 == 0 && h(1)._4 > 0)
+  }
+
+  test("MOR delete: SQL NULL semantics, and a repeated delete is a no-op") {
+    val t = tbl()
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
+      (null, "keepme"), (30L, "c")).toDF("k", "s")
+    Snapshots.commit(spark, t, df)
+    val cow = Snapshots.deleteWhereMor(spark, t, $"k" < 10L)
+    assert(cow.dvRows == 2L)
+    val left = Snapshots.read(spark, t).select($"s").as[String].collect().sorted
+    assert(left.toSeq == Seq("c", "keepme"), "NULL predicate rows must survive")
+    // same delete again: every matching row is already dead — no commit
+    val again = Snapshots.deleteWhereMor(spark, t, $"k" < 10L)
+    assert(again.version.isEmpty && again.dvRows == 0L)
+    assert(Snapshots.latestVersion(spark, t).contains(1L))
+  }
+
+  test("MOR merge == COW merge result; zero rewrites; inserts appended in the same commit") {
+    val cowT = tbl(); val morT = tbl()
+    val base = orders.repartitionByRange(8, $"o_orderkey")
+    Snapshots.commit(spark, cowT, base)
+    Snapshots.commit(spark, morT, base)
+    // scattered keys — the shape where COW rewrites many files
+    val src = orders.filter($"o_orderkey" % 97 === 0)
+      .withColumn("o_totalprice", lit(-1.0))
+      .unionByName(Seq((900000001L, 1L, 42.0), (900000002L, 2L, 43.0))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    val cowRes = Snapshots.mergeInto(spark, cowT, src, Seq("o_orderkey"))
+    val morRes = Snapshots.mergeIntoMor(spark, morT, src, Seq("o_orderkey"))
+    assert(cowRes.filesRewritten > 0, "sanity: COW pays rewrites here")
+    assert(morRes.filesRewritten == 0, "MOR pays none")
+    assert(morRes.dvRows == orders.filter($"o_orderkey" % 97 === 0).count())
+    val a = Snapshots.read(spark, cowT)
+    val b = Snapshots.read(spark, morT)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "merge-on-read and copy-on-write MERGE must agree")
+    // the dv manifest also carries the appended source files
+    val h = Snapshots.history(spark, morT).where($"version" === 1L)
+      .select($"action", $"n_files", $"n_dvs").as[(String, Int, Int)].head()
+    assert(h._1 == "dv" && h._2 > 0 && h._3 > 0)
+  }
+
+  test("COW delete/update on a DV'd table never resurrects deleted rows") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 100L)
+    // COW delete of a band overlapping the DV'd files
+    Snapshots.deleteWhere(spark, t, $"o_orderkey" > 100L && $"o_orderkey" <= 200L)
+    val want = orders.filter($"o_orderkey" > 200L)
+    val got = Snapshots.read(spark, t)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "the COW rewrite must apply the DVs, not resurrect dead rows")
+    // COW update across DV'd files: updates land, dead rows stay dead
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 300L)
+    Snapshots.updateWhere(spark, t, $"o_orderkey" <= 400L,
+      Map("o_custkey" -> lit(-7L)))
+    val upd = Snapshots.read(spark, t)
+    assert(upd.filter($"o_orderkey" <= 300L).isEmpty)
+    assert(upd.filter($"o_orderkey" <= 400L && $"o_custkey" =!= -7L).isEmpty)
+    assert(upd.count() == orders.filter($"o_orderkey" > 300L).count())
+  }
+
+  test("purgeDeletes: read-equal, only dirty files rewritten, repeat is a no-op, vacuum reclaims sidecars") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    // clustered delete band → DVs land in a minority of the 8 files
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 50L)
+    val dvFilesOnDisk = () => {
+      val d = new java.io.File(t, "dv")
+      if (!d.exists()) 0
+      else d.listFiles().flatMap(_.listFiles())
+        .count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(dvFilesOnDisk() > 0)
+    val before = Snapshots.read(spark, t)
+    val beforeRows = before.collect().toSeq
+    val purge = Snapshots.purgeDeletes(spark, t)
+    assert(purge.version.contains(2L))
+    assert(purge.filesRewritten > 0 && purge.filesRewritten < 8,
+      s"purge must rewrite only the dirty files, rewrote ${purge.filesRewritten}/8")
+    assert(Snapshots.read(spark, t).collect().toSeq.sortBy(_.getLong(0)) ==
+      beforeRows.sortBy(_.getLong(0)))
+    // no DVs left: purging again is a no-op
+    assert(Snapshots.purgeDeletes(spark, t).version.isEmpty)
+    // vacuum to the purged version reclaims the sidecar files
+    Snapshots.vacuum(spark, t, retainVersions = 1)
+    assert(dvFilesOnDisk() == 0, "vacuum must sweep unreachable DV sidecars")
+  }
+
+  test("dvStats: live MOR debt, stale DV rows excluded, zero after purge") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    assert(Snapshots.dvStats(spark, t) == Snapshots.DvStats(0, 0L, 0))
+    val n = orders.filter($"o_orderkey" <= 100L).count()
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 100L)
+    val s1 = Snapshots.dvStats(spark, t)
+    assert(s1.dvRows == n && s1.dirtyFiles >= 1 && s1.dvFiles >= 1)
+    // a COW delete rewrites the dirty file → those DV rows go stale
+    Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 150L)
+    val s2 = Snapshots.dvStats(spark, t)
+    assert(s2.dirtyFiles == 0 && s2.dvRows == 0L,
+      s"stale DV rows must not count as debt, got $s2")
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 200L)
+    assert(Snapshots.dvStats(spark, t).dvRows ==
+      orders.filter($"o_orderkey" > 150L && $"o_orderkey" <= 200L).count())
+    Snapshots.purgeDeletes(spark, t)
+    assert(Snapshots.dvStats(spark, t) == Snapshots.DvStats(0, 0L, 0))
+  }
+
+  test("checkpoint, restore, and shallow clone carry the DV state") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 100L)        // v1
+    val want = orders.filter($"o_orderkey" > 100L)
+    // checkpoint at the DV'd version; later reads fold from it
+    Snapshots.checkpoint(spark, t)
+    Snapshots.commit(spark, t, orders.limit(0))                      // v2
+    val got = Snapshots.read(spark, t)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "a checkpoint must persist the DV set, not silently drop it")
+    // clone shares data AND deletion vectors
+    val c = tbl()
+    Snapshots.cloneShallow(spark, t, c, Some(1L))
+    val cr = Snapshots.read(spark, c)
+    assert(cr.exceptAll(want).isEmpty && want.exceptAll(cr).isEmpty)
+    // purge away the DVs, then zero-copy restore back to the DV'd state
+    Snapshots.purgeDeletes(spark, t)                                 // v3
+    val v4 = Snapshots.restore(spark, t, 1L)
+    val rr = Snapshots.read(spark, t, Some(v4))
+    assert(rr.exceptAll(want).isEmpty && want.exceptAll(rr).isEmpty,
+      "restore must reference the old version's DVs")
+  }
+
+  test("conflicts: DV vs rewrite fails loudly both ways; DV vs DV and DV vs append commute") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    // 1) a COW rewrite racing ahead of our MOR delete on the same file
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 100L)
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 50L)
+      }
+    } finally Snapshots.raceHook = () => ()
+    assert(Snapshots.read(spark, t).count() ==
+      orders.filter($"o_orderkey" > 100L).count())
+    // 2) an MOR delete racing ahead of a COW rewrite of the same file
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 150L)
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 200L)
+      }
+    } finally Snapshots.raceHook = () => ()
+    // the racer's MOR delete is live; the loser's rerun lands on top
+    assert(Snapshots.read(spark, t).count() ==
+      orders.filter($"o_orderkey" > 150L).count())
+    val retry = Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 200L)
+    assert(retry.version.nonEmpty)
+    // 3) racing MOR deletes commute (deletes are a union)
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 300L)
+    }
+    try {
+      val c = Snapshots.deleteWhereMor(spark, t,
+        $"o_orderkey" > 300L && $"o_orderkey" <= 400L)
+      assert(c.version.nonEmpty, "concurrent MOR deletes must both land")
+    } finally Snapshots.raceHook = () => ()
+    assert(Snapshots.read(spark, t).count() ==
+      orders.filter($"o_orderkey" > 400L).count())
+    // 4) an append racing an MOR delete commutes too
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.commit(spark, t, orders.filter($"o_orderkey" > 400L).limit(5))
+    }
+    try {
+      val c = Snapshots.deleteWhereMor(spark, t,
+        $"o_orderkey" > 400L && $"o_orderkey" <= 500L)
+      assert(c.version.nonEmpty)
+    } finally Snapshots.raceHook = () => ()
+    assert(Snapshots.read(spark, t).count() ==
+      orders.filter($"o_orderkey" > 500L).count() + 5)
+  }
+
+  test("mergeBatchMor: a replayed micro-batch is a no-op; readChanges refuses dv ranges") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))
+    val src = orders.limit(20).withColumn("o_totalprice", lit(0.0))
+    assert(Snapshots.mergeBatchMor(spark, t, src, Seq("o_orderkey"), 7L).nonEmpty)
+    val v = Snapshots.latestVersion(spark, t).get
+    val n = Snapshots.read(spark, t).count()
+    // crash-replay of the same batch
+    assert(Snapshots.mergeBatchMor(spark, t, src, Seq("o_orderkey"), 7L).isEmpty)
+    assert(Snapshots.latestVersion(spark, t).contains(v))
+    assert(Snapshots.read(spark, t).count() == n)
+    // a dv commit in range is not an append-only delta
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readChanges(spark, t, 0L, v)
+    }
+    assert(e.getMessage.contains("DV"))
+  }
+
+  test("plan shape: DV read broadcast-anti-joins ONLY the dirty files; clean files scan join-free") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    // clustered band → DVs touch 1 of 8 files
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 50L)
+    val df = Snapshots.read(spark, t)
+    val plan = df.queryExecution.executedPlan.toString
+    // deletion-sized DV side must broadcast (never shuffle the table
+    // for a small delete), and exactly one anti-join in the plan
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert("LeftAnti".r.findAllIn(plan).size == 1, plan)
+    // the clean files union in BELOW the join: the join's left side
+    // scans only the dirty file, not the table
+    val scanFiles = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }
+    // one dirty-file scan (1), one clean scan (7), one DV sidecar scan
+    assert(scanFiles.sorted.toSeq == Seq(1, 1, 7),
+      s"expected scans over 1 dirty + 7 clean + 1 DV file, got $scanFiles")
+  }
+
+  test("readEvolved applies DVs across an evolved schema") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(40))
+    Snapshots.commit(spark, t, orders.limit(60).withColumn("note", lit("x")))
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 5L)
+    val got = Snapshots.readEvolved(spark, t)
+    assert(got.columns.contains("note"))
+    assert(got.filter($"o_orderkey" <= 5L).isEmpty,
+      "DVs must apply on the schema-evolved read too")
+    // expected = the pre-delete table minus its own matching rows
+    val preDelete = Snapshots.read(spark, t, Some(1L))
+    assert(got.count() ==
+      preDelete.count() - preDelete.filter($"o_orderkey" <= 5L).count())
+  }
+}

@@ -121,7 +121,8 @@ object Snapshots {
       files: Seq[String], ts: Long, batchId: Option[Long],
       removed: Seq[String] = Seq.empty,
       dvs: Seq[String] = Seq.empty,
-      removedDvs: Seq[String] = Seq.empty)
+      removedDvs: Seq[String] = Seq.empty,
+      neutral: Boolean = false)
 
   private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
     val f = fs(spark, table)
@@ -133,7 +134,8 @@ object Snapshots {
       node.get("files").elements().asScala.map(_.asText()).toSeq,
       node.get("ts").asLong(),
       Option(node.get("batchId")).map(_.asLong()),
-      arr("removed"), arr("dvs"), arr("removedDvs"))
+      arr("removed"), arr("dvs"), arr("removedDvs"),
+      Option(node.get("neutral")).exists(_.asBoolean()))
   }
 
   /** The visible state at a version: the data FILES plus the DELETION
@@ -271,12 +273,14 @@ object Snapshots {
       baseDvs: Option[Set[String]] = None,
       dvs: Seq[String] = Seq.empty,
       removedDvs: Seq[String] = Seq.empty,
-      requireVisible: Seq[String] = Seq.empty): Long = {
+      requireVisible: Seq[String] = Seq.empty,
+      neutral: Boolean = false): Long = {
     enforceConstraints(spark, table, df) // before any bytes land
     val files = writeData(spark, table, df, maxRecordsPerFile)
     commitManifest(spark, table, files, action, batchId,
       removed = removed, expectedBase = expectedBase, baseDvs = baseDvs,
-      dvs = dvs, removedDvs = removedDvs, requireVisible = requireVisible)
+      dvs = dvs, removedDvs = removedDvs, requireVisible = requireVisible,
+      neutral = neutral)
   }
 
   /** Write `df` as a new immutable commit directory; returns the part
@@ -319,7 +323,8 @@ object Snapshots {
       removedDvs: Seq[String] = Seq.empty,
       requireVisible: Seq[String] = Seq.empty,
       baseDvs: Option[Set[String]] = None,
-      restoredFrom: Option[Long] = None): Long = {
+      restoredFrom: Option[Long] = None,
+      neutral: Boolean = false): Long = {
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     raceHook()
@@ -354,6 +359,7 @@ object Snapshots {
       json.put("ts", System.currentTimeMillis())
       batchId.foreach(json.put("batchId", _))
       restoredFrom.foreach(json.put("restoredFrom", _))
+      if (neutral) json.put("neutral", true)
       val arr = json.putArray("files")
       files.foreach(arr.add)
       if (removed.nonEmpty) {
@@ -493,13 +499,71 @@ object Snapshots {
         "(vacuumed?)")
     val range = vs.filter(v => v > fromExclusive && v <= toInclusive)
       .map(readManifest(spark, table, _))
+      // CONTENT-NEUTRAL housekeeping (compaction, DV purge) never
+      // changes the logical rows — change feeds read through it
+      .filterNot(_.neutral)
     range.find(m => m.action == "overwrite" || m.action == "replace" ||
         m.action == "dv").foreach { m =>
       throw new IllegalArgumentException(
         s"readChanges: version ${m.version} is an ${m.action.toUpperCase} — " +
-          "the range is not an append delta; re-read the full snapshot instead")
+          "the range is not an append delta; use changeFeed for dv ranges, " +
+          "or re-read the full snapshot after DML")
     }
     readFiles(spark, table, range.flatMap(_.files))
+  }
+
+  /** CHANGE DATA FEED over a version range `(fromExclusive,
+    * toInclusive]`: every row change as (table columns..,
+    * `_change_type` ∈ insert | delete) — what an incremental consumer
+    * needs to maintain a downstream table over a MERGE-ON-READ source
+    * (fold inserts with [[MaterializedAgg.merge]], deletes with
+    * [[MaterializedAgg.retract]] — no history rescan). Appends and
+    * `dv` commits' new files emit inserts; `dv` commits' deletion
+    * vectors emit DELETES WITH FULL ROW CONTENT (the positions
+    * semi-join their immutable source files — O(dirty files +
+    * deletions), never O(table)). Content-neutral housekeeping
+    * (compaction, purge) emits nothing; a copy-on-write replace or
+    * plain overwrite still refuses loudly — its before/after diff is
+    * not recorded (land row-level DML as MOR to get a consumable
+    * feed). A MOR upsert emits its matched rows as delete + insert —
+    * the standard CDF pairing. */
+  def changeFeed(spark: SparkSession, table: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(fromExclusive <= toInclusive,
+      s"changeFeed: empty-or-negative range ($fromExclusive, $toInclusive]")
+    val vs = versions(spark, table)
+    require(vs.contains(toInclusive) &&
+      (fromExclusive == -1L || vs.contains(fromExclusive)),
+      s"changeFeed: versions ($fromExclusive, $toInclusive] not all present " +
+        "(vacuumed?)")
+    val range = vs.filter(v => v > fromExclusive && v <= toInclusive)
+      .map(readManifest(spark, table, _))
+      .filterNot(_.neutral)
+    range.find(m => m.action == "overwrite" || m.action == "replace").foreach { m =>
+      throw new IllegalArgumentException(
+        s"changeFeed: version ${m.version} is a non-neutral " +
+          s"${m.action.toUpperCase} — its row-level before/after diff is " +
+          "not recorded; land DML merge-on-read (deleteWhereMor/" +
+          "mergeIntoMor) to get a consumable feed")
+    }
+    val ins = readFiles(spark, table, range.flatMap(_.files))
+      .withColumn("_change_type", lit("insert"))
+    val dvParts = range.filter(_.action == "dv").flatMap(_.dvs)
+    if (dvParts.isEmpty) return ins
+    val dv = spark.read.parquet(dvParts: _*)
+    // the deleted rows' content lives in their (immutable) source
+    // files — scan only those, semi-join the positions
+    val dvFiles = dv.select("file_path").distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    val scan = spark.read.parquet(dvFiles: _*)
+      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .withColumn("__graft_ri", col("_metadata.row_index"))
+    val dels = scan.join(dv,
+      scan("__graft_fp") === dv("file_path") && scan("__graft_ri") === dv("row_index"),
+      "left_semi")
+      .drop("__graft_fp", "__graft_ri")
+      .withColumn("_change_type", lit("delete"))
+    ins.unionByName(dels)
   }
 
   /** Scan exactly `files`; an empty list resolves to an empty relation
@@ -526,16 +590,29 @@ object Snapshots {
     // dirty = visible files holding at least one DV row (driver-side,
     // file-scale; manifest paths are FS-qualified, DV paths URI-form —
     // normalize both through hadoop Path, like touchedFiles)
-    val dvFiles = dv.select("file_path").distinct().collect()
-      .map(r => new Path(r.getString(0)).toString).toSet
+    val dvPaths = dv.select("file_path").distinct().collect()
+      .map(_.getString(0)).sorted
+    val dvFiles = dvPaths.map(new Path(_).toString).toSet
     val (dirty, clean) = st.files.partition(f => dvFiles.contains(new Path(f).toString))
     if (dirty.isEmpty) return readFiles(spark, table, st.files, mergeSchema)
+    // DICTIONARY-code the file paths on both join sides: the DV side
+    // shrinks from (80-byte path, row) strings to (int, long) — a
+    // million-row deletion is ~12 MB instead of ~90, so Catalyst keeps
+    // BROADCASTING the anti-join far into mass-delete territory
+    // instead of shuffling the table. The dictionary is file-scale and
+    // ships as a literal map; DV rows whose file is no longer visible
+    // code to NULL and (null-rejecting join keys) never match — the
+    // stale-row semantics readers want.
+    val fid = typedLit(dvPaths.zipWithIndex.toMap)
     val scan = readFiles(spark, table, dirty, mergeSchema)
-      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .withColumn("__graft_fid", element_at(fid, col("_metadata.file_path")))
       .withColumn("__graft_ri", col("_metadata.row_index"))
-    val applied = scan.join(dv,
-      scan("__graft_fp") === dv("file_path") && scan("__graft_ri") === dv("row_index"),
-      "left_anti").drop("__graft_fp", "__graft_ri")
+    val dvSlim = dv.select(element_at(fid, col("file_path")).as("__dv_fid"),
+      col("row_index").as("__dv_ri"))
+    val applied = scan.join(dvSlim,
+      scan("__graft_fid") === dvSlim("__dv_fid") &&
+        scan("__graft_ri") === dvSlim("__dv_ri"),
+      "left_anti").drop("__graft_fid", "__graft_ri")
     if (clean.isEmpty) applied
     else applied.unionByName(readFiles(spark, table, clean, mergeSchema),
       allowMissingColumns = mergeSchema)
@@ -582,7 +659,8 @@ object Snapshots {
     // conflict-checked: if anything commits between the read above and
     // the manifest create, the overwrite would drop it — fail instead
     commitAction(spark, table, laid, "overwrite", batchId = None,
-      maxRecordsPerFile = Some(targetRowsPerFile), expectedBase = Some(base))
+      maxRecordsPerFile = Some(targetRowsPerFile), expectedBase = Some(base),
+      neutral = true)
   }
 
   /** Idempotent micro-batch append for `foreachBatch` — the streaming
@@ -1025,12 +1103,13 @@ object Snapshots {
       // stale DVs only (every referenced file already rewritten away):
       // drop them metadata-only
       val v = commitManifest(spark, table, Seq.empty, "replace", None,
-        removedDvs = st.dvs, baseDvs = Some(st.dvs.toSet))
+        removedDvs = st.dvs, baseDvs = Some(st.dvs.toSet), neutral = true)
       return Cow(Some(v), 0, st.files.size)
     }
     val kept = readFilesWithDvs(spark, table, st, dirty)
     val v = commitAction(spark, table, kept, "replace", None,
-      removed = dirty, baseDvs = Some(st.dvs.toSet), removedDvs = st.dvs)
+      removed = dirty, baseDvs = Some(st.dvs.toSet), removedDvs = st.dvs,
+      neutral = true)
     Cow(Some(v), dirty.size, st.files.size)
   }
 

@@ -199,7 +199,7 @@ object SkipProbe {
     // EVERY file (key locality does not help a hash-scattered match).
     // MOR writes a deletion-sized sidecar and rewrites nothing; the
     // read-side debt and its purge are then measured on the same table.
-    val scattered = pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(100)) === 0
+    val scattered = pmod(xxhash64($"l_orderkey", $"l_extendedprice"), lit(100)) === 0
     val cowDir = java.nio.file.Files.createTempDirectory("graft_skipmc_").toString
     Snapshots.commit(spark, cowDir, li.repartitionByRange(64, $"l_orderkey"))
     val tC0 = System.nanoTime()

@@ -271,6 +271,76 @@ class DeletionVectorSpec extends AnyFunSuite with SparkSuite {
       s"expected scans over 1 dirty + 7 clean + 1 DV file, got $scanFiles")
   }
 
+  test("changeFeed: inserts + full-content deletes; housekeeping neutral; COW refused") {
+    val t = tbl()
+    val init = orders.filter($"o_orderkey" <= 800L)
+    Snapshots.commit(spark, t, init.repartitionByRange(4, $"o_orderkey")) // v0
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 100L)             // v1
+    val src = orders.filter($"o_orderkey" > 50L && $"o_orderkey" <= 150L)
+      .withColumn("o_totalprice", lit(-5.0))                              // upsert
+    Snapshots.mergeIntoMor(spark, t, src, Seq("o_orderkey"))              // v2
+    Snapshots.purgeDeletes(spark, t)                                      // v3 neutral
+    val vNow = Snapshots.latestVersion(spark, t).get
+    val feed = Snapshots.changeFeed(spark, t, -1L, vNow)
+    // the feed's net effect IS the table (bag semantics: the upsert's
+    // matched rows appear as delete(old) + insert(new))
+    val ins = feed.filter($"_change_type" === "insert").drop("_change_type")
+    val del = feed.filter($"_change_type" === "delete").drop("_change_type")
+    val net = ins.exceptAll(del)
+    val now = Snapshots.read(spark, t)
+    assert(net.exceptAll(now).isEmpty && now.exceptAll(net).isEmpty)
+    // deletes carry FULL row content (the v1 delete band, pre-upsert prices)
+    assert(del.filter($"o_orderkey" <= 50L).count() ==
+      init.filter($"o_orderkey" <= 50L).count())
+    // a copy-on-write replace has no recorded diff — loud
+    Snapshots.deleteWhere(spark, t, $"o_orderkey" > 700L)
+    val v4 = Snapshots.latestVersion(spark, t).get
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changeFeed(spark, t, vNow, v4)
+    }
+    assert(e.getMessage.contains("REPLACE"))
+  }
+
+  test("O(delta) MV maintenance over a MOR table: changeFeed folds == one-shot rebuild") {
+    import graft.operators.MaterializedAgg
+    import graft.operators.MaterializedAgg.{countRows, sumOf}
+    val t = tbl()
+    val keys = Seq("o_custkey")
+    val measures = Seq(countRows("n"), sumOf($"o_orderkey", "s"))
+    Snapshots.commit(spark, t,
+      orders.filter($"o_orderkey" <= 800L).repartitionByRange(4, $"o_orderkey"))
+    var mv = MaterializedAgg.build(Snapshots.read(spark, t), keys, measures)
+      .cache()
+    var lastV = Snapshots.latestVersion(spark, t).get
+    def advance(): Unit = {
+      val now = Snapshots.latestVersion(spark, t).get
+      val feed = Snapshots.changeFeed(spark, t, lastV, now).cache()
+      val ins = feed.filter($"_change_type" === "insert").drop("_change_type")
+      val del = feed.filter($"_change_type" === "delete").drop("_change_type")
+      // merge BEFORE retract: a key inserted and deleted inside one
+      // range must exist in the MV before its retraction validates
+      if (!ins.isEmpty)
+        mv = MaterializedAgg.merge(mv,
+          MaterializedAgg.build(ins, keys, measures), keys, measures)
+      if (!del.isEmpty)
+        mv = MaterializedAgg.retract(mv,
+          MaterializedAgg.build(del, keys, measures), keys, measures,
+          dropWhen = Some($"n" === 0))
+      mv = mv.cache(); mv.count()
+      lastV = now
+    }
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" % 3 === 0); advance()
+    val src = orders.filter($"o_orderkey" > 800L && $"o_orderkey" <= 900L)
+    Snapshots.mergeIntoMor(spark, t, src, Seq("o_orderkey")); advance()
+    Snapshots.purgeDeletes(spark, t)
+    Snapshots.commit(spark, t,
+      orders.filter($"o_orderkey" > 900L && $"o_orderkey" <= 1000L)); advance()
+    Snapshots.deleteWhereMor(spark, t, $"o_custkey" % 7 === 1); advance()
+    val oneShot = MaterializedAgg.build(Snapshots.read(spark, t), keys, measures)
+    assert(mv.exceptAll(oneShot).isEmpty && oneShot.exceptAll(mv).isEmpty,
+      "incrementally-maintained MV must equal the one-shot rebuild")
+  }
+
   test("readEvolved applies DVs across an evolved schema") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(40))

@@ -1176,6 +1176,55 @@ object Snapshots {
       .option("pathGlobFilter", "*.parquet")
       .parquet(table + "/data/*")
 
+  /** STREAMING half of the change data feed: deletion-vector
+    * positions as a Structured Streaming source. Under MOR discipline
+    * both `data/` and `dv/` only ever gain immutable files, so two
+    * file-stream sources — [[streamChanges]] for inserts, this for
+    * deletes — deliver the full CDF exactly-once from Spark's own
+    * file-tracking checkpoint, with zero custom Source code. Each row
+    * is a POSITION (`file_path`, `row_index`); resolve content inside
+    * the consumer's `foreachBatch` with [[resolveDeletedRows]] (the
+    * positions are batch-scale there). Constraint, same as
+    * [[streamChanges]]: the table must stay append+MOR only while
+    * streamed — a COW replace / compaction / purge rewrites data files
+    * (re-delivered inserts) without re-delivering their deletes; run
+    * housekeeping on a downstream table instead.
+    * {{{
+    * val dels = Snapshots.streamDeletePositions(spark, table)
+    * dels.writeStream.foreachBatch { (pos, id) =>
+    *   val rows = Snapshots.resolveDeletedRows(spark, table, pos)
+    *   ... // retract from the downstream table
+    * }
+    * }}} */
+  def streamDeletePositions(spark: SparkSession, table: String): DataFrame = {
+    // the dv dir may not exist before the first MOR commit — the file
+    // source needs a listable root
+    fs(spark, table).mkdirs(dvRoot(table))
+    spark.readStream
+      .schema("file_path STRING, row_index LONG")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(table + "/dv/*")
+  }
+
+  /** Resolve a (batch-scale) frame of DV positions to FULL ROW
+    * content: one scan over only the referenced (immutable) files,
+    * semi-joined on position — [[changeFeed]]'s delete-content
+    * mechanic, exposed for `foreachBatch` consumers of
+    * [[streamDeletePositions]]. */
+  def resolveDeletedRows(spark: SparkSession, table: String,
+      positions: DataFrame): DataFrame = {
+    val files = positions.select(col("file_path")).distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    if (files.isEmpty) return readFiles(spark, table, Seq.empty).limit(0)
+    val scan = spark.read.parquet(files: _*)
+      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .withColumn("__graft_ri", col("_metadata.row_index"))
+    scan.join(positions,
+      scan("__graft_fp") === positions("file_path") &&
+        scan("__graft_ri") === positions("row_index"),
+      "left_semi").drop("__graft_fp", "__graft_ri")
+  }
+
   /** The file-set DELTA of `version`'s commit vs the version before it:
     * (added, removed), both manifest-scale. This is what keeps a
     * skipping index in lockstep with the table WITHOUT rebuilding it —

@@ -341,6 +341,56 @@ class DeletionVectorSpec extends AnyFunSuite with SparkSuite {
       "incrementally-maintained MV must equal the one-shot rebuild")
   }
 
+  test("streaming CDF: insert + delete-position streams deliver exactly-once; net == table") {
+    val t = tbl()
+    Snapshots.commitBatch(spark, t,
+      orders.filter($"o_orderkey" <= 400L), batchId = 0L)
+    type R = (Long, Long, Double)
+    val ins = collection.mutable.Buffer.empty[R]
+    val dels = collection.mutable.Buffer.empty[R]
+    def rows(b: org.apache.spark.sql.DataFrame): Seq[R] =
+      b.select($"o_orderkey", $"o_custkey", $"o_totalprice").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val qi = Snapshots.streamChanges(spark, t, orders.schema)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = rows(b); ins.synchronized { ins ++= r }; ()
+      }.start()
+    val qd = Snapshots.streamDeletePositions(spark, t)
+      .writeStream.outputMode("append")
+      .foreachBatch { (p: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = rows(Snapshots.resolveDeletedRows(spark, t, p))
+        dels.synchronized { dels ++= r }; ()
+      }.start()
+    try {
+      qi.processAllAvailable(); qd.processAllAvailable()
+      assert(ins.size == orders.filter($"o_orderkey" <= 400L).count())
+      assert(dels.isEmpty)
+      // a MOR upsert streams delete(old) + insert(new) for matched keys
+      val src = orders.filter($"o_orderkey" > 300L && $"o_orderkey" <= 500L)
+        .withColumn("o_totalprice", lit(-9.0))
+      Snapshots.mergeBatchMor(spark, t, src, Seq("o_orderkey"), batchId = 1L)
+      qi.processAllAvailable(); qd.processAllAvailable()
+      val matched = orders
+        .filter($"o_orderkey" > 300L && $"o_orderkey" <= 400L).count()
+      assert(dels.size == matched, s"matched old rows must stream as deletes")
+      assert(dels.forall(_._3 != -9.0), "deletes carry the OLD row content")
+      // a MOR delete streams its band
+      Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 50L)
+      qi.processAllAvailable(); qd.processAllAvailable()
+      // replaying with no new commits delivers nothing new
+      val (i0, d0) = (ins.size, dels.size)
+      qi.processAllAvailable(); qd.processAllAvailable()
+      assert(ins.size == i0 && dels.size == d0)
+      // net effect of the two streams == the table (bag semantics)
+      def bag(xs: Seq[R]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+      val net = bag(ins.toSeq).map { case (k, n) =>
+        k -> (n - bag(dels.toSeq).getOrElse(k, 0)) }.filter(_._2 > 0)
+      val want = bag(rows(Snapshots.read(spark, t)))
+      assert(net == want, "stream-net must equal the table")
+    } finally { qi.stop(); qd.stop() }
+  }
+
   test("readEvolved applies DVs across an evolved schema") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(40))

@@ -853,9 +853,17 @@ object Snapshots {
     * 100 TB table. `validate` (default true, skippable like PPR's seed
     * check) rejects a source with duplicate keys — the Delta MERGE
     * multiple-match error, caught before it silently double-inserts. */
+  /** `candidates` (optional) bounds the matched-key DISCOVERY scan to
+    * a pre-pruned file subset — pass `Layout.bloomIndexFiles` /
+    * `zoneMapFiles` survivors for the batch's keys so the per-batch
+    * scan is O(candidate files), not O(table). The set MUST be a
+    * superset of the files holding a matched key (a skipping index's
+    * no-false-negative guarantee); a false omission would leave the
+    * old row alive beside the inserted one. */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
       keyCols: Seq[String], validate: Boolean = true,
-      batchIdOpt: Option[Long] = None): Cow = {
+      batchIdOpt: Option[Long] = None,
+      candidates: Option[Seq[String]] = None): Cow = {
     require(keyCols.nonEmpty, "mergeInto: at least one key column")
     val snap = read(spark, table)
     require(source.columns.sorted.sameElements(snap.columns.sorted),
@@ -875,12 +883,17 @@ object Snapshots {
     // "merge" is an overwrite commit, not an upsert)
     val srcKeys = broadcast(source.select(keyCols.map(col): _*).distinct())
     val keyEq = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val touched = spark.read.parquet(visible: _*)
-      .select(col("_metadata.file_path").as("__file") +: keyCols.map(col): _*)
-      .as("t")
-      .join(srcKeys.as("s"), keyEq, "left_semi")
-      .select(col("__file")).distinct().collect()
-      .map(r => new Path(r.getString(0)).toString).toSeq.sorted
+    val scanSet = candidates
+      .map(_.map(new Path(_).toString).filter(visible.map(new Path(_).toString).toSet))
+      .getOrElse(visible)
+    val touched =
+      if (scanSet.isEmpty) Seq.empty[String]
+      else spark.read.parquet(scanSet: _*)
+        .select(col("_metadata.file_path").as("__file") +: keyCols.map(col): _*)
+        .as("t")
+        .join(srcKeys.as("s"), keyEq, "left_semi")
+        .select(col("__file")).distinct().collect()
+        .map(r => new Path(r.getString(0)).toString).toSeq.sorted
     val ordered = snap.columns.toSeq
     val insertOnly = touched.isEmpty
     val newRows =
@@ -1006,9 +1019,14 @@ object Snapshots {
     * over the dirty files) is repaid on a coarse cadence by
     * [[purgeDeletes]] or [[compactLatest]]. Same source contract as
     * [[mergeInto]] (schema equality, duplicate-key validation). */
+  /** `candidates` bounds the position-discovery scan exactly as in
+    * [[mergeInto]] — the per-batch O(table) narrow scan becomes
+    * O(candidate files) with a maintained skipping index over the
+    * merge key (superset contract applies). */
   def mergeIntoMor(spark: SparkSession, table: String, source: DataFrame,
       keyCols: Seq[String], validate: Boolean = true,
-      batchIdOpt: Option[Long] = None): Cow = {
+      batchIdOpt: Option[Long] = None,
+      candidates: Option[Seq[String]] = None): Cow = {
     require(keyCols.nonEmpty, "mergeIntoMor: at least one key column")
     val snap = read(spark, table)
     require(source.columns.sorted.sameElements(snap.columns.sorted),
@@ -1025,13 +1043,20 @@ object Snapshots {
     enforceConstraints(spark, table, source) // before any bytes land
     val srcKeys = broadcast(source.select(keyCols.map(col): _*).distinct())
     val keyEq = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val scanSet = candidates
+      .map(_.map(new Path(_).toString).filter(st.files.map(new Path(_).toString).toSet))
+      .getOrElse(st.files)
     // positions of live matched target rows — the DV delta
-    val matches = spark.read.parquet(st.files: _*)
-      .select(col("_metadata.file_path").as("file_path") +:
-        col("_metadata.row_index").as("row_index") +: keyCols.map(col): _*)
-      .as("t")
-      .join(srcKeys.as("s"), keyEq, "left_semi")
-      .select(col("file_path"), col("row_index"))
+    val matches =
+      if (scanSet.isEmpty)
+        spark.emptyDataFrame
+          .select(lit("").as("file_path"), lit(0L).as("row_index")).limit(0)
+      else spark.read.parquet(scanSet: _*)
+        .select(col("_metadata.file_path").as("file_path") +:
+          col("_metadata.row_index").as("row_index") +: keyCols.map(col): _*)
+        .as("t")
+        .join(srcKeys.as("s"), keyEq, "left_semi")
+        .select(col("file_path"), col("row_index"))
     val fresh =
       if (st.dvs.isEmpty) matches
       else matches.join(spark.read.parquet(st.dvs: _*),

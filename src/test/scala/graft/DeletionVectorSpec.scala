@@ -391,6 +391,47 @@ class DeletionVectorSpec extends AnyFunSuite with SparkSuite {
     } finally { qi.stop(); qd.stop() }
   }
 
+  test("merge discovery composes with the bloom index: O(candidate files), equal results") {
+    import graft.operators.Layout
+    val morT = tbl(); val cowT = tbl(); val plainT = tbl()
+    val base = orders.repartitionByRange(8, $"o_orderkey")
+    Seq(morT, cowT, plainT).foreach(Snapshots.commit(spark, _, base))
+    // a maintained per-file bloom index over the merge key narrows the
+    // per-batch discovery scan from every file to the key's files —
+    // the index is PER-TABLE state (its file paths are that table's)
+    def candFor(t: String): Seq[String] = {
+      val files = Snapshots.filesAt(spark, t, 0L)
+      val bi = Layout.bloomIndexFiles(spark, files, "o_orderkey", 2048)
+      val cand = Layout.pruneFilesByKeys(bi, Seq(42L, 77L))
+      assert(cand.size < files.size, "bloom must narrow the candidate set")
+      cand
+    }
+    val src = orders.filter($"o_orderkey" === 42L || $"o_orderkey" === 77L)
+      .withColumn("o_totalprice", lit(-3.0))
+    val nMatched = src.count()
+    val mor = Snapshots.mergeIntoMor(spark, morT, src, Seq("o_orderkey"),
+      candidates = Some(candFor(morT)))
+    assert(mor.dvRows == nMatched && mor.filesRewritten == 0)
+    val cowCand = candFor(cowT)
+    val cow = Snapshots.mergeInto(spark, cowT, src, Seq("o_orderkey"),
+      candidates = Some(cowCand))
+    assert(cow.filesRewritten <= cowCand.size)
+    val plain = Snapshots.mergeInto(spark, plainT, src, Seq("o_orderkey"))
+    assert(plain.version.nonEmpty)
+    val a = Snapshots.read(spark, morT); val b = Snapshots.read(spark, cowT)
+    val c = Snapshots.read(spark, plainT)
+    assert(a.exceptAll(c).isEmpty && c.exceptAll(a).isEmpty,
+      "bloom-pruned MOR merge must equal the unpruned merge")
+    assert(b.exceptAll(c).isEmpty && c.exceptAll(b).isEmpty,
+      "bloom-pruned COW merge must equal the unpruned merge")
+    // an insert-only batch with an empty candidate set never scans
+    val ins = Seq((990000001L, 5L, 1.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val io = Snapshots.mergeIntoMor(spark, morT, ins, Seq("o_orderkey"),
+      candidates = Some(Seq.empty))
+    assert(io.dvRows == 0L)
+    assert(Snapshots.read(spark, morT).filter($"o_orderkey" === 990000001L).count() == 1)
+  }
+
   test("readEvolved applies DVs across an evolved schema") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(40))

@@ -432,6 +432,35 @@ class DeletionVectorSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, morT).filter($"o_orderkey" === 990000001L).count() == 1)
   }
 
+  test("skipping-index maintenance folds through MOR commits: apply == rebuild") {
+    import graft.operators.Layout
+    val t = tbl()
+    val cols = Seq("o_orderkey")
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    var zm = Layout.zoneMapFiles(spark, Snapshots.filesAt(spark, t, 0L), cols)
+    def fold(v: Long): Unit = {
+      val (added, removed) = Snapshots.changedFiles(spark, t, v)
+      zm = Layout.zoneMapApply(spark, zm, cols, added, removed)
+    }
+    // a pure-DV delete changes NO files — the fold is a no-op; the
+    // map's envelopes become supersets (skipping stays correctness-
+    // neutral: pruning keeps a superset of matching files)
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 100L)
+    fold(1L)
+    // a MOR merge appends insert files — the fold indexes only them
+    val src = orders.filter($"o_orderkey" > 2000L).limit(10)
+      .withColumn("o_totalprice", lit(-1.0))
+    Snapshots.mergeIntoMor(spark, t, src, Seq("o_orderkey"))
+    fold(2L)
+    // purge swaps dirty files for clean ones — drop + index the delta
+    Snapshots.purgeDeletes(spark, t)
+    fold(3L)
+    val rebuilt = Layout.zoneMapFiles(spark,
+      Snapshots.filesAt(spark, t, 3L), cols)
+    assert(zm.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(zm).isEmpty,
+      "folded zone map must equal a from-scratch rebuild after MOR + purge")
+  }
+
   test("readEvolved applies DVs across an evolved schema") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(40))

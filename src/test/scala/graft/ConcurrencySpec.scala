@@ -88,4 +88,55 @@ class ConcurrencySpec extends AnyFunSuite with SparkSuite {
     assert(got.filter(outside).count() == 64000 - expectedGone)
     info(s"replace conflicts retried: ${retries.get()}")
   }
+
+  test("8 concurrent MOR deletes on shared files: deletes commute, union exact, zero rewrites") {
+    val t = tbl()
+    // same shared-file layout as the cow stress — but merge-on-read
+    // deletes COMMUTE (each lands a dv manifest; readers union the
+    // vectors), so unlike the replace-replace races above these must
+    // all land WITHOUT a single content conflict
+    Snapshots.commit(spark, t,
+      spark.range(0, 64000).toDF("id").repartitionByRange(16, $"id"))
+    val bands = (0 until 8).map(i => (i * 5000L, i * 5000L + 2500L))
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futs = bands.map { case (lo, hi) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var attempts = 0
+            var done = false
+            while (!done) {
+              try {
+                Snapshots.deleteWhereMor(spark, t, $"id" >= lo && $"id" < hi)
+                done = true
+              } catch {
+                // only manifest-version collisions retry here — never a
+                // content conflict (no files are rewritten)
+                case _: java.util.ConcurrentModificationException =>
+                  attempts += 1
+                  assert(attempts < 50, s"band [$lo,$hi) livelocked")
+              }
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    // every band's dv landed: 9 versions, zero files rewritten
+    assert(Snapshots.versions(spark, t) == (0L to 8L))
+    val h = Snapshots.history(spark, t).where($"version" > 0L)
+      .select($"action", $"n_removed").as[(String, Int)].collect()
+    assert(h.forall { case (a, r) => a == "dv" && r == 0 })
+    val got = Snapshots.read(spark, t)
+    val expectedGone = bands.map { case (lo, hi) => hi - lo }.sum
+    assert(got.count() == 64000 - expectedGone)
+    bands.foreach { case (lo, hi) =>
+      assert(got.filter($"id" >= lo && $"id" < hi).isEmpty,
+        s"band [$lo,$hi) must be fully deleted")
+    }
+    // the union of vectors purges to the same exact state
+    Snapshots.purgeDeletes(spark, t)
+    assert(Snapshots.read(spark, t).count() == 64000 - expectedGone)
+    assert(Snapshots.dvStats(spark, t) == Snapshots.DvStats(0, 0L, 0))
+  }
 }

@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   *   table/data/c<version>-<uuid>/part-*.parquet   (immutable, per commit)
+  *   table/dv/d-<uuid>/part-*.parquet              (deletion-vector sidecars)
   *   table/_graft_log/v<00000000001>.json          (one manifest per version)
   * }}}
   *
@@ -959,10 +960,12 @@ object Snapshots {
 
   private def dvRoot(table: String) = new Path(table, "dv")
 
-  /** Write a `(file_path, row_index)` frame as a DV sidecar; returns
-    * its part files, or empty (dir removed) when the frame is empty. */
+  /** Write a `(file_path, row_index)` frame as a DV sidecar. One
+    * read-back aggregation yields everything the commit needs:
+    * returns (part files, rows written, referenced data files) — or
+    * (empty, 0, empty) with the dir removed when the frame was empty. */
   private def writeDv(spark: SparkSession, table: String,
-      dvDf: DataFrame): Seq[String] = {
+      dvDf: DataFrame): (Seq[String], Long, Seq[String]) = {
     val f = fs(spark, table)
     val dir = new Path(dvRoot(table), s"d-${UUID.randomUUID().toString.take(8)}")
     dvDf.select(col("file_path").cast("string"), col("row_index").cast("long"))
@@ -970,9 +973,14 @@ object Snapshots {
     val parts = f.listStatus(dir).map(_.getPath)
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
       .map(_.toString).sorted.toSeq
-    if (parts.isEmpty || spark.read.parquet(parts: _*).isEmpty) {
-      f.delete(dir, true); Seq.empty
-    } else parts
+    val perFile =
+      if (parts.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(parts: _*)
+        .groupBy(col("file_path")).count().collect()
+    val n = perFile.map(_.getLong(1)).sum
+    if (n == 0L) { f.delete(dir, true); (Seq.empty, 0L, Seq.empty) }
+    else (parts, n,
+      perFile.map(r => new Path(r.getString(0)).toString).toSeq.sorted)
   }
 
   /** Row-level DELETE as MERGE-ON-READ: write a deletion-vector
@@ -999,12 +1007,8 @@ object Snapshots {
       if (st.dvs.isEmpty) matches
       else matches.join(spark.read.parquet(st.dvs: _*),
         Seq("file_path", "row_index"), "left_anti")
-    val dvParts = writeDv(spark, table, fresh)
+    val (dvParts, n, referenced) = writeDv(spark, table, fresh)
     if (dvParts.isEmpty) return Cow(None, 0, st.files.size)
-    val dv = spark.read.parquet(dvParts: _*)
-    val referenced = dv.select("file_path").distinct().collect()
-      .map(r => new Path(r.getString(0)).toString).toSeq.sorted
-    val n = dv.count()
     val v = commitManifest(spark, table, Seq.empty, "dv", None,
       dvs = dvParts, requireVisible = referenced)
     Cow(Some(v), 0, st.files.size, dvRows = n)
@@ -1061,15 +1065,7 @@ object Snapshots {
       if (st.dvs.isEmpty) matches
       else matches.join(spark.read.parquet(st.dvs: _*),
         Seq("file_path", "row_index"), "left_anti")
-    val dvParts = writeDv(spark, table, fresh)
-    val (referenced, n) =
-      if (dvParts.isEmpty) (Seq.empty[String], 0L)
-      else {
-        val dv = spark.read.parquet(dvParts: _*)
-        (dv.select("file_path").distinct().collect()
-          .map(r => new Path(r.getString(0)).toString).toSeq.sorted,
-          dv.count())
-      }
+    val (dvParts, n, referenced) = writeDv(spark, table, fresh)
     val ordered = snap.columns.toSeq
     val files = writeData(spark, table, source.select(ordered.map(col): _*))
     val v = commitManifest(spark, table, files, "dv", batchIdOpt,

@@ -461,6 +461,27 @@ class DeletionVectorSpec extends AnyFunSuite with SparkSuite {
       "folded zone map must equal a from-scratch rebuild after MOR + purge")
   }
 
+  test("vacuum to a DV'd horizon: the checkpointed manifest carries the vectors") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey")) // v0
+    Snapshots.commit(spark, t, orders.limit(0), overwrite = false)          // v1 (will vacuum away)
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 100L)               // v2
+    val want = orders.filter($"o_orderkey" > 100L)
+    // fold v0..v2 away; the horizon (v2) manifest must become a
+    // self-contained overwrite CARRYING its dv set
+    Snapshots.vacuum(spark, t, retainVersions = 1)
+    assert(Snapshots.versions(spark, t) == Seq(2L))
+    val got = Snapshots.read(spark, t)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "a vacuumed DV'd horizon must still subtract its deletion vectors")
+    // the sidecar survived the sweep (reachable from the horizon)
+    assert(Snapshots.dvStats(spark, t).dvRows ==
+      orders.filter($"o_orderkey" <= 100L).count())
+    // and purge still works on the folded log
+    Snapshots.purgeDeletes(spark, t)
+    assert(Snapshots.read(spark, t).count() == want.count())
+  }
+
   test("readEvolved applies DVs across an evolved schema") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(40))

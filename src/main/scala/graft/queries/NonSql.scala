@@ -246,6 +246,30 @@ object NonSql {
       .orderBy($"o_orderkey")
   }
 
+  // S22: change data feed over a merge-on-read history — every row
+  // change in the range as (row.., _change_type): appends and MOR
+  // inserts emit inserts, deletion vectors emit deletes WITH OLD ROW
+  // CONTENT, the purge is content-neutral and emits nothing. The SQL
+  // twin reconstructs the same feed relationally.
+  val s22ChangeFeed: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_cdf_").toString
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    graft.operators.Snapshots.commit(s, tmp,
+      base.repartitionByRange(8, $"o_orderkey"))
+    graft.operators.Snapshots.deleteWhereMor(s, tmp, $"o_totalprice" < 30000.0)
+    val src = base.filter($"o_orderkey" % 200 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    graft.operators.Snapshots.mergeIntoMor(s, tmp, src, Seq("o_orderkey"))
+    graft.operators.Snapshots.purgeDeletes(s, tmp)
+    val last = graft.operators.Snapshots.latestVersion(s, tmp).get
+    graft.operators.Snapshots.changeFeed(s, tmp, -1L, last)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"_change_type")
+      .orderBy($"o_orderkey", $"_change_type", $"o_orderstatus")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -425,7 +449,8 @@ object NonSql {
     "s18_bloom_point_lookup" -> s18BloomPointLookup,
     "s19_snapshot_read" -> s19SnapshotRead,
     "s20_cow_lifecycle" -> s20CowLifecycle,
-    "s21_mor_lifecycle" -> s21MorLifecycle
+    "s21_mor_lifecycle" -> s21MorLifecycle,
+    "s22_change_feed" -> s22ChangeFeed
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -495,6 +520,17 @@ object NonSql {
         "merged AS (SELECT * FROM del WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) " +
         "UNION ALL SELECT * FROM src) " +
         "SELECT * FROM merged WHERE NOT (o_totalprice > 400000.0) " +
-        "ORDER BY o_orderkey")
+        "ORDER BY o_orderkey"),
+    "s22_change_feed" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
+        "src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice " +
+        "FROM base WHERE o_orderkey % 200 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT *, 'insert' AS _change_type FROM base " +
+        "UNION ALL SELECT *, 'insert' FROM src " +
+        "UNION ALL SELECT *, 'delete' FROM base WHERE o_totalprice < 30000.0 " +
+        "UNION ALL SELECT *, 'delete' FROM base " +
+        "WHERE o_orderkey % 200 = 0 AND NOT (o_totalprice < 30000.0)" +
+        ") ORDER BY o_orderkey, _change_type, o_orderstatus")
   )
 }

@@ -60,6 +60,21 @@ object MorReadProbe {
     timed("scan + row_index, no join")(
       plain.withColumn("__ri", col("_metadata.row_index"))
         .agg(sum($"__ri")).head.getLong(0))
+
+    // change-feed extraction cost: a CLUSTERED MOR delete touches few
+    // files, so the delete-content semi-join reads O(dirty files) —
+    // the incremental consumer's cost is delta-shaped, not table-shaped
+    val t2 = java.nio.file.Files.createTempDirectory("graft_cdf_probe_").toString
+    Snapshots.commit(spark, t2, li.repartitionByRange(64, $"l_orderkey"))
+    val Array(qlo, qhi) = Snapshots.read(spark, t2)
+      .stat.approxQuantile("l_orderkey", Array(0.50, 0.51), 0.0005)
+    val band = $"l_orderkey" >= qlo.toLong && $"l_orderkey" <= qhi.toLong
+    val morB = Snapshots.deleteWhereMor(spark, t2, band)
+    println(f"clustered ~1%% MOR delete: ${morB.dvRows} dv rows")
+    val vNow = Snapshots.latestVersion(spark, t2).get
+    timed("changeFeed(delete delta only)")(
+      Snapshots.changeFeed(spark, t2, 0L, vNow)
+        .filter(col("_change_type") === "delete").agg(count(lit(1))).head.getLong(0))
     spark.stop()
   }
 }

@@ -585,8 +585,9 @@ object Snapshots {
     * DVs are deletion-sized) and falls back to a shuffled join when a
     * mass-delete made it big. */
   private def readState(spark: SparkSession, table: String, st: State,
-      mergeSchema: Boolean = false): DataFrame = {
-    if (st.dvs.isEmpty) return readFiles(spark, table, st.files, mergeSchema)
+      mergeSchema: Boolean = false,
+      decorate: DataFrame => DataFrame = identity): DataFrame = {
+    if (st.dvs.isEmpty) return decorate(readFiles(spark, table, st.files, mergeSchema))
     val dv = spark.read.parquet(st.dvs: _*)
     // dirty = visible files holding at least one DV row (driver-side,
     // file-scale; manifest paths are FS-qualified, DV paths URI-form —
@@ -595,7 +596,7 @@ object Snapshots {
       .map(_.getString(0)).sorted
     val dvFiles = dvPaths.map(new Path(_).toString).toSet
     val (dirty, clean) = st.files.partition(f => dvFiles.contains(new Path(f).toString))
-    if (dirty.isEmpty) return readFiles(spark, table, st.files, mergeSchema)
+    if (dirty.isEmpty) return decorate(readFiles(spark, table, st.files, mergeSchema))
     // DICTIONARY-code the file paths on both join sides: the DV side
     // shrinks from (80-byte path, row) strings to (int, long) — a
     // million-row deletion is ~12 MB instead of ~90, so Catalyst keeps
@@ -605,7 +606,7 @@ object Snapshots {
     // code to NULL and (null-rejecting join keys) never match — the
     // stale-row semantics readers want.
     val fid = typedLit(dvPaths.zipWithIndex.toMap)
-    val scan = readFiles(spark, table, dirty, mergeSchema)
+    val scan = decorate(readFiles(spark, table, dirty, mergeSchema))
       .withColumn("__graft_fid", element_at(fid, col("_metadata.file_path")))
       .withColumn("__graft_ri", col("_metadata.row_index"))
     val dvSlim = dv.select(element_at(fid, col("file_path")).as("__dv_fid"),
@@ -615,7 +616,7 @@ object Snapshots {
         scan("__graft_ri") === dvSlim("__dv_ri"),
       "left_anti").drop("__graft_fid", "__graft_ri")
     if (clean.isEmpty) applied
-    else applied.unionByName(readFiles(spark, table, clean, mergeSchema),
+    else applied.unionByName(decorate(readFiles(spark, table, clean, mergeSchema)),
       allowMissingColumns = mergeSchema)
   }
 
@@ -629,6 +630,37 @@ object Snapshots {
       require(any.nonEmpty, s"snapshot table $table has no data files to take a schema from")
       spark.read.parquet(any.head).limit(0)
     }
+
+  /** ROW PROVENANCE read: [[read]] plus a `_commit_version` column —
+    * the version whose commit FIRST wrote each row's file (audit /
+    * lineage: "when did this row land"). Mechanics: the log already
+    * knows which version added every file; the map ships as a literal
+    * keyed by part FILENAME (globally unique — Spark embeds the write
+    * job's UUID), sidestepping the FS-qualified-vs-URI path spelling.
+    * Rows carried through a copy-on-write rewrite are re-stamped with
+    * the rewrite's version (their file was rewritten then); rows
+    * deleted merge-on-read are absent, not stamped. Driver cost is
+    * manifest-scale; per-row cost is one literal-map lookup. */
+  def readWithVersion(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val nameVer: Map[String, Long] = versions(spark, table)
+      .filter(_ <= v).sorted
+      .flatMap { mv =>
+        val m = readManifest(spark, table, mv)
+        m.files.map(f => new Path(f).getName -> m.version)
+      }
+      // first-wins: a restore/overwrite re-lists files added earlier;
+      // the row's provenance is its file's ORIGINAL commit
+      .foldLeft(Map.empty[String, Long]) { case (acc, (n, mv)) =>
+        if (acc.contains(n)) acc else acc + (n -> mv)
+      }
+    val ver = typedLit(nameVer)
+    readState(spark, table, stateAt(spark, table, v),
+      decorate = df => df.withColumn("_commit_version",
+        element_at(ver, element_at(split(col("_metadata.file_path"), "/"), -1))))
+  }
 
   /** [[read]] with schema evolution: the visible schema is the UNION of
     * the version's commits' schemas (new nullable columns appear with
@@ -997,9 +1029,15 @@ object Snapshots {
       candidates: Option[Seq[String]] = None): Cow = {
     val st = stateAt(spark, table, latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table")))
-    val touched = touchedFiles(spark, table, cond, candidates)
-    if (touched.isEmpty) return Cow(None, 0, st.files.size)
-    val matches = spark.read.parquet(touched: _*)
+    // ONE column-pruned pass finds the matching positions directly —
+    // the position projection IS the discovery (unlike COW, which
+    // needs the touched FILE set before it can plan the rewrite);
+    // `candidates` bounds it to the skipping layer's survivors
+    val scanSet = candidates
+      .map(_.map(new Path(_).toString).filter(st.files.map(new Path(_).toString).toSet))
+      .getOrElse(st.files)
+    if (scanSet.isEmpty) return Cow(None, 0, st.files.size)
+    val matches = spark.read.parquet(scanSet: _*)
       .where(cond)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))

@@ -482,6 +482,32 @@ class DeletionVectorSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t).count() == want.count())
   }
 
+  test("readWithVersion: per-row provenance across appends, COW rewrites, and DVs") {
+    val t = tbl()
+    Snapshots.commit(spark, t,
+      orders.filter($"o_orderkey" <= 500L).repartitionByRange(4, $"o_orderkey")) // v0
+    Snapshots.commit(spark, t,
+      orders.filter($"o_orderkey" > 500L && $"o_orderkey" <= 800L))              // v1
+    Snapshots.deleteWhere(spark, t, $"o_orderkey" <= 100L)                        // v2 COW
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" > 700L)                      // v3 MOR
+    val got = Snapshots.readWithVersion(spark, t).cache()
+    assert(got.filter($"_commit_version".isNull).isEmpty,
+      "every row must resolve a provenance version")
+    // v1's append rows (not MOR-deleted) stamp v1
+    assert(got.filter($"o_orderkey" > 500L && $"o_orderkey" <= 700L)
+      .filter($"_commit_version" =!= 1L).isEmpty)
+    // rows carried through the COW rewrite re-stamp v2; untouched v0
+    // files keep v0 — both appear among the <=500 rows
+    val low = got.filter($"o_orderkey" > 100L && $"o_orderkey" <= 500L)
+      .select($"_commit_version").distinct().as[Long].collect().toSet
+    assert(low == Set(0L, 2L), s"expected v0 (untouched) + v2 (rewritten), got $low")
+    // MOR-deleted rows are absent, not stamped
+    assert(got.filter($"o_orderkey" > 700L).isEmpty)
+    assert(got.count() ==
+      orders.filter($"o_orderkey" > 100L && $"o_orderkey" <= 700L).count())
+    got.unpersist()
+  }
+
   test("readEvolved applies DVs across an evolved schema") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(40))

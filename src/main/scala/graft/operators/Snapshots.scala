@@ -97,6 +97,34 @@ object Snapshots {
     }
   }
 
+  /** Atomically REPLACE `target`'s content — the maintenance twin of
+    * [[createExclusive]], for files that legitimately already exist
+    * (the log-fold checkpoint sidecar, the vacuum horizon rewrite).
+    * The content is staged to a temp file in the same directory and
+    * MOVED into place, so a concurrent reader observes either the old
+    * complete content or the new complete content, never a torn write:
+    * POSIX rename (local paths) and FileContext rename-with-OVERWRITE
+    * (HDFS-like stores) are both atomic namespace operations. */
+  private def replaceAtomic(f: org.apache.hadoop.fs.FileSystem,
+      target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID().toString.take(12)}")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val scheme = Option(target.toUri.getScheme)
+      .orElse(Option(f.getUri.getScheme)).getOrElse("file")
+    if (scheme == "file") {
+      val qualify = (p: Path) =>
+        java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
+      java.nio.file.Files.move(qualify(tmp), qualify(target),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   private def logDir(table: String) = new Path(table, "_graft_log")
   private def versionFile(table: String, v: Long) =
     new Path(logDir(table), f"v$v%011d.json")
@@ -123,7 +151,8 @@ object Snapshots {
       removed: Seq[String] = Seq.empty,
       dvs: Seq[String] = Seq.empty,
       removedDvs: Seq[String] = Seq.empty,
-      neutral: Boolean = false)
+      neutral: Boolean = false,
+      restoredFrom: Option[Long] = None)
 
   private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
     val f = fs(spark, table)
@@ -136,7 +165,8 @@ object Snapshots {
       node.get("ts").asLong(),
       Option(node.get("batchId")).map(_.asLong()),
       arr("removed"), arr("dvs"), arr("removedDvs"),
-      Option(node.get("neutral")).exists(_.asBoolean()))
+      Option(node.get("neutral")).exists(_.asBoolean()),
+      Option(node.get("restoredFrom")).map(_.asLong()))
   }
 
   /** The visible state at a version: the data FILES plus the DELETION
@@ -144,6 +174,15 @@ object Snapshots {
     * each DV row is a `(file_path, row_index)` the readers must skip).
     * Both lists are manifest-scale. */
   private final case class State(files: Seq[String], dvs: Seq[String])
+
+  /** Conflict-detection context a MERGE-shaped commit carries into the
+    * manifest retry loop: the version the merge read its matches
+    * against, its key columns, and the (broadcast-sized) distinct
+    * source keys — enough to detect the one race no serial order can
+    * explain: a concurrent commit inserting a key this merge also
+    * upserts (both rows end up live). */
+  private final case class MergeGuard(baseVersion: Long,
+      keyCols: Seq[String], sourceKeys: DataFrame)
 
   /** The file set visible at `version`: fold the log from the last
     * overwrite at-or-before it. Loud on a vacuumed/unknown version. */
@@ -227,8 +266,9 @@ object Snapshots {
       val dv = json.putArray("dvs")
       st.dvs.foreach(dv.add)
     }
-    val out = f.create(checkpointFile(table, v), true)
-    try out.write(mapper.writeValueAsBytes(json)) finally out.close()
+    // atomic replace: a concurrent reader's stateAt must never open a
+    // half-written checkpoint (loud-but-spurious parse failure)
+    replaceAtomic(f, checkpointFile(table, v), mapper.writeValueAsBytes(json))
     v
   }
 
@@ -275,13 +315,14 @@ object Snapshots {
       dvs: Seq[String] = Seq.empty,
       removedDvs: Seq[String] = Seq.empty,
       requireVisible: Seq[String] = Seq.empty,
-      neutral: Boolean = false): Long = {
-    enforceConstraints(spark, table, df) // before any bytes land
+      neutral: Boolean = false,
+      mergeGuard: Option[MergeGuard] = None): Long = {
     val files = writeData(spark, table, df, maxRecordsPerFile)
+    validateWrittenOrAbort(spark, table, files)
     commitManifest(spark, table, files, action, batchId,
       removed = removed, expectedBase = expectedBase, baseDvs = baseDvs,
       dvs = dvs, removedDvs = removedDvs, requireVisible = requireVisible,
-      neutral = neutral)
+      neutral = neutral, mergeGuard = mergeGuard)
   }
 
   /** Write `df` as a new immutable commit directory; returns the part
@@ -310,12 +351,23 @@ object Snapshots {
     *     marks rows deleted IN them) must still be visible — a racing
     *     rewrite of one would orphan the deletes;
     *   - `baseDvs`: replace-shaped commits rewrote rows with a specific
-    *     DV set applied; if the visible DV set changed since (a racing
-    *     merge-on-read delete), committing would resurrect those
-    *     deletes — conservative set equality, rerun on mismatch.
+    *     DV set applied; if a racing merge-on-read delete added DVs
+    *     REFERENCING A FILE THIS COMMIT REWRITES, committing would
+    *     resurrect those deletes — conflict. DVs added against files
+    *     this commit does NOT touch are applied per-file at read time
+    *     and survive the fold untouched, so they COMMUTE (Delta's
+    *     scoped DV conflict rule — a 100 TB table cannot afford
+    *     housekeeping that conflicts with every scattered delete).
     *     (DV-vs-DV commits skip this: deletes commute.)
-    *   - `expectedBase`: compactions/overwrites of a read state refuse
-    *     to clobber ANY concurrent commit. */
+    *   - `mergeGuard` (merge-shaped commits): any concurrent
+    *     NON-NEUTRAL commit that added rows whose keys this merge also
+    *     upserts means the merge missed a matchable row — committing
+    *     would leave two live rows per key, a state NO serial order
+    *     produces. Checked by a delta-sized key-overlap scan of the
+    *     files added since the merge's base; a concurrent full
+    *     OVERWRITE (state reset) refuses outright.
+    *   - `expectedBase`: overwrites of a read state refuse to clobber
+    *     ANY concurrent commit. */
   private def commitManifest(spark: SparkSession, table: String,
       files: Seq[String], action: String, batchId: Option[Long],
       removed: Seq[String] = Seq.empty,
@@ -325,9 +377,19 @@ object Snapshots {
       requireVisible: Seq[String] = Seq.empty,
       baseDvs: Option[Set[String]] = None,
       restoredFrom: Option[Long] = None,
-      neutral: Boolean = false): Long = {
+      neutral: Boolean = false,
+      mergeGuard: Option[MergeGuard] = None): Long = {
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
+    if ((action == "overwrite" || action == "replace") &&
+        properties(spark, table).get("streaming").contains("append_only"))
+      throw new IllegalStateException(
+        s"commit refused: $table is marked streaming=append_only (a " +
+          s"file-stream consumer is attached) and a ${action.toUpperCase} " +
+          "commit rewrites or resets visible files — the stream would " +
+          "re-deliver the rewritten rows as inserts without their deletes. " +
+          "Run DML merge-on-read, do housekeeping on a downstream table, or " +
+          "unsetProperty(table, \"streaming\") after detaching the stream")
     raceHook()
     var v = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
     while (true) {
@@ -348,10 +410,52 @@ object Snapshots {
       baseDvs.foreach { bd =>
         val now = if (v > 0) stateAt(spark, table, v - 1).dvs.toSet
           else Set.empty[String]
-        if (now != bd) throw new java.util.ConcurrentModificationException(
-          s"replace conflict at $table v$v: the table's deletion-vector set " +
-            "changed since this rewrite read it — a concurrent merge-on-read " +
-            "delete landed; re-run the DML against the new state")
+        // conflict is SCOPED to the rewritten files: a DV added since
+        // this rewrite's base only conflicts if it references a file
+        // the rewrite removes (the rewrite read that file WITHOUT the
+        // delete — committing would resurrect it). DVs against
+        // untouched files survive the fold and stay applied at read
+        // time, so scattered racing deletes commute with disjoint DML,
+        // purge, and incremental compaction.
+        val addedDvs = (now -- bd).toSeq.sorted
+        if (addedDvs.nonEmpty) {
+          val scope = removed.map(new Path(_).toString).toSet
+          lazy val referenced = spark.read.parquet(addedDvs: _*)
+            .select("file_path").distinct().collect()
+            .map(r => new Path(r.getString(0)).toString)
+          if (scope.nonEmpty && referenced.exists(scope))
+            throw new java.util.ConcurrentModificationException(
+              s"replace conflict at $table v$v: a concurrent merge-on-read " +
+                "delete marked rows dead in a file this rewrite removes — " +
+                "committing would resurrect those deletes; re-run the DML " +
+                "against the new state")
+        }
+      }
+      mergeGuard.foreach { g =>
+        val intervening = versions(spark, table)
+          .filter(x => x > g.baseVersion && x < v)
+          .map(readManifest(spark, table, _)).filterNot(_.neutral)
+        intervening.find(_.action == "overwrite").foreach { m =>
+          throw new java.util.ConcurrentModificationException(
+            s"merge conflict at $table v$v: version ${m.version} OVERWROTE " +
+              s"the table since this merge read v${g.baseVersion}; re-run " +
+              "against the new state")
+        }
+        val added = intervening.flatMap(_.files)
+        if (added.nonEmpty) {
+          val keyEq = g.keyCols
+            .map(k => col(s"n.$k") <=> col(s"s.$k")).reduce(_ && _)
+          val overlap = spark.read.parquet(added: _*)
+            .select(g.keyCols.map(col): _*).as("n")
+            .join(g.sourceKeys.as("s"), keyEq, "left_semi")
+            .limit(1).count()
+          if (overlap > 0L) throw new java.util.ConcurrentModificationException(
+            s"merge conflict at $table v$v: a concurrent commit since " +
+              s"v${g.baseVersion} added rows with keys this merge also " +
+              "upserts — committing would leave duplicate live rows per " +
+              "key (no serial order produces that); re-run the merge " +
+              "against the new state")
+        }
       }
       val target = versionFile(table, v)
       val json = mapper.createObjectNode()
@@ -440,8 +544,70 @@ object Snapshots {
     f.mkdirs(logDir(table))
     val json = mapper.createObjectNode()
     cs.toSeq.sortBy(_._1).foreach { case (k, v) => json.put(k, v) }
-    val out = f.create(constraintsFile(table), true)
-    try out.write(mapper.writeValueAsBytes(json)) finally out.close()
+    replaceAtomic(f, constraintsFile(table), mapper.writeValueAsBytes(json))
+  }
+
+  private def propertiesFile(table: String) =
+    new Path(logDir(table), "properties.json")
+
+  /** Table properties, persisted beside `constraints.json`. The one
+    * the engine itself interprets: `streaming = append_only`. While
+    * set, any commit that REWRITES or RESETS visible files
+    * (`replace` / `overwrite` — copy-on-write DML, compaction, purge,
+    * restore) is refused loudly at the commit gate.
+    * [[streamChanges]] / [[streamDeletePositions]] document that such
+    * commits silently re-deliver rewritten rows to an attached
+    * file-stream consumer without re-delivering their deletes; the
+    * property turns that documented hazard into an ENFORCED contract
+    * for the lifetime of the stream. Appends, `commitBatch`, and
+    * merge-on-read `dv` commits (whose deletes the DV stream does
+    * deliver) stay allowed. Unset after detaching the stream to run
+    * housekeeping. */
+  def setProperty(spark: SparkSession, table: String, key: String,
+      value: String): Unit = {
+    require(key.nonEmpty, "setProperty: empty key")
+    writeProperties(spark, table, properties(spark, table) + (key -> value))
+  }
+
+  def unsetProperty(spark: SparkSession, table: String, key: String): Unit =
+    writeProperties(spark, table, properties(spark, table) - key)
+
+  def properties(spark: SparkSession, table: String): Map[String, String] = {
+    val f = fs(spark, table)
+    val pf = propertiesFile(table)
+    if (!f.exists(pf)) return Map.empty
+    val in = f.open(pf)
+    val node = try mapper.readTree(in) finally in.close()
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  private def writeProperties(spark: SparkSession, table: String,
+      ps: Map[String, String]): Unit = {
+    val f = fs(spark, table)
+    f.mkdirs(logDir(table))
+    val json = mapper.createObjectNode()
+    ps.toSeq.sortBy(_._1).foreach { case (k, v) => json.put(k, v) }
+    replaceAtomic(f, propertiesFile(table), mapper.writeValueAsBytes(json))
+  }
+
+  /** Enforce CHECK constraints against the files a commit just WROTE —
+    * the batch's plan executes exactly once (the write itself), and
+    * validation reads back the written bytes, so a nondeterministic
+    * upstream can never pass validation yet commit different rows (the
+    * hazard of validating the DataFrame in a separate action). The
+    * manifest is the commit point, so post-write validation is still
+    * atomic: on a violation the staged commit directory is deleted and
+    * nothing ever becomes visible. Cost: one column-pruned read of the
+    * BATCH's files (only the constraints' columns), never a table scan. */
+  private def validateWrittenOrAbort(spark: SparkSession, table: String,
+      files: Seq[String]): Unit = {
+    if (files.isEmpty || constraints(spark, table).isEmpty) return
+    try enforceConstraints(spark, table, spark.read.parquet(files: _*))
+    catch {
+      case e: IllegalArgumentException =>
+        fs(spark, table).delete(new Path(files.head).getParent, true)
+        throw e
+    }
   }
 
   /** Fail if `df` (a batch about to commit) violates any registered
@@ -641,6 +807,13 @@ object Snapshots {
     * the rewrite's version (their file was rewritten then); rows
     * deleted merge-on-read are absent, not stamped. Driver cost is
     * manifest-scale; per-row cost is one literal-map lookup. */
+  /** Above this many files the provenance map ships as a BROADCAST
+    * relation joined on filename instead of a plan literal — a
+    * 10⁵–10⁶-file table would otherwise embed a multi-MB literal in
+    * every query plan (serialized per task, re-analyzed per query).
+    * Test seam. */
+  private[graft] var provenanceLiteralMax: Int = 10000
+
   def readWithVersion(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
@@ -656,10 +829,23 @@ object Snapshots {
       .foldLeft(Map.empty[String, Long]) { case (acc, (n, mv)) =>
         if (acc.contains(n)) acc else acc + (n -> mv)
       }
-    val ver = typedLit(nameVer)
-    readState(spark, table, stateAt(spark, table, v),
-      decorate = df => df.withColumn("_commit_version",
-        element_at(ver, element_at(split(col("_metadata.file_path"), "/"), -1))))
+    val fileName = element_at(split(col("_metadata.file_path"), "/"), -1)
+    val decorate: DataFrame => DataFrame =
+      if (nameVer.size <= provenanceLiteralMax) {
+        val ver = typedLit(nameVer)
+        df => df.withColumn("_commit_version", element_at(ver, fileName))
+      } else {
+        // file-scale side shipped once per executor via broadcast, not
+        // per task inside the plan; the per-row cost is the same hash
+        // probe the literal paid
+        val verDf = spark.createDataFrame(nameVer.toSeq)
+          .toDF("__graft_file_name", "_commit_version")
+        df => df.withColumn("__graft_fn", fileName)
+          .join(broadcast(verDf),
+            col("__graft_fn") === col("__graft_file_name"), "left")
+          .drop("__graft_fn", "__graft_file_name")
+      }
+    readState(spark, table, stateAt(spark, table, v), decorate = decorate)
   }
 
   /** [[read]] with schema evolution: the visible schema is the UNION of
@@ -675,25 +861,79 @@ object Snapshots {
   }
 
   /** Transactional OPTIMIZE: rewrite the latest version's (typically
-    * many small streaming-batch) files as one overwrite commit with
-    * `targetRowsPerFile`-bounded files, optionally Z-ordered for the
-    * skipping layer. Readers never see a half-compacted table — the
-    * manifest rename is the switch — and prior versions stay
-    * time-travelable until vacuum. Returns the new version. */
+    * many small streaming-batch) files as one content-neutral `replace`
+    * commit with `targetRowsPerFile`-bounded files, optionally
+    * Z-ordered for the skipping layer. Readers never see a
+    * half-compacted table — the manifest rename is the switch — and
+    * prior versions stay time-travelable until vacuum.
+    *
+    * Concurrency: committed as a REPLACE of exactly the files it read
+    * (not an overwrite of the whole state), so it COMMUTES with
+    * concurrent appends and with disjoint DML — on a live streaming
+    * table the compaction lands and the racing batch's files are
+    * carried through the fold untouched. Only a racing rewrite of a
+    * file being compacted (or a racing MOR delete against one)
+    * conflicts — the same scoped rules as copy-on-write deletes.
+    * A full-table rewrite is still O(table); on a large table prefer
+    * [[compactSmall]], which bin-packs only undersized files.
+    * Returns the new version. */
   def compactLatest(spark: SparkSession, table: String,
       targetRowsPerFile: Long, zorderCols: Seq[String] = Seq.empty): Long = {
     require(targetRowsPerFile > 0, "compactLatest: targetRowsPerFile must be > 0")
     val base = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
-    val snap = read(spark, table, Some(base))
+    val st = stateAt(spark, table, base)
+    val snap = readState(spark, table, st)
     val laid =
       if (zorderCols.size >= 2) Layout.zorderBy(snap, zorderCols)
       else snap
-    // conflict-checked: if anything commits between the read above and
-    // the manifest create, the overwrite would drop it — fail instead
-    commitAction(spark, table, laid, "overwrite", batchId = None,
-      maxRecordsPerFile = Some(targetRowsPerFile), expectedBase = Some(base),
+    commitAction(spark, table, laid, "replace", batchId = None,
+      maxRecordsPerFile = Some(targetRowsPerFile),
+      removed = st.files, removedDvs = st.dvs, baseDvs = Some(st.dvs.toSet),
       neutral = true)
+  }
+
+  /** Bounded INCREMENTAL compaction — the housekeeping shape that
+    * survives a live 100 TB streaming table: select only the
+    * UNDERSIZED files (length < `smallFileMaxBytes`), rewrite just
+    * those bin-packed to `targetRowsPerFile`, and commit a
+    * content-neutral `replace` of exactly that set. Cost is O(small
+    * files), never O(table), and the commit commutes with concurrent
+    * appends and disjoint DML via the scoped conflict rules (a racing
+    * append's new small file is simply picked up by the NEXT run — no
+    * starvation, unlike a whole-state overwrite that conflicts with
+    * every concurrent commit). Merge-on-read DVs against the selected
+    * files are folded in (the rewrite reads through them; a DV that
+    * lands mid-run conflicts and the run is retried). File sizes come
+    * from one `listStatus` per commit directory — manifest-scale
+    * driver work. Returns the [[Cow]] footprint (version None when
+    * fewer than `minFiles` files qualify — nothing worth folding). */
+  def compactSmall(spark: SparkSession, table: String,
+      targetRowsPerFile: Long, smallFileMaxBytes: Long,
+      minFiles: Int = 2): Cow = {
+    require(targetRowsPerFile > 0, "compactSmall: targetRowsPerFile must be > 0")
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val st = stateAt(spark, table, base)
+    val f = fs(spark, table)
+    // one listStatus per parent commit dir, not one RPC per file
+    val sizes: Map[String, Long] = st.files.map(new Path(_).getParent).distinct
+      .flatMap(d => f.listStatus(d).map(s => s.getPath.toString -> s.getLen))
+      .toMap
+    val small = st.files
+      .filter(p => sizes.get(new Path(p).toString).exists(_ < smallFileMaxBytes))
+      .sorted
+    if (small.size < math.max(minFiles, 2)) return Cow(None, 0, st.files.size)
+    // bin-pack ~packFactor small files per write task; maxRecordsPerFile
+    // still splits any task that packs past the row target, so output
+    // files are bounded above by rows and below by the packing
+    val packFactor = 8
+    val packed = readFilesWithDvs(spark, table, st, small)
+      .coalesce(math.max(1, small.size / packFactor))
+    val v = commitAction(spark, table, packed, "replace", batchId = None,
+      maxRecordsPerFile = Some(targetRowsPerFile),
+      removed = small, baseDvs = Some(st.dvs.toSet), neutral = true)
+    Cow(Some(v), small.size, st.files.size)
   }
 
   /** Idempotent micro-batch append for `foreachBatch` — the streaming
@@ -898,7 +1138,9 @@ object Snapshots {
       batchIdOpt: Option[Long] = None,
       candidates: Option[Seq[String]] = None): Cow = {
     require(keyCols.nonEmpty, "mergeInto: at least one key column")
-    val snap = read(spark, table)
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val snap = read(spark, table, Some(base))
     require(source.columns.sorted.sameElements(snap.columns.sorted),
       s"mergeInto: source columns ${source.columns.mkString(",")} must match " +
         s"table columns ${snap.columns.mkString(",")}")
@@ -909,7 +1151,7 @@ object Snapshots {
         "mergeInto: source has duplicate keys — one target row would match " +
           "multiple source rows (pass validate = false to skip this check)")
     }
-    val st = stateAt(spark, table, latestVersion(spark, table).get)
+    val st = stateAt(spark, table, base)
     val visible = st.files
     // touched = files holding a row whose key appears in source; the
     // source is the delta — broadcast-sized by contract (a table-scale
@@ -939,7 +1181,8 @@ object Snapshots {
       }
     val v = commitAction(spark, table, newRows,
       if (insertOnly) "append" else "replace", batchIdOpt, removed = touched,
-      baseDvs = if (insertOnly) None else Some(st.dvs.toSet))
+      baseDvs = if (insertOnly) None else Some(st.dvs.toSet),
+      mergeGuard = Some(MergeGuard(base, keyCols, srcKeys)))
     Cow(Some(v), touched.size, visible.size)
   }
 
@@ -1060,7 +1303,13 @@ object Snapshots {
     * feed — while MOR's is O(batch). The read-side debt (DV anti-join
     * over the dirty files) is repaid on a coarse cadence by
     * [[purgeDeletes]] or [[compactLatest]]. Same source contract as
-    * [[mergeInto]] (schema equality, duplicate-key validation). */
+    * [[mergeInto]] (schema equality, duplicate-key validation), and the
+    * same conflict contract: a concurrent commit that inserted a key
+    * this merge also upserts fails with
+    * ConcurrentModificationException instead of leaving two live rows
+    * per key — re-run the merge against the new state (the
+    * `mergeGuard` check in the commit loop; DV-vs-DV deletes still
+    * commute). */
   /** `candidates` bounds the position-discovery scan exactly as in
     * [[mergeInto]] — the per-batch O(table) narrow scan becomes
     * O(candidate files) with a maintained skipping index over the
@@ -1070,7 +1319,9 @@ object Snapshots {
       batchIdOpt: Option[Long] = None,
       candidates: Option[Seq[String]] = None): Cow = {
     require(keyCols.nonEmpty, "mergeIntoMor: at least one key column")
-    val snap = read(spark, table)
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val snap = read(spark, table, Some(base))
     require(source.columns.sorted.sameElements(snap.columns.sorted),
       s"mergeIntoMor: source columns ${source.columns.mkString(",")} must match " +
         s"table columns ${snap.columns.mkString(",")}")
@@ -1081,8 +1332,7 @@ object Snapshots {
         "mergeIntoMor: source has duplicate keys — one target row would match " +
           "multiple source rows (pass validate = false to skip this check)")
     }
-    val st = stateAt(spark, table, latestVersion(spark, table).get)
-    enforceConstraints(spark, table, source) // before any bytes land
+    val st = stateAt(spark, table, base)
     val srcKeys = broadcast(source.select(keyCols.map(col): _*).distinct())
     val keyEq = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val scanSet = candidates
@@ -1106,8 +1356,10 @@ object Snapshots {
     val (dvParts, n, referenced) = writeDv(spark, table, fresh)
     val ordered = snap.columns.toSeq
     val files = writeData(spark, table, source.select(ordered.map(col): _*))
+    validateWrittenOrAbort(spark, table, files)
     val v = commitManifest(spark, table, files, "dv", batchIdOpt,
-      dvs = dvParts, requireVisible = referenced)
+      dvs = dvParts, requireVisible = referenced,
+      mergeGuard = Some(MergeGuard(base, keyCols, srcKeys)))
     Cow(Some(v), 0, st.files.size, dvRows = n)
   }
 
@@ -1227,7 +1479,10 @@ object Snapshots {
     * append-only (an overwrite/compaction/copy-on-write replace would
     * re-deliver rewritten rows, and a merge-on-read `dv` commit's
     * deletes would be silently missed — run those on a DIFFERENT
-    * table fed from this stream), and
+    * table fed from this stream; ENFORCE the discipline with
+    * `setProperty(table, "streaming", "append_only")`, which makes the
+    * commit gate refuse replace/overwrite loudly for the stream's
+    * lifetime), and
     * `schema` is required because streaming sources cannot infer. */
   def streamChanges(spark: SparkSession, table: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -1247,7 +1502,9 @@ object Snapshots {
     * [[streamChanges]]: the table must stay append+MOR only while
     * streamed — a COW replace / compaction / purge rewrites data files
     * (re-delivered inserts) without re-delivering their deletes; run
-    * housekeeping on a downstream table instead.
+    * housekeeping on a downstream table instead, and ENFORCE the
+    * discipline with `setProperty(table, "streaming", "append_only")`
+    * (the commit gate then refuses replace/overwrite loudly).
     * {{{
     * val dels = Snapshots.streamDeletePositions(spark, table)
     * dels.writeStream.foreachBatch { (pos, id) =>
@@ -1334,9 +1591,13 @@ object Snapshots {
     * dangle on deleted manifests — the exact reason Delta checkpoints
     * before log truncation. Time travel past the horizon then fails
     * loudly in [[filesAt]] (manifest gone), never silently on missing
-    * data. Maintenance op: run with exclusive write access (the
-    * checkpoint rewrite is not atomic against a racing commit).
-    * Returns the number of data files deleted. */
+    * data. The horizon rewrite is ATOMIC (staged + renamed into place)
+    * and preserves the original commit's `batchId`/`restoredFrom`, so a
+    * racing READER never sees a torn manifest and a crash-replayed
+    * streaming batch stays a no-op across a vacuum. Still a maintenance
+    * op to serialize against WRITERS: the unreachable-file sweep cannot
+    * distinguish an in-flight commit's durable-but-unmanifested files
+    * from crash orphans. Returns the number of data files deleted. */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Long = {
     require(retainVersions >= 1, "vacuum: must retain at least the latest version")
     val f = fs(spark, table)
@@ -1346,22 +1607,37 @@ object Snapshots {
     val keptStates = keep.map(stateAt(spark, table, _))
     val reachable = (keptStates.flatMap(_.files) ++ keptStates.flatMap(_.dvs)).toSet
     // checkpoint the horizon: its manifest becomes self-contained so the
-    // fold never needs the manifests about to be dropped
+    // fold never needs the manifests about to be dropped. An `overwrite`
+    // horizon is ALREADY self-contained — skipped untouched, trivially
+    // preserving every field (batchId, neutral, restoredFrom). A folded
+    // horizon (append/replace/dv) is rewritten as an overwrite carrying
+    // the reconstructed state; its batchId and restoredFrom MUST survive
+    // the rewrite — with retainVersions=1 the horizon is the latest
+    // commit, and dropping the batchId would let a crash-replayed
+    // streaming batch silently double-commit (commitBatch/mergeBatch's
+    // exactly-once contract keys on it). `neutral` is deliberately NOT
+    // carried onto a folded rewrite: the fold is a genuine state reset
+    // (it absorbs every dropped commit), and a change feed crossing it
+    // must refuse loudly, not read through it as empty housekeeping.
     val horizon = keep.head
     val horizonState = keptStates.head
-    val horizonTs = readManifest(spark, table, horizon).ts
-    val json = mapper.createObjectNode()
-    json.put("version", horizon)
-    json.put("action", "overwrite")
-    json.put("ts", horizonTs)
-    val arr = json.putArray("files")
-    horizonState.files.foreach(arr.add)
-    if (horizonState.dvs.nonEmpty) {
-      val d = json.putArray("dvs")
-      horizonState.dvs.foreach(d.add)
+    val horizonM = readManifest(spark, table, horizon)
+    if (horizonM.action != "overwrite") {
+      val json = mapper.createObjectNode()
+      json.put("version", horizon)
+      json.put("action", "overwrite")
+      json.put("ts", horizonM.ts)
+      horizonM.batchId.foreach(json.put("batchId", _))
+      horizonM.restoredFrom.foreach(json.put("restoredFrom", _))
+      val arr = json.putArray("files")
+      horizonState.files.foreach(arr.add)
+      if (horizonState.dvs.nonEmpty) {
+        val d = json.putArray("dvs")
+        horizonState.dvs.foreach(d.add)
+      }
+      // atomic replace: a racing reader must never observe a torn horizon
+      replaceAtomic(f, versionFile(table, horizon), mapper.writeValueAsBytes(json))
     }
-    val out = f.create(versionFile(table, horizon), true)
-    try out.write(mapper.writeValueAsBytes(json)) finally out.close()
     // all data + DV files on disk (a pure shallow clone has neither yet)
     def sweepDirs(root: Path): Array[Path] =
       if (!f.exists(root)) Array.empty[Path]

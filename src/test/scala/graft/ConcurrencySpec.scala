@@ -139,4 +139,90 @@ class ConcurrencySpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t).count() == 64000 - expectedGone)
     assert(Snapshots.dvStats(spark, t) == Snapshots.DvStats(0, 0L, 0))
   }
+
+  test("8 concurrent MOR merges of the SAME keys: losers conflict, retries converge to one live row per key") {
+    val t = tbl()
+    Snapshots.commit(spark, t,
+      spark.range(0, 4000).select($"id", lit(-1L).as("v"))
+        .repartitionByRange(8, $"id"))
+    // every thread upserts the SAME 50 keys with its own value. Without
+    // the merge guard both racing merges commit: each marks the old row
+    // dead and appends its own — duplicate live rows per key, a state
+    // no serial order produces (the round-7 ADVICE finding). With the
+    // guard, losers see the winner's appended keys overlap theirs,
+    // throw, and re-run against the new state.
+    val conflicts = new java.util.concurrent.atomic.AtomicLong(0)
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val src = spark.range(0, 50)
+              .select($"id", lit(i.toLong).as("v"))
+            var attempts = 0
+            var done = false
+            while (!done) {
+              try {
+                Snapshots.mergeIntoMor(spark, t, src, Seq("id"))
+                done = true
+              } catch {
+                case _: java.util.ConcurrentModificationException =>
+                  attempts += 1; conflicts.incrementAndGet()
+                  assert(attempts < 100, s"merge $i livelocked")
+              }
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    val got = Snapshots.read(spark, t)
+    // EXACTLY one live row per key — the invariant the guard exists for
+    assert(got.count() == 4000)
+    assert(got.filter($"id" < 50).count() == 50)
+    assert(got.select($"id").distinct().count() == 4000)
+    // all 50 carry some single thread-final value (last serial writer)
+    val vs = got.filter($"id" < 50).select($"v").distinct()
+      .as[Long].collect().toSet
+    assert(vs.subsetOf((0L until 8L).toSet) && vs.nonEmpty)
+    info(s"merge conflicts retried: ${conflicts.get()}")
+  }
+
+  test("disjoint-key MOR merges commute: all land without a content conflict") {
+    val t = tbl()
+    Snapshots.commit(spark, t,
+      spark.range(0, 4000).select($"id", lit(-1L).as("v"))
+        .repartitionByRange(8, $"id"))
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            // thread-private key band → the overlap scan finds nothing
+            val src = spark.range(i * 500L, i * 500L + 100L)
+              .select($"id", lit(i.toLong).as("v"))
+            var attempts = 0
+            var done = false
+            while (!done) {
+              try {
+                Snapshots.mergeIntoMor(spark, t, src, Seq("id"))
+                done = true
+              } catch {
+                case _: java.util.ConcurrentModificationException =>
+                  attempts += 1
+                  assert(attempts < 100, s"merge $i livelocked")
+              }
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    val got = Snapshots.read(spark, t)
+    assert(got.count() == 4000)
+    (0 until 8).foreach { i =>
+      assert(got.filter($"id" >= i * 500L && $"id" < i * 500L + 100L &&
+        $"v" === i.toLong).count() == 100, s"band $i upsert lost")
+    }
+  }
 }

@@ -502,22 +502,53 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t).count() == nBefore - 1 + 7)
   }
 
-  test("conflict detection: compaction racing an append fails loudly, never drops rows") {
+  test("compaction COMMUTES with a racing append: both land, nothing lost") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(100).repartition(6))
     Snapshots.raceHook = () => {
       Snapshots.raceHook = () => ()
       Snapshots.commit(spark, t, orders.limit(40)) // concurrent ingest
     }
+    // the compaction is a replace of exactly the files it read, so the
+    // racing batch's files carry through the fold untouched — on a live
+    // streaming table housekeeping must not starve
+    try Snapshots.compactLatest(spark, t, targetRowsPerFile = 1000)
+    finally Snapshots.raceHook = () => ()
+    assert(Snapshots.read(spark, t).count() == 140)
+    // but a racing REWRITE of a file being compacted still conflicts
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.deleteWhere(spark, t, lit(true)) // rewrites every file
+    }
     try {
       intercept[java.util.ConcurrentModificationException] {
         Snapshots.compactLatest(spark, t, targetRowsPerFile = 1000)
       }
     } finally Snapshots.raceHook = () => ()
-    // nothing lost: the append is visible; a re-run compaction keeps it
-    assert(Snapshots.read(spark, t).count() == 140)
-    Snapshots.compactLatest(spark, t, targetRowsPerFile = 1000)
-    assert(Snapshots.read(spark, t).count() == 140)
+  }
+
+  test("compactSmall: only undersized files fold, bin-packed; a repeat finds nothing") {
+    val t = tbl()
+    // 6 tiny files + 1 genuinely big file (~800 KB of random strings)
+    Snapshots.commit(spark, t,
+      spark.range(0, 600).select($"id", lit("x").as("pad")).repartition(6))
+    Snapshots.commit(spark, t,
+      spark.range(600, 50600)
+        .select($"id", sha2($"id".cast("string"), 256).as("pad"))
+        .repartition(1))
+    val cow = Snapshots.compactSmall(spark, t,
+      targetRowsPerFile = 10000, smallFileMaxBytes = 64 * 1024)
+    assert(cow.version.nonEmpty, "six undersized files should fold")
+    assert(cow.filesRewritten == 6 && cow.filesVisible == 7,
+      s"expected 6/7 rewritten, got ${cow.filesRewritten}/${cow.filesVisible}")
+    val got = Snapshots.read(spark, t)
+    assert(got.count() == 50600 && got.select($"id").distinct().count() == 50600)
+    // the 6 tiny files bin-packed down; content identical
+    val after = Snapshots.history(spark, t)
+      .orderBy($"version".desc).select($"n_files").head.getInt(0)
+    assert(after < 6)
+    // a second run has nothing worth folding (one packed file < minFiles)
+    assert(Snapshots.compactSmall(spark, t, 10000, 64 * 1024).version.isEmpty)
   }
 
   test("incremental index maintenance: changedFiles + zoneMapApply/bloomIndexApply == rebuild") {
@@ -743,5 +774,130 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     val row = Layout.prunedParquet(spark, t + "/data", hit)
       .filter($"o_orderkey" === 42L)
     assert(row.count() == orders.filter($"o_orderkey" === 42L).count())
+  }
+
+  test("vacuum preserves the horizon's batchId: a replayed batch stays a no-op across vacuum") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(50))
+    assert(Snapshots.commitBatch(spark, t, orders.limit(10), batchId = 3L).nonEmpty)
+    val n = Snapshots.read(spark, t).count()
+    // with retainVersions=1 the horizon IS the streaming batch's commit;
+    // its manifest is rewritten self-contained — the batchId must
+    // survive or a crash-replay double-commits (exactly-once broken)
+    Snapshots.vacuum(spark, t, retainVersions = 1)
+    assert(Snapshots.commitBatch(spark, t, orders.limit(10), batchId = 3L).isEmpty,
+      "replayed batch after vacuum must remain a no-op")
+    assert(Snapshots.read(spark, t).count() == n)
+    // and mergeBatch's idempotence contract survives the same way
+    val src = orders.limit(5).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    assert(Snapshots.mergeBatch(spark, t, src, Seq("o_orderkey"), batchId = 9L).nonEmpty)
+    Snapshots.vacuum(spark, t, retainVersions = 1)
+    assert(Snapshots.mergeBatch(spark, t, src, Seq("o_orderkey"), batchId = 9L).isEmpty)
+  }
+
+  test("vacuum horizon fold drops neutral: a change feed refuses loudly, never reads empty") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(100))
+    Snapshots.commit(spark, t, orders.limit(30))
+    // horizon = a content-neutral compaction (a fold, not self-contained
+    // pre-rewrite — action replace): after vacuum its rewrite must NOT
+    // stay neutral, else changeFeed(-1, v] would silently skip the
+    // entire folded prefix instead of refusing
+    Snapshots.compactLatest(spark, t, targetRowsPerFile = 1000)
+    val v = Snapshots.latestVersion(spark, t).get
+    Snapshots.vacuum(spark, t, retainVersions = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.changeFeed(spark, t, -1L, v)
+    }
+    // reads stay exact
+    assert(Snapshots.read(spark, t).count() == 130)
+  }
+
+  test("streaming=append_only: replace/overwrite refused loudly; appends and MOR deletes flow") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(100).repartition(2))
+    Snapshots.setProperty(spark, t, "streaming", "append_only")
+    assert(Snapshots.properties(spark, t) == Map("streaming" -> "append_only"))
+    // the allowed shapes: append, batch append, MOR delete (its deletes
+    // ARE delivered by the DV stream)
+    Snapshots.commit(spark, t, orders.limit(10))
+    assert(Snapshots.commitBatch(spark, t, orders.limit(5), 1L).nonEmpty)
+    val k = Snapshots.read(spark, t).agg(min($"o_orderkey")).head.getLong(0)
+    assert(Snapshots.deleteWhereMor(spark, t, $"o_orderkey" === k).version.nonEmpty)
+    // every file-rewriting / state-resetting shape refuses loudly
+    intercept[IllegalStateException] {
+      Snapshots.deleteWhere(spark, t, $"o_orderkey" <= k + 100L)
+    }
+    intercept[IllegalStateException] {
+      Snapshots.compactLatest(spark, t, targetRowsPerFile = 1000)
+    }
+    intercept[IllegalStateException] { Snapshots.purgeDeletes(spark, t) }
+    intercept[IllegalStateException] { Snapshots.restore(spark, t, 0L) }
+    intercept[IllegalStateException] {
+      Snapshots.commit(spark, t, orders.limit(5), overwrite = true)
+    }
+    // detach the stream → unset → housekeeping flows again
+    Snapshots.unsetProperty(spark, t, "streaming")
+    assert(Snapshots.purgeDeletes(spark, t).version.nonEmpty)
+  }
+
+  test("scoped DV conflicts: racing MOR delete on an untouched file commutes with COW DML") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
+    val q = orders.stat.approxQuantile("o_orderkey", Array(0.05, 0.95), 0.0)
+    val lo = q(0).toLong; val hi = q(1).toLong
+    // racing MOR delete lands in the HIGH file; our COW delete rewrites
+    // the LOW file — disjoint, so (unlike the strict DV-set-equality
+    // rule) the COW delete must COMMIT and both deletes must hold
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.deleteWhereMor(spark, t, $"o_orderkey" >= hi)
+    }
+    try {
+      val cow = Snapshots.deleteWhere(spark, t, $"o_orderkey" <= lo)
+      assert(cow.version.nonEmpty,
+        "a scattered MOR delete on untouched files must commute with COW DML")
+    } finally Snapshots.raceHook = () => ()
+    val got = Snapshots.read(spark, t)
+    assert(got.filter($"o_orderkey" <= lo).isEmpty, "COW delete applied")
+    assert(got.filter($"o_orderkey" >= hi).isEmpty, "racing MOR delete not resurrected")
+    assert(got.count() == orders.filter($"o_orderkey" > lo && $"o_orderkey" < hi).count())
+  }
+
+  test("constraints validate the WRITTEN bytes: the batch plan executes once, not twice") {
+    val t = tbl()
+    Snapshots.commit(spark, t, spark.range(0, 10).toDF("id"))
+    Snapshots.addConstraint(spark, t, "nonneg", "id >= 0")
+    val acc = spark.sparkContext.longAccumulator("graft_evals")
+    val bump = udf { (x: Long) => acc.add(1); x }
+    Snapshots.commit(spark, t,
+      spark.range(10, 20).toDF("id").select(bump($"id").as("id")))
+    assert(acc.value == 10L,
+      s"the batch plan must execute exactly once (the write); ran ${acc.value / 10} times")
+    // a violating batch still refuses whole — validated against the
+    // staged files, aborted before the manifest, nothing visible
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, t, spark.range(-5, 5).toDF("id"))
+    }
+    assert(Snapshots.read(spark, t).count() == 20)
+    assert(Snapshots.read(spark, t).where($"id" < 0).isEmpty)
+  }
+
+  test("readWithVersion: broadcast-join provenance path == literal-map path") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(100).repartition(2))
+    Snapshots.commit(spark, t, orders.limit(40).repartition(2))
+    Snapshots.deleteWhereMor(spark, t,
+      $"o_orderkey" === orders.agg(min($"o_orderkey")).head.getLong(0))
+    val viaLiteral = Snapshots.readWithVersion(spark, t)
+    val saved = Snapshots.provenanceLiteralMax
+    Snapshots.provenanceLiteralMax = 0 // force the large-table join path
+    try {
+      val viaJoin = Snapshots.readWithVersion(spark, t)
+        .select(viaLiteral.columns.toSeq.map(col): _*)
+      assert(viaJoin.exceptAll(viaLiteral).isEmpty &&
+        viaLiteral.exceptAll(viaJoin).isEmpty,
+        "provenance via broadcast join must match the literal map exactly")
+    } finally Snapshots.provenanceLiteralMax = saved
   }
 }

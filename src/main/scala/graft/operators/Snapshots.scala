@@ -741,15 +741,35 @@ object Snapshots {
     * for rows from older commits (parquet's own merge semantics; only
     * widening by new nullable columns is safe — parquet fails loudly
     * on an incompatible type change at read time). */
+  /** Total per-file-bitmap budget (driver + broadcast bytes) under
+    * which a DV'd read uses the IN-SCAN bitmap filter; past it (a mass
+    * delete over huge files) the read falls back to the anti-join,
+    * which is deletion-COUNT-sized instead of locality-sized. One word
+    * per 64 rows of each dirty file's max deleted index — at the
+    * default, ~200 dirty 10 M-row files fit. Test seam. */
+  private[graft] var dvBitmapMaxBytes: Long = 256L << 20
+
   /** Scan a state, subtracting its deletion vectors (merge-on-read).
-    * Files with no DV rows scan PLAIN — no join anywhere near them, so
-    * at 100 TB the anti-join's left side is bounded by the DIRTY file
-    * set (deletion-locality-sized), not the table. Dirty files
-    * anti-join the DV table on `(_metadata.file_path, row_index)`;
-    * the DV side is an ordinary parquet scan with known size, so
-    * Catalyst broadcasts it whenever it is small (the common case —
-    * DVs are deletion-sized) and falls back to a shuffled join when a
-    * mass-delete made it big. */
+    * Files with no DV rows scan PLAIN — no subtraction anywhere near
+    * them, so at 100 TB the read debt is bounded by the DIRTY file set
+    * (deletion-locality-sized), not the table.
+    *
+    * Dirty files are filtered by one of two result-identical plans:
+    *
+    *   - IN-SCAN BITMAP (default, within [[dvBitmapMaxBytes]]): per-file
+    *     delete bitmaps built distributively from the sidecar,
+    *     broadcast, and probed by [[graft.expr.DvBitmapDeleted]] inside
+    *     the scan's whole-stage codegen — two array reads and a mask
+    *     per row, NO join operator in the plan (Delta's in-reader DV
+    *     bitmap, expressed at the Spark API level). The round-7 probe
+    *     measured the anti-join alternative at ~4.5 s per 60 M rows —
+    *     Spark's join floor, which the bitmap goes under because the
+    *     scan filters itself.
+    *   - BROADCAST ANTI-JOIN (fallback for mass deletes past the bitmap
+    *     budget): dirty files anti-join the sidecar on dictionary-coded
+    *     `(file_id, row_index)` — the DV side is deletion-sized
+    *     (int, long) pairs, so Catalyst broadcasts far into mass-delete
+    *     territory and only then degrades to a shuffled join. */
   private def readState(spark: SparkSession, table: String, st: State,
       mergeSchema: Boolean = false,
       decorate: DataFrame => DataFrame = identity): DataFrame = {
@@ -757,30 +777,47 @@ object Snapshots {
     val dv = spark.read.parquet(st.dvs: _*)
     // dirty = visible files holding at least one DV row (driver-side,
     // file-scale; manifest paths are FS-qualified, DV paths URI-form —
-    // normalize both through hadoop Path, like touchedFiles)
-    val dvPaths = dv.select("file_path").distinct().collect()
-      .map(_.getString(0)).sorted
-    val dvFiles = dvPaths.map(new Path(_).toString).toSet
+    // normalize both through hadoop Path, like touchedFiles). The same
+    // pass carries each file's max deleted row index — the bitmap
+    // budget — so discovery stays ONE sidecar-scale aggregation.
+    val perFile = dv.groupBy(col("file_path"))
+      .agg(max(col("row_index")).as("max_ri")).collect()
+    val dvFiles = perFile.map(r => new Path(r.getString(0)).toString).toSet
     val (dirty, clean) = st.files.partition(f => dvFiles.contains(new Path(f).toString))
     if (dirty.isEmpty) return decorate(readFiles(spark, table, st.files, mergeSchema))
-    // DICTIONARY-code the file paths on both join sides: the DV side
-    // shrinks from (80-byte path, row) strings to (int, long) — a
-    // million-row deletion is ~12 MB instead of ~90, so Catalyst keeps
-    // BROADCASTING the anti-join far into mass-delete territory
-    // instead of shuffling the table. The dictionary is file-scale and
-    // ships as a literal map; DV rows whose file is no longer visible
-    // code to NULL and (null-rejecting join keys) never match — the
-    // stale-row semantics readers want.
-    val fid = typedLit(dvPaths.zipWithIndex.toMap)
+    val dirtyNorm = dirty.map(new Path(_).toString).toSet
+    // DV rows whose file is no longer visible (rewritten away) are
+    // stale-but-harmless: excluded from the budget, the bitmap build,
+    // and the dictionary alike
+    val livePerFile = perFile
+      .filter(r => dirtyNorm.contains(new Path(r.getString(0)).toString))
+    val bitmapBytes = livePerFile.map(r => ((r.getLong(1) >>> 6) + 1L) * 8L).sum
     val scan = decorate(readFiles(spark, table, dirty, mergeSchema))
-      .withColumn("__graft_fid", element_at(fid, col("_metadata.file_path")))
-      .withColumn("__graft_ri", col("_metadata.row_index"))
-    val dvSlim = dv.select(element_at(fid, col("file_path")).as("__dv_fid"),
-      col("row_index").as("__dv_ri"))
-    val applied = scan.join(dvSlim,
-      scan("__graft_fid") === dvSlim("__dv_fid") &&
-        scan("__graft_ri") === dvSlim("__dv_ri"),
-      "left_anti").drop("__graft_fid", "__graft_ri")
+    val applied =
+      if (bitmapBytes <= dvBitmapMaxBytes) {
+        val liveRaw = livePerFile.map(_.getString(0)).toSeq
+        val dvLive =
+          if (liveRaw.length == perFile.length) dv
+          else dv.join(
+            broadcast(spark.createDataset(liveRaw)(org.apache.spark.sql.Encoders.STRING)
+              .toDF("file_path")),
+            Seq("file_path"), "left_semi")
+        val bc = graft.expr.DvBitmap.buildBroadcast(spark, dvLive)
+        scan.where(!graft.expr.DvBitmap.deleted(bc,
+          col("_metadata.file_path"), col("_metadata.row_index")))
+      } else {
+        val dvPaths = livePerFile.map(_.getString(0)).sorted
+        val fid = typedLit(dvPaths.zipWithIndex.toMap)
+        val coded = scan
+          .withColumn("__graft_fid", element_at(fid, col("_metadata.file_path")))
+          .withColumn("__graft_ri", col("_metadata.row_index"))
+        val dvSlim = dv.select(element_at(fid, col("file_path")).as("__dv_fid"),
+          col("row_index").as("__dv_ri"))
+        coded.join(dvSlim,
+          coded("__graft_fid") === dvSlim("__dv_fid") &&
+            coded("__graft_ri") === dvSlim("__dv_ri"),
+          "left_anti").drop("__graft_fid", "__graft_ri")
+      }
     if (clean.isEmpty) applied
     else applied.unionByName(decorate(readFiles(spark, table, clean, mergeSchema)),
       allowMissingColumns = mergeSchema)

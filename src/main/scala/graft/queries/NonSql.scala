@@ -270,6 +270,33 @@ object NonSql {
       .orderBy($"o_orderkey", $"_change_type", $"o_orderstatus")
   }
 
+  // S23: incremental small-file compaction on a live snapshot table —
+  // a base commit plus 8 tiny "micro-batch" appends (the streaming
+  // landing shape), a merge-on-read delete (so the fold must read
+  // through deletion vectors), then compactSmall bin-packs only the
+  // undersized files as a content-neutral replace. The oracle proves
+  // the housekeeping is result-invisible: the read after compaction is
+  // exactly the relational state. (At larger SFs some files exceed the
+  // size threshold and simply don't fold — the result is invariant by
+  // construction, which is the point.)
+  val s23CompactSmall: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_csm_").toString
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    graft.operators.Snapshots.commit(s, tmp,
+      base.filter($"o_orderkey" % 16 < 8).repartition(2))
+    (8 until 16).foreach { i =>
+      graft.operators.Snapshots.commitBatch(s, tmp,
+        base.filter($"o_orderkey" % 16 === i), batchId = i.toLong)
+    }
+    graft.operators.Snapshots.deleteWhereMor(s, tmp, $"o_totalprice" < 20000.0)
+    graft.operators.Snapshots.compactSmall(s, tmp,
+      targetRowsPerFile = 2000000L, smallFileMaxBytes = 512L * 1024L)
+    graft.operators.Snapshots.read(s, tmp)
+      .orderBy($"o_orderkey")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -450,7 +477,8 @@ object NonSql {
     "s19_snapshot_read" -> s19SnapshotRead,
     "s20_cow_lifecycle" -> s20CowLifecycle,
     "s21_mor_lifecycle" -> s21MorLifecycle,
-    "s22_change_feed" -> s22ChangeFeed
+    "s22_change_feed" -> s22ChangeFeed,
+    "s23_compact_small" -> s23CompactSmall
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -521,6 +549,9 @@ object NonSql {
         "UNION ALL SELECT * FROM src) " +
         "SELECT * FROM merged WHERE NOT (o_totalprice > 400000.0) " +
         "ORDER BY o_orderkey"),
+    "s23_compact_small" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE NOT (o_totalprice < 20000.0) ORDER BY o_orderkey"),
     "s22_change_feed" ->
       ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
         "src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice " +

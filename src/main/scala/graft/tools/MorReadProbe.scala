@@ -46,8 +46,16 @@ object MorReadProbe {
     val plain = spark.read.parquet(files: _*)
     timed("plain scan sum(qty)")(
       plain.agg(sum($"l_quantity")).head.getDouble(0).toLong)
-    timed("MOR read sum(qty)")(
-      df.agg(sum($"l_quantity")).head.getDouble(0).toLong)
+    // default path: in-scan broadcast-bitmap filter (no join operator)
+    timed("MOR read sum(qty), BITMAP")(
+      Snapshots.read(spark, t).agg(sum($"l_quantity")).head.getDouble(0).toLong)
+    // forced fallback: the dictionary-coded broadcast anti-join (the
+    // round-7 plan — kept for mass deletes past the bitmap budget)
+    val savedBudget = Snapshots.dvBitmapMaxBytes
+    Snapshots.dvBitmapMaxBytes = 0L
+    try timed("MOR read sum(qty), ANTI-JOIN")(
+      Snapshots.read(spark, t).agg(sum($"l_quantity")).head.getDouble(0).toLong)
+    finally Snapshots.dvBitmapMaxBytes = savedBudget
     // component: the per-row file-id map lookup without the join
     val dvPathsProbe = spark.read.parquet(
       java.nio.file.Paths.get(t, "dv").toFile.listFiles()

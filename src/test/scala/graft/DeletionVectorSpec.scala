@@ -249,26 +249,45 @@ class DeletionVectorSpec extends AnyFunSuite with SparkSuite {
     assert(e.getMessage.contains("DV"))
   }
 
-  test("plan shape: DV read broadcast-anti-joins ONLY the dirty files; clean files scan join-free") {
+  test("plan shape: DVs filter IN-SCAN (bitmap, no join); anti-join only past the budget") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.repartitionByRange(8, $"o_orderkey"))
     // clustered band → DVs touch 1 of 8 files
     Snapshots.deleteWhereMor(spark, t, $"o_orderkey" <= 50L)
     val df = Snapshots.read(spark, t)
     val plan = df.queryExecution.executedPlan.toString
-    // deletion-sized DV side must broadcast (never shuffle the table
-    // for a small delete), and exactly one anti-join in the plan
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
-    assert("LeftAnti".r.findAllIn(plan).size == 1, plan)
-    // the clean files union in BELOW the join: the join's left side
-    // scans only the dirty file, not the table
+    // within the bitmap budget there is NO join operator anywhere: the
+    // dirty-file scan filters itself through the broadcast bitmap probe
+    // (Delta's in-reader DV bitmap at the Spark API level)
+    assert(!plan.contains("LeftAnti"), plan)
+    assert(plan.contains("dv_bitmap_deleted"), plan)
     val scanFiles = df.queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.relation.location.inputFiles.length
     }
-    // one dirty-file scan (1), one clean scan (7), one DV sidecar scan
-    assert(scanFiles.sorted.toSeq == Seq(1, 1, 7),
-      s"expected scans over 1 dirty + 7 clean + 1 DV file, got $scanFiles")
+    // one dirty-file scan (1) + one clean scan (7) — the DV sidecar is
+    // consumed at bitmap-build time, not in the read plan
+    assert(scanFiles.sorted.toSeq == Seq(1, 7),
+      s"expected scans over 1 dirty + 7 clean files, got $scanFiles")
+    // past the budget (forced to 0) the read falls back to the
+    // dictionary-coded broadcast anti-join — deletion-COUNT-sized,
+    // the right plan for a mass delete — with IDENTICAL results
+    val saved = Snapshots.dvBitmapMaxBytes
+    Snapshots.dvBitmapMaxBytes = 0L
+    try {
+      val fb = Snapshots.read(spark, t)
+      val fplan = fb.queryExecution.executedPlan.toString
+      assert(fplan.contains("BroadcastHashJoin") && fplan.contains("LeftAnti"), fplan)
+      assert("LeftAnti".r.findAllIn(fplan).size == 1, fplan)
+      val fbScans = fb.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }
+      assert(fbScans.sorted.toSeq == Seq(1, 1, 7),
+        s"expected 1 dirty + 7 clean + 1 DV sidecar, got $fbScans")
+      assert(fb.exceptAll(df).isEmpty && df.exceptAll(fb).isEmpty,
+        "bitmap and anti-join paths must be result-identical")
+    } finally Snapshots.dvBitmapMaxBytes = saved
   }
 
   test("changeFeed: inserts + full-content deletes; housekeeping neutral; COW refused") {

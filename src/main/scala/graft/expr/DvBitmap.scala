@@ -79,6 +79,44 @@ object DvBitmap {
     spark.sparkContext.broadcast(m)
   }
 
+  // Small LRU of built bitmap broadcasts. DV sidecars and the files
+  // they reference are IMMUTABLE, so a key of (context, sidecar set,
+  // dirty set) fully determines the bitmap content — repeated reads of
+  // the same snapshot state (a serving layer, a bench's warm runs, a
+  // COW rewrite right after discovery) reuse the broadcast instead of
+  // re-running the build job. Evicted entries are reclaimed by Spark's
+  // ContextCleaner once unreferenced; capacity bounds driver footprint
+  // at ~maxEntries × dvBitmapMaxBytes worst case.
+  private val cacheCapacity = 8
+  private val cache =
+    new java.util.LinkedHashMap[String,
+        Broadcast[java.util.HashMap[String, Array[Long]]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            Broadcast[java.util.HashMap[String, Array[Long]]]]): Boolean =
+        size() > cacheCapacity
+    }
+
+  /** [[buildBroadcast]] memoized on the immutable inputs. `dvFiles` and
+    * `dirtyFiles` identify the content; the application id scopes the
+    * key to the live SparkContext (a broadcast from a stopped context
+    * must never be served). */
+  def cachedBroadcast(spark: SparkSession, dvFiles: Seq[String],
+      dirtyFiles: Seq[String], dv: => DataFrame)
+      : Broadcast[java.util.HashMap[String, Array[Long]]] = {
+    val key = spark.sparkContext.applicationId + "|" +
+      dvFiles.sorted.mkString(",") + "|" + dirtyFiles.sorted.mkString(",")
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val built = buildBroadcast(spark, dv)
+        cache.put(key, built)
+        built
+      }
+    }
+  }
+
   /** Predicate column: true iff `(filePath, rowIndex)` is marked
     * deleted in the broadcast bitmaps. Readers filter with `!deleted`. */
   def deleted(bitmaps: Broadcast[java.util.HashMap[String, Array[Long]]],

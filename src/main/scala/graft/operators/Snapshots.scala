@@ -802,7 +802,7 @@ object Snapshots {
             broadcast(spark.createDataset(liveRaw)(org.apache.spark.sql.Encoders.STRING)
               .toDF("file_path")),
             Seq("file_path"), "left_semi")
-        val bc = graft.expr.DvBitmap.buildBroadcast(spark, dvLive)
+        val bc = graft.expr.DvBitmap.cachedBroadcast(spark, st.dvs, liveRaw, dvLive)
         scan.where(!graft.expr.DvBitmap.deleted(bc,
           col("_metadata.file_path"), col("_metadata.row_index")))
       } else {

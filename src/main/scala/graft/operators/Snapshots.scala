@@ -391,6 +391,9 @@ object Snapshots {
           "Run DML merge-on-read, do housekeeping on a downstream table, or " +
           "unsetProperty(table, \"streaming\") after detaching the stream")
     raceHook()
+    // footer stats for the commit's files, computed ONCE (files are
+    // immutable across retry attempts); O(new files) footer reads
+    val statsNode = statsJson(spark, table, files)
     var v = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
     while (true) {
       expectedBase.foreach { e =>
@@ -479,6 +482,7 @@ object Snapshots {
         val d = json.putArray("removedDvs")
         removedDvs.foreach(d.add)
       }
+      statsNode.foreach(sn => json.set[com.fasterxml.jackson.databind.JsonNode]("stats", sn))
       // atomic create-if-absent IS the commit point (hard-link on
       // local/POSIX, exclusive create on HDFS-like stores)
       if (createExclusive(f, target, mapper.writeValueAsBytes(json))) return v
@@ -628,6 +632,260 @@ object Snapshots {
     if (violated.nonEmpty) throw new IllegalArgumentException(
       s"commit to $table refused — CHECK constraint(s) violated: " +
         violated.mkString("; "))
+  }
+
+  // ------------------------------------------------------------------
+  // Stats-in-log: per-file column statistics captured AT COMMIT TIME
+  // from the parquet FOOTERS the write already produced — Delta's
+  // dataSkippingNumIndexedCols design. No data is scanned: footer
+  // metadata is read once per committed file (driver, manifest-scale,
+  // the same budget as the manifest write itself) and recorded in the
+  // commit's manifest, so range pruning at read time is a pure log
+  // fold. Contrast Layout.zoneMap, which pays a column-pruned SCAN to
+  // build and is maintained as a separate artifact: stats-in-log
+  // piggyback on every commit — append, COW rewrite, MOR insert,
+  // compaction — and can never fall out of sync with the table.
+  // ------------------------------------------------------------------
+
+  /** Register the columns every subsequent commit records footer stats
+    * for (persisted table property `stats.columns`). Files committed
+    * BEFORE registration carry no stats and are simply never pruned
+    * (no false negatives); rewrite or compact to backfill. ≤ 8 columns
+    * — the stats ride in every manifest. */
+  def setStatsColumns(spark: SparkSession, table: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.size <= 8, "setStatsColumns: 1..8 columns")
+    setProperty(spark, table, "stats.columns", cols.mkString(","))
+  }
+
+  private def statsColumns(spark: SparkSession, table: String): Seq[String] =
+    properties(spark, table).get("stats.columns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** One column's folded footer statistics for one file. `hasValues =
+    * false` means every row is NULL (still prunable under a range
+    * predicate — range predicates never match NULL). `min`/`max` are
+    * Long ("long"), Double ("double") or String ("string"). */
+  private[graft] final case class ColStats(typ: String, min: Any, max: Any,
+      nulls: Long, hasValues: Boolean)
+
+  /** min/max/nullCount per requested TOP-LEVEL column from one parquet
+    * footer, merged across row groups. A column whose statistics are
+    * missing/unusable in ANY row group is omitted (conservative — the
+    * file is then never pruned on it). Physical types covered: int32/
+    * int64 → long, float/double → double, UTF8 binary → string;
+    * everything else is skipped. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      file: String, cols: Set[String]): Map[String, ColStats] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val perCol = scala.collection.mutable.Map.empty[String, ColStats]
+      val bad = scala.collection.mutable.Set.empty[String]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (cols.contains(name) && !bad.contains(name)) {
+            val s = cc.getStatistics
+            val prim = cc.getPrimitiveType
+            val logical = prim.getLogicalTypeAnnotation
+            val typ = prim.getPrimitiveTypeName match {
+              case INT32 | INT64 => "long"
+              case FLOAT | DOUBLE => "double"
+              case BINARY
+                if logical.isInstanceOf[org.apache.parquet.schema
+                  .LogicalTypeAnnotation.StringLogicalTypeAnnotation] => "string"
+              case _ => null
+            }
+            if (typ == null || s == null || !s.isNumNullsSet ||
+                (s.isEmpty && b.getRowCount > 0)) {
+              bad += name; perCol.remove(name)
+            } else {
+              val hasVals = s.hasNonNullValue
+              def v(raw: Any): Any = typ match {
+                case "long" => raw match {
+                  case i: java.lang.Integer => i.longValue()
+                  case l: java.lang.Long => l.longValue()
+                }
+                case "double" => raw match {
+                  case f: java.lang.Float => f.doubleValue()
+                  case d: java.lang.Double => d.doubleValue()
+                }
+                case "string" =>
+                  raw.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              }
+              val cur = ColStats(typ,
+                if (hasVals) v(s.genericGetMin) else null,
+                if (hasVals) v(s.genericGetMax) else null,
+                s.getNumNulls, hasVals)
+              val merged = perCol.get(name) match {
+                case None => cur
+                case Some(p) =>
+                  if (!cur.hasValues) p.copy(nulls = p.nulls + cur.nulls)
+                  else if (!p.hasValues) cur.copy(nulls = p.nulls + cur.nulls)
+                  else ColStats(typ,
+                    if (cmpStats(typ, cur.min, p.min) < 0) cur.min else p.min,
+                    if (cmpStats(typ, cur.max, p.max) > 0) cur.max else p.max,
+                    p.nulls + cur.nulls, hasValues = true)
+              }
+              perCol(name) = merged
+            }
+          }
+        }
+      }
+      perCol.toMap
+    } finally reader.close()
+  }
+
+  /** Compare two stats/bound values under a column's stats type.
+    * Long-vs-long compares exactly; any fractional operand promotes
+    * both to double (exact for |v| < 2^53 — conservative enough for
+    * pruning bounds). */
+  private def cmpStats(typ: String, a: Any, b: Any): Int = typ match {
+    case "string" => a.toString.compareTo(b.toString)
+    case _ =>
+      (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Int, y: Long) => java.lang.Long.compare(x.toLong, y)
+        case (x: Long, y: Int) => java.lang.Long.compare(x, y.toLong)
+        case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+        case _ =>
+          def d(v: Any): Double = v match {
+            case x: Long => x.toDouble
+            case x: Int => x.toDouble
+            case x: Double => x
+            case x: Float => x.toDouble
+            case x: java.math.BigDecimal => x.doubleValue()
+          }
+          java.lang.Double.compare(d(a), d(b))
+      }
+  }
+
+  /** Compute + attach the stats object for a manifest's files; absent
+    * when the table has no registered stats columns. Keyed by part
+    * FILENAME (globally unique — the write job's UUID). */
+  private def statsJson(spark: SparkSession, table: String,
+      files: Seq[String]): Option[com.fasterxml.jackson.databind.node.ObjectNode] = {
+    val cols = statsColumns(spark, table)
+    if (cols.isEmpty || files.isEmpty) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val node = mapper.createObjectNode()
+    files.foreach { f =>
+      val st = footerStats(conf, f, cols.toSet)
+      if (st.nonEmpty) writeFileStats(node, new Path(f).getName, st)
+    }
+    if (node.isEmpty) None else Some(node)
+  }
+
+  private def writeFileStats(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      fileName: String, st: Map[String, ColStats]): Unit = {
+    val fileNode = node.putObject(fileName)
+    st.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+      val cn = fileNode.putObject(c)
+      cn.put("t", cs.typ)
+      cn.put("n", cs.nulls)
+      if (cs.hasValues) cs.typ match {
+        case "long" =>
+          cn.put("min", cs.min.asInstanceOf[Long])
+          cn.put("max", cs.max.asInstanceOf[Long])
+        case "double" =>
+          cn.put("min", cs.min.asInstanceOf[Double])
+          cn.put("max", cs.max.asInstanceOf[Double])
+        case "string" =>
+          cn.put("min", cs.min.asInstanceOf[String])
+          cn.put("max", cs.max.asInstanceOf[String])
+      }
+    }
+  }
+
+  /** Re-serialize already-folded stats for `files` — used where a
+    * manifest must become SELF-CONTAINED without re-opening footers
+    * (the vacuum horizon rewrite, shallow clones). */
+  private def statsNodeFromFold(folded: Map[String, Map[String, ColStats]],
+      files: Seq[String]): Option[com.fasterxml.jackson.databind.node.ObjectNode] = {
+    val node = mapper.createObjectNode()
+    files.foreach { f =>
+      val n = new Path(f).getName
+      folded.get(n).filter(_.nonEmpty).foreach(writeFileStats(node, n, _))
+    }
+    if (node.isEmpty) None else Some(node)
+  }
+
+  /** Fold every manifest's recorded stats at-or-before `version`
+    * (first-wins by file name, like provenance). Manifest-scale driver
+    * work. */
+  private def statsFold(spark: SparkSession, table: String,
+      version: Long): Map[String, Map[String, ColStats]] = {
+    val f = fs(spark, table)
+    versions(spark, table).filter(_ <= version).sorted
+      .foldLeft(Map.empty[String, Map[String, ColStats]]) { (acc, v) =>
+        val in = f.open(versionFile(table, v))
+        val root = try mapper.readTree(in) finally in.close()
+        val sNode = root.get("stats")
+        if (sNode == null) acc
+        else {
+          var m = acc
+          sNode.properties().asScala.foreach { e =>
+            val fileName = e.getKey
+            if (!m.contains(fileName)) {
+              val colMap = e.getValue.properties().asScala.map { ce =>
+                val cn = ce.getValue
+                val typ = cn.get("t").asText()
+                val hasVals = cn.has("min")
+                def read(field: String): Any =
+                  if (!hasVals) null
+                  else typ match {
+                    case "long" => cn.get(field).asLong()
+                    case "double" => cn.get(field).asDouble()
+                    case "string" => cn.get(field).asText()
+                  }
+                ce.getKey -> ColStats(typ, read("min"), read("max"),
+                  cn.get("n").asLong(), hasVals)
+              }.toMap
+              m += fileName -> colMap
+            }
+          }
+          m
+        }
+      }
+  }
+
+  /** Visible files at `version` whose recorded [min,max] envelope MAY
+    * intersect `[lo, hi]` on column `c` — a no-false-negative superset:
+    * files with no recorded stats are kept, all-NULL files and disjoint
+    * envelopes are pruned (range predicates never match NULL). The
+    * survivor list is only meaningful under the caller's own range
+    * predicate. Pure log fold — no file is opened, no data scanned. */
+  def statsPrunedFiles(spark: SparkSession, table: String, c: String,
+      lo: Any, hi: Any, version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val folded = statsFold(spark, table, v)
+    stateAt(spark, table, v).files.filter { f =>
+      folded.get(new Path(f).getName).flatMap(_.get(c)) match {
+        case None => true // no stats — never prune
+        case Some(cs) =>
+          cs.hasValues &&
+            cmpStats(cs.typ, cs.max, lo) >= 0 && cmpStats(cs.typ, cs.min, hi) <= 0
+      }
+    }
+  }
+
+  /** [[read]] restricted to [[statsPrunedFiles]]'s survivors, with the
+    * version's deletion vectors still applied — the zero-extra-scan
+    * skipping read for range queries on a stats-indexed snapshot table.
+    * The CALLER must still apply the exact `[lo, hi]` predicate: the
+    * survivor set is a superset only with respect to matching rows. */
+  def readStatsPruned(spark: SparkSession, table: String, c: String,
+      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val st = stateAt(spark, table, v)
+    val keep = statsPrunedFiles(spark, table, c, lo, hi, Some(v))
+    readState(spark, table, State(keep, st.dvs))
   }
 
   /** TIMESTAMP AS OF: read the newest version whose commit time is
@@ -1084,33 +1342,64 @@ object Snapshots {
     *     candidates);
     *   - envelope disjoint: untouched, carried by reference.
     *
-    * Pass a maintained `zm` ([[Layout.zoneMapApply]]) to skip even the
-    * zone-map build; otherwise one column-pruned scan builds it. The
-    * conflict check covers dropped files too — a racing replace of one
-    * fails the commit rather than resurrecting rows. */
+    * On a table whose [[setStatsColumns]] cover `c`, classification
+    * comes straight from the stats-in-log fold — ZERO scans to plan
+    * the delete (files without recorded stats conservatively flow
+    * through touched-file discovery). Otherwise pass a maintained `zm`
+    * ([[Layout.zoneMapApply]]) to skip the zone-map build, or one
+    * column-pruned scan builds it. The conflict check covers dropped
+    * files too — a racing replace of one fails the commit rather than
+    * resurrecting rows. */
   def deleteRange(spark: SparkSession, table: String, c: String,
       lo: Any, hi: Any, zm: Option[DataFrame] = None): Cow = {
-    val st = stateAt(spark, table,
-      latestVersion(spark, table).getOrElse(
-        throw new IllegalArgumentException(s"no snapshot committed at $table")))
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val st = stateAt(spark, table, base)
     val visible = st.files
-    val zmap = zm.getOrElse(Layout.zoneMapFiles(spark, visible, Seq(c)))
-    val loL = lit(lo); val hiL = lit(hi)
-    // driver-side, manifest-scale: (file, fully-covered?, intersects?)
-    val cls = zmap.select(col("file"),
-      (col(s"${c}_min") >= loL && col(s"${c}_max") <= hiL &&
-        col(s"${c}_nulls") === 0L).as("full"),
-      Layout.rangeEnvelope(c, loL, hiL).as("hit")).collect()
-    // stat columns are NULL for all-NULL files — NULL classifies as
-    // neither fully-covered nor intersecting (range predicates never
-    // match NULL rows)
-    def truthy(r: org.apache.spark.sql.Row, i: Int) =
-      !r.isNullAt(i) && r.getBoolean(i)
-    val dropped = cls.filter(truthy(_, 1)).map(_.getString(0))
+    // classification source, best-first: (a) stats-in-log — the fold
+    // already knows every stats'd file's envelope AND null count, so a
+    // retention delete on a stats-indexed table plans with ZERO scans;
+    // files without recorded stats classify conservatively as
+    // intersecting (they flow through touchedFiles discovery — no
+    // false drops, no false carries); (b) a caller-maintained zone
+    // map; (c) one column-pruned scan to build one.
+    val folded =
+      if (zm.isEmpty && statsColumns(spark, table).contains(c))
+        statsFold(spark, table, base)
+      else Map.empty[String, Map[String, ColStats]]
+    val cls: Seq[(String, Boolean, Boolean)] =
+      if (folded.nonEmpty) {
+        visible.map { f =>
+          folded.get(new Path(f).getName).flatMap(_.get(c)) match {
+            case Some(cs) if !cs.hasValues => (f, false, false) // all NULL
+            case Some(cs) =>
+              val full = cs.nulls == 0L &&
+                cmpStats(cs.typ, cs.min, lo) >= 0 && cmpStats(cs.typ, cs.max, hi) <= 0
+              val hit =
+                cmpStats(cs.typ, cs.max, lo) >= 0 && cmpStats(cs.typ, cs.min, hi) <= 0
+              (f, full, hit)
+            case None => (f, false, true) // no stats — conservative
+          }
+        }
+      } else {
+        val zmap = zm.getOrElse(Layout.zoneMapFiles(spark, visible, Seq(c)))
+        val loL = lit(lo); val hiL = lit(hi)
+        // driver-side, manifest-scale: (file, fully-covered?, intersects?)
+        // stat columns are NULL for all-NULL files — NULL classifies as
+        // neither fully-covered nor intersecting (range predicates never
+        // match NULL rows)
+        def truthy(r: org.apache.spark.sql.Row, i: Int) =
+          !r.isNullAt(i) && r.getBoolean(i)
+        zmap.select(col("file"),
+          (col(s"${c}_min") >= loL && col(s"${c}_max") <= hiL &&
+            col(s"${c}_nulls") === 0L).as("full"),
+          Layout.rangeEnvelope(c, loL, hiL).as("hit")).collect()
+          .map(r => (r.getString(0), truthy(r, 1), truthy(r, 2))).toSeq
+      }
+    val dropped = cls.filter(_._2).map(_._1)
       .map(new Path(_).toString).toSeq.sorted
-    val partial = cls.filter(r => !truthy(r, 1) && truthy(r, 2))
-      .map(_.getString(0)).toSeq
-    val cond = col(c) >= loL && col(c) <= hiL
+    val partial = cls.filter(r => !r._2 && r._3).map(_._1)
+    val cond = col(c) >= lit(lo) && col(c) <= lit(hi)
     val touched =
       if (partial.isEmpty) Seq.empty
       else touchedFiles(spark, table, cond, candidates = Some(partial))
@@ -1494,8 +1783,15 @@ object Snapshots {
       val d = json.putArray("dvs")
       st.dvs.foreach(d.add)
     }
+    // the clone's manifest is self-contained — carry the parent's
+    // folded stats so pruning keeps working without re-opening footers
+    statsNodeFromFold(statsFold(spark, src, v), st.files)
+      .foreach(sn => json.set[com.fasterxml.jackson.databind.JsonNode]("stats", sn))
     require(createExclusive(f, versionFile(dst, 0L), mapper.writeValueAsBytes(json)),
       s"cloneShallow: a racing writer created $dst's log first")
+    // the parent's stats.columns keep applying to commits on the branch
+    properties(spark, src).get("stats.columns")
+      .foreach(v => setProperty(spark, dst, "stats.columns", v))
     0L
   }
 
@@ -1672,6 +1968,10 @@ object Snapshots {
         val d = json.putArray("dvs")
         horizonState.dvs.foreach(d.add)
       }
+      // the fold would lose the dropped manifests' stats — embed them,
+      // keeping range pruning alive past the vacuum horizon
+      statsNodeFromFold(statsFold(spark, table, horizon), horizonState.files)
+        .foreach(sn => json.set[com.fasterxml.jackson.databind.JsonNode]("stats", sn))
       // atomic replace: a racing reader must never observe a torn horizon
       replaceAtomic(f, versionFile(table, horizon), mapper.writeValueAsBytes(json))
     }

@@ -297,6 +297,29 @@ object NonSql {
       .orderBy($"o_orderkey")
   }
 
+  // S24: stats-in-log range pruning — commit-time footer stats (no
+  // data scan: the write's own parquet footers) recorded per manifest;
+  // a range read folds the log, scans only envelope-intersecting
+  // files, and still subtracts the standing deletion vectors. The
+  // oracle proves the pruned+DV'd read equals the plain relational
+  // filter.
+  val s24StatsPrune: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_stats_").toString
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    graft.operators.Snapshots.setStatsColumns(s, tmp, Seq("o_totalprice"))
+    graft.operators.Snapshots.commit(s, tmp,
+      base.filter($"o_orderkey" % 2 === 0).repartitionByRange(4, $"o_totalprice"))
+    graft.operators.Snapshots.commit(s, tmp,
+      base.filter($"o_orderkey" % 2 =!= 0).repartitionByRange(4, $"o_totalprice"))
+    graft.operators.Snapshots.deleteWhereMor(s, tmp, $"o_custkey" % 10 === 0)
+    graft.operators.Snapshots.readStatsPruned(s, tmp,
+      "o_totalprice", 50000.0, 150000.0)
+      .where($"o_totalprice".between(50000.0, 150000.0))
+      .orderBy($"o_orderkey")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -478,7 +501,8 @@ object NonSql {
     "s20_cow_lifecycle" -> s20CowLifecycle,
     "s21_mor_lifecycle" -> s21MorLifecycle,
     "s22_change_feed" -> s22ChangeFeed,
-    "s23_compact_small" -> s23CompactSmall
+    "s23_compact_small" -> s23CompactSmall,
+    "s24_stats_prune" -> s24StatsPrune
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -552,6 +576,10 @@ object NonSql {
     "s23_compact_small" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE NOT (o_totalprice < 20000.0) ORDER BY o_orderkey"),
+    "s24_stats_prune" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice BETWEEN 50000.0 AND 150000.0 " +
+        "AND NOT (o_custkey % 10 = 0) ORDER BY o_orderkey"),
     "s22_change_feed" ->
       ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
         "src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice " +

@@ -883,6 +883,121 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t).where($"id" < 0).isEmpty)
   }
 
+  test("stats-in-log: commit-time footer stats prune range reads, no false negatives") {
+    val t = tbl()
+    val base = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    Snapshots.setStatsColumns(spark, t, Seq("o_totalprice", "o_orderstatus"))
+    Snapshots.commit(spark, t, base.repartitionByRange(8, $"o_totalprice"))
+    val all = Snapshots.filesAt(spark, t, 0L)
+    val keep = Snapshots.statsPrunedFiles(spark, t, "o_totalprice", 50000.0, 100000.0)
+    assert(keep.nonEmpty && keep.size < all.size,
+      s"price-clustered layout must prune: kept ${keep.size}/${all.size}")
+    val got = Snapshots.readStatsPruned(spark, t, "o_totalprice", 50000.0, 100000.0)
+      .where($"o_totalprice".between(50000.0, 100000.0))
+    val want = base.filter($"o_totalprice".between(50000.0, 100000.0))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // string stats prune too, on a status-clustered layout
+    val t2 = tbl()
+    Snapshots.setStatsColumns(spark, t2, Seq("o_orderstatus"))
+    Snapshots.commit(spark, t2, base.repartitionByRange(3, $"o_orderstatus"))
+    val all2 = Snapshots.filesAt(spark, t2, 0L)
+    val keep2 = Snapshots.statsPrunedFiles(spark, t2, "o_orderstatus", "P", "P")
+    assert(keep2.nonEmpty && keep2.size < all2.size)
+    val gotP = Snapshots.readStatsPruned(spark, t2, "o_orderstatus", "P", "P")
+      .where($"o_orderstatus" === "P")
+    assert(gotP.count() == base.filter($"o_orderstatus" === "P").count())
+  }
+
+  test("stats-in-log: pre-registration files never prune; COW rewrites refresh; all-NULL files prune") {
+    val t = tbl()
+    val base = orders // (o_orderkey, o_custkey, o_totalprice)
+    // v0 lands BEFORE stats registration — it must survive every band
+    Snapshots.commit(spark, t, base.filter($"o_totalprice" < 50000.0).repartition(1))
+    Snapshots.setStatsColumns(spark, t, Seq("o_totalprice"))
+    Snapshots.commit(spark, t,
+      base.filter($"o_totalprice" >= 50000.0).repartitionByRange(4, $"o_totalprice"))
+    val v0Files = Snapshots.filesAt(spark, t, 0L).toSet
+    // a band far above v0's actual content: the stats-less v0 file is
+    // KEPT (no stats — no false negatives), stats'd low files prune
+    val keep = Snapshots.statsPrunedFiles(spark, t, "o_totalprice", 400000.0, 500000.0)
+    assert(v0Files.subsetOf(keep.toSet), "stats-less files must never prune")
+    assert(keep.size < Snapshots.filesAt(spark, t, 1L).size)
+    // exact results through the pruned read regardless
+    val got = Snapshots.readStatsPruned(spark, t, "o_totalprice", 400000.0, 500000.0)
+      .where($"o_totalprice".between(400000.0, 500000.0))
+    val want = base.filter($"o_totalprice".between(400000.0, 500000.0))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // a COW rewrite's new files carry fresh stats: delete the low band,
+    // then a low-band prune keeps nothing stats'd below the cut
+    Snapshots.deleteWhere(spark, t, $"o_totalprice" < 80000.0)
+    val got2 = Snapshots.readStatsPruned(spark, t, "o_totalprice", 0.0, 60000.0)
+      .where($"o_totalprice".between(0.0, 60000.0))
+    assert(got2.isEmpty)
+    // an all-NULL stats column prunes under any range
+    val t3 = tbl()
+    Snapshots.setStatsColumns(spark, t3, Seq("maybe"))
+    Snapshots.commit(spark, t3,
+      base.limit(100).withColumn("maybe", lit(null).cast("double")).repartition(1))
+    Snapshots.commit(spark, t3,
+      base.limit(100).withColumn("maybe", $"o_totalprice").repartition(1))
+    val keep3 = Snapshots.statsPrunedFiles(spark, t3, "maybe", 0.0, 1e9)
+    assert(keep3.size == 1, s"all-NULL file must prune, got ${keep3.size}")
+  }
+
+  test("deleteRange classifies from stats-in-log: same footprint as the zone-map path, zero scans") {
+    val base = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    def build(stats: Boolean): String = {
+      val t = tbl()
+      if (stats) Snapshots.setStatsColumns(spark, t, Seq("o_orderkey"))
+      Snapshots.commit(spark, t, base.repartitionByRange(8, $"o_orderkey"))
+      t
+    }
+    val q = base.stat.approxQuantile("o_orderkey", Array(0.25, 0.75), 0.0)
+    val lo = q(0).toLong; val hi = q(1).toLong
+    val ts = build(stats = true); val tz = build(stats = false)
+    val cs = Snapshots.deleteRange(spark, ts, "o_orderkey", lo, hi)
+    val cz = Snapshots.deleteRange(spark, tz, "o_orderkey", lo, hi)
+    // identical classification: interior files drop metadata-only,
+    // boundary files rewrite — whichever source classified them
+    assert(cs.filesDropped == cz.filesDropped && cs.filesDropped >= 1,
+      s"stats path dropped ${cs.filesDropped}, zone-map path ${cz.filesDropped}")
+    assert(cs.filesRewritten == cz.filesRewritten)
+    val want = base.filter(!($"o_orderkey" >= lo && $"o_orderkey" <= hi))
+    Seq(ts, tz).foreach { t =>
+      val got = Snapshots.read(spark, t)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
+  test("stats-in-log survive the vacuum horizon fold and shallow clones") {
+    val t = tbl()
+    Snapshots.setStatsColumns(spark, t, Seq("o_totalprice"))
+    Snapshots.commit(spark, t,
+      orders.filter($"o_orderkey" % 2 === 0).repartitionByRange(4, $"o_totalprice"))
+    Snapshots.commit(spark, t,
+      orders.filter($"o_orderkey" % 2 =!= 0).repartitionByRange(4, $"o_totalprice"))
+    val before = Snapshots.statsPrunedFiles(spark, t, "o_totalprice", 50000.0, 80000.0)
+    val total = Snapshots.read(spark, t).count()
+    // clone first (parent history intact), then vacuum the parent
+    val dst = tbl()
+    Snapshots.cloneShallow(spark, t, dst)
+    Snapshots.vacuum(spark, t, retainVersions = 1)
+    val afterVacuum = Snapshots.statsPrunedFiles(spark, t, "o_totalprice", 50000.0, 80000.0)
+    assert(afterVacuum.toSet == before.toSet,
+      "the folded horizon must carry the dropped manifests' stats")
+    val afterClone = Snapshots.statsPrunedFiles(spark, dst, "o_totalprice", 50000.0, 80000.0)
+    assert(afterClone.toSet == before.toSet,
+      "the clone manifest must carry the parent's folded stats")
+    // and the branch keeps collecting stats for NEW commits
+    Snapshots.commit(spark, dst,
+      orders.limit(50).withColumn("o_totalprice", lit(9e8)).repartition(1))
+    val hi = Snapshots.statsPrunedFiles(spark, dst, "o_totalprice", 8e8, 1e9)
+    assert(hi.size == 1, s"branch commit must carry fresh stats, kept ${hi.size}")
+    assert(Snapshots.read(spark, t).count() == total)
+  }
+
   test("readWithVersion: broadcast-join provenance path == literal-map path") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(100).repartition(2))

@@ -266,6 +266,11 @@ object Snapshots {
       val dv = json.putArray("dvs")
       st.dvs.foreach(dv.add)
     }
+    // the sidecar also folds the per-file STATS, so stats-based pruning
+    // resolves in O(commits since checkpoint) like stateAt — without
+    // this, statsFold alone would re-read the whole log per prune call
+    statsNodeFromFold(statsFold(spark, table, v), st.files)
+      .foreach(sn => json.set[com.fasterxml.jackson.databind.JsonNode]("stats", sn))
     // atomic replace: a concurrent reader's stateAt must never open a
     // half-written checkpoint (loud-but-spurious parse failure)
     replaceAtomic(f, checkpointFile(table, v), mapper.writeValueAsBytes(json))
@@ -814,43 +819,57 @@ object Snapshots {
     if (node.isEmpty) None else Some(node)
   }
 
-  /** Fold every manifest's recorded stats at-or-before `version`
-    * (first-wins by file name, like provenance). Manifest-scale driver
-    * work. */
+  /** Fold recorded stats at-or-before `version` (first-wins by file
+    * name, like provenance). Starts from the newest CHECKPOINT sidecar
+    * at-or-before `version` when it carries a stats fold — O(commits
+    * since checkpoint), the same budget as [[stateAt]]; a pre-stats
+    * checkpoint (no stats node) falls back to the full manifest fold. */
   private def statsFold(spark: SparkSession, table: String,
       version: Long): Map[String, Map[String, ColStats]] = {
     val f = fs(spark, table)
-    versions(spark, table).filter(_ <= version).sorted
-      .foldLeft(Map.empty[String, Map[String, ColStats]]) { (acc, v) =>
-        val in = f.open(versionFile(table, v))
-        val root = try mapper.readTree(in) finally in.close()
-        val sNode = root.get("stats")
-        if (sNode == null) acc
-        else {
-          var m = acc
-          sNode.properties().asScala.foreach { e =>
-            val fileName = e.getKey
-            if (!m.contains(fileName)) {
-              val colMap = e.getValue.properties().asScala.map { ce =>
-                val cn = ce.getValue
-                val typ = cn.get("t").asText()
-                val hasVals = cn.has("min")
-                def read(field: String): Any =
-                  if (!hasVals) null
-                  else typ match {
-                    case "long" => cn.get(field).asLong()
-                    case "double" => cn.get(field).asDouble()
-                    case "string" => cn.get(field).asText()
-                  }
-                ce.getKey -> ColStats(typ, read("min"), read("max"),
-                  cn.get("n").asLong(), hasVals)
-              }.toMap
-              m += fileName -> colMap
-            }
-          }
-          m
+    def parseStats(root: com.fasterxml.jackson.databind.JsonNode,
+        acc: Map[String, Map[String, ColStats]]): Map[String, Map[String, ColStats]] = {
+      val sNode = root.get("stats")
+      if (sNode == null) return acc
+      var m = acc
+      sNode.properties().asScala.foreach { e =>
+        val fileName = e.getKey
+        if (!m.contains(fileName)) {
+          val colMap = e.getValue.properties().asScala.map { ce =>
+            val cn = ce.getValue
+            val typ = cn.get("t").asText()
+            val hasVals = cn.has("min")
+            def read(field: String): Any =
+              if (!hasVals) null
+              else typ match {
+                case "long" => cn.get(field).asLong()
+                case "double" => cn.get(field).asDouble()
+                case "string" => cn.get(field).asText()
+              }
+            ce.getKey -> ColStats(typ, read("min"), read("max"),
+              cn.get("n").asLong(), hasVals)
+          }.toMap
+          m += fileName -> colMap
         }
       }
+      m
+    }
+    def readJson(p: Path): com.fasterxml.jackson.databind.JsonNode = {
+      val in = f.open(p)
+      try mapper.readTree(in) finally in.close()
+    }
+    val ckptWithStats = checkpoints(spark, table).filter(_ <= version)
+      .sorted.reverse.iterator
+      .map(cv => readJson(checkpointFile(table, cv)) -> cv)
+      .find(_._1.get("stats") != null)
+    val (base, from) = ckptWithStats match {
+      case Some((node, cv)) => (parseStats(node, Map.empty), cv)
+      case None => (Map.empty[String, Map[String, ColStats]], -1L)
+    }
+    // manifests newer than the checkpoint fold on top; first-wins keeps
+    // the checkpoint's (identical) entries for re-listed files
+    versions(spark, table).filter(v => v > from && v <= version).sorted
+      .foldLeft(base) { (acc, v) => parseStats(readJson(versionFile(table, v)), acc) }
   }
 
   /** Visible files at `version` whose recorded [min,max] envelope MAY

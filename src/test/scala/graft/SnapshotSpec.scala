@@ -945,6 +945,28 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(keep3.size == 1, s"all-NULL file must prune, got ${keep3.size}")
   }
 
+  test("stats-in-log fold resolves through the checkpoint sidecar") {
+    val t = tbl()
+    Snapshots.setStatsColumns(spark, t, Seq("o_totalprice"))
+    Snapshots.commit(spark, t,
+      orders.filter($"o_totalprice" < 100000.0).repartitionByRange(2, $"o_totalprice"))
+    Snapshots.commit(spark, t,
+      orders.filter($"o_totalprice" >= 100000.0).repartitionByRange(2, $"o_totalprice"))
+    val before = Snapshots.statsPrunedFiles(spark, t, "o_totalprice", 0.0, 50000.0).toSet
+    assert(before.size < Snapshots.read(spark, t).inputFiles.length)
+    // the checkpoint embeds the folded stats: pruning after it is
+    // identical, resolved from the sidecar + newer manifests only
+    Snapshots.checkpoint(spark, t)
+    assert(Snapshots.statsPrunedFiles(spark, t, "o_totalprice", 0.0, 50000.0).toSet == before)
+    // a post-checkpoint commit folds on top of the sidecar base
+    Snapshots.commit(spark, t,
+      orders.limit(20).withColumn("o_totalprice", lit(9e8)).repartition(1))
+    val hi = Snapshots.statsPrunedFiles(spark, t, "o_totalprice", 8e8, 1e9)
+    assert(hi.size == 1, s"post-checkpoint commit must prune-in alone, kept ${hi.size}")
+    val low = Snapshots.statsPrunedFiles(spark, t, "o_totalprice", 0.0, 50000.0).toSet
+    assert(low == before, "the new high-band file must not join a low-band read")
+  }
+
   test("deleteRange classifies from stats-in-log: same footprint as the zone-map path, zero scans") {
     val base = Tables.load(spark, sf0001, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")

@@ -996,18 +996,38 @@ object Snapshots {
     if (dvParts.isEmpty) return ins
     val dv = spark.read.parquet(dvParts: _*)
     // the deleted rows' content lives in their (immutable) source
-    // files — scan only those, semi-join the positions
+    // files — scan only those, keep the listed positions
     val dvFiles = dv.select("file_path").distinct().collect()
       .map(_.getString(0)).toSeq.sorted
-    val scan = spark.read.parquet(dvFiles: _*)
-      .withColumn("__graft_fp", col("_metadata.file_path"))
-      .withColumn("__graft_ri", col("_metadata.row_index"))
-    val dels = scan.join(dv,
-      scan("__graft_fp") === dv("file_path") && scan("__graft_ri") === dv("row_index"),
-      "left_semi")
-      .drop("__graft_fp", "__graft_ri")
+    val dels = positionsSemi(spark, spark.read.parquet(dvFiles: _*), dv)
       .withColumn("_change_type", lit("delete"))
     ins.unionByName(dels)
+  }
+
+  /** Rows of `scan` (a read of exactly the position-referenced files,
+    * `_metadata` available) LISTED in `positions` — the SEMI twin of
+    * the read path's DV subtraction, with the same two plans: in-scan
+    * bitmap probe within [[dvBitmapMaxBytes]] (no join operator —
+    * delete-content extraction at scan speed), broadcast semi-join
+    * past it. Duplicate positions are naturally absorbed either way. */
+  private def positionsSemi(spark: SparkSession, scan: DataFrame,
+      positions: DataFrame): DataFrame = {
+    val perFile = positions.groupBy(col("file_path"))
+      .agg(max(col("row_index")).as("max_ri")).collect()
+    val bitmapBytes = perFile.map(r => ((r.getLong(1) >>> 6) + 1L) * 8L).sum
+    if (bitmapBytes <= dvBitmapMaxBytes) {
+      val bc = graft.expr.DvBitmap.buildBroadcast(spark, positions)
+      scan.where(graft.expr.DvBitmap.deleted(bc,
+        col("_metadata.file_path"), col("_metadata.row_index")))
+    } else {
+      val s = scan
+        .withColumn("__graft_fp", col("_metadata.file_path"))
+        .withColumn("__graft_ri", col("_metadata.row_index"))
+      s.join(positions,
+        s("__graft_fp") === positions("file_path") &&
+          s("__graft_ri") === positions("row_index"), "left_semi")
+        .drop("__graft_fp", "__graft_ri")
+    }
   }
 
   /** Scan exactly `files`; an empty list resolves to an empty relation
@@ -1884,13 +1904,7 @@ object Snapshots {
     val files = positions.select(col("file_path")).distinct().collect()
       .map(_.getString(0)).toSeq.sorted
     if (files.isEmpty) return readFiles(spark, table, Seq.empty).limit(0)
-    val scan = spark.read.parquet(files: _*)
-      .withColumn("__graft_fp", col("_metadata.file_path"))
-      .withColumn("__graft_ri", col("_metadata.row_index"))
-    scan.join(positions,
-      scan("__graft_fp") === positions("file_path") &&
-        scan("__graft_ri") === positions("row_index"),
-      "left_semi").drop("__graft_fp", "__graft_ri")
+    positionsSemi(spark, spark.read.parquet(files: _*), positions)
   }
 
   /** The file-set DELTA of `version`'s commit vs the version before it:

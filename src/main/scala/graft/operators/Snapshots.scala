@@ -745,6 +745,20 @@ object Snapshots {
     } finally reader.close()
   }
 
+  /** True when `bound` is type-compatible with a column's stats type —
+    * the guard that keeps pruning conservative: a numeric bound against
+    * string stats (or vice versa) would compare lexicographically and
+    * could WRONGLY prune, so mismatched bounds disable pruning for the
+    * file instead (kept — no false negatives, ever). */
+  private def boundComparable(typ: String, bound: Any): Boolean = typ match {
+    case "string" => bound.isInstanceOf[String]
+    case _ => bound match {
+      case _: Long | _: Int | _: Double | _: Float |
+           _: java.math.BigDecimal => true
+      case _ => false
+    }
+  }
+
   /** Compare two stats/bound values under a column's stats type.
     * Long-vs-long compares exactly; any fractional operand promotes
     * both to double (exact for |v| < 2^53 — conservative enough for
@@ -886,6 +900,8 @@ object Snapshots {
     stateAt(spark, table, v).files.filter { f =>
       folded.get(new Path(f).getName).flatMap(_.get(c)) match {
         case None => true // no stats — never prune
+        case Some(cs) if !boundComparable(cs.typ, lo) ||
+            !boundComparable(cs.typ, hi) => true // mismatched bound types
         case Some(cs) =>
           cs.hasValues &&
             cmpStats(cs.typ, cs.max, lo) >= 0 && cmpStats(cs.typ, cs.min, hi) <= 0
@@ -1410,6 +1426,9 @@ object Snapshots {
       if (folded.nonEmpty) {
         visible.map { f =>
           folded.get(new Path(f).getName).flatMap(_.get(c)) match {
+            case Some(cs) if !boundComparable(cs.typ, lo) ||
+                !boundComparable(cs.typ, hi) =>
+              (f, false, true) // mismatched bound types — conservative
             case Some(cs) if !cs.hasValues => (f, false, false) // all NULL
             case Some(cs) =>
               val full = cs.nulls == 0L &&

@@ -943,6 +943,17 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
       base.limit(100).withColumn("maybe", $"o_totalprice").repartition(1))
     val keep3 = Snapshots.statsPrunedFiles(spark, t3, "maybe", 0.0, 1e9)
     assert(keep3.size == 1, s"all-NULL file must prune, got ${keep3.size}")
+    // a TYPE-MISMATCHED bound never prunes (lexicographic compare of a
+    // numeric bound against string stats could wrongly drop a file)
+    val t4 = tbl()
+    Snapshots.setStatsColumns(spark, t4, Seq("o_orderstatus"))
+    Snapshots.commit(spark, t4,
+      Tables.load(spark, sf0001, "orders")
+        .select($"o_orderkey", $"o_orderstatus")
+        .repartitionByRange(3, $"o_orderstatus"))
+    val allFiles = Snapshots.filesAt(spark, t4, 0L).size
+    assert(Snapshots.statsPrunedFiles(spark, t4, "o_orderstatus", 0, 1).size == allFiles,
+      "numeric bounds against string stats must disable pruning, not misprune")
   }
 
   test("stats-in-log fold resolves through the checkpoint sidecar") {

@@ -791,10 +791,25 @@ object Snapshots {
     val cols = statsColumns(spark, table)
     if (cols.isEmpty || files.isEmpty) return None
     val conf = spark.sparkContext.hadoopConfiguration
+    // footer opens are independent metadata reads — parallelize on a
+    // bounded pool: a large compaction/overwrite commits 10³+ files and
+    // serial opens would dominate the manifest write itself. Results
+    // keep `files` order, so the manifest stays deterministic.
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(16, files.size))
+    val stats =
+      try {
+        val futs = files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[(String, Map[String, ColStats])] {
+            def call(): (String, Map[String, ColStats]) =
+              new Path(f).getName -> footerStats(conf, f, cols.toSet)
+          })
+        }
+        futs.map(_.get())
+      } finally pool.shutdown()
     val node = mapper.createObjectNode()
-    files.foreach { f =>
-      val st = footerStats(conf, f, cols.toSet)
-      if (st.nonEmpty) writeFileStats(node, new Path(f).getName, st)
+    stats.foreach { case (name, st) =>
+      if (st.nonEmpty) writeFileStats(node, name, st)
     }
     if (node.isEmpty) None else Some(node)
   }

@@ -205,4 +205,56 @@ class ExprSpec extends AnyFunSuite with SparkSuite {
     assert(rows(0).getSeq[Long](2) == Seq(1L, 2L))
     assert(rows(1).getLong(1) == 5L)
   }
+
+  test("DvBitmapDeleted: codegen == interpreted eval at word boundaries, absent files, short bitmaps") {
+    import graft.expr.{DvBitmap, DvBitmapDeleted}
+    import org.apache.spark.unsafe.types.UTF8String
+    // one file with bits {0, 63, 64, 1000} set; 'other' absent entirely
+    val words = new Array[Long]((1000 >>> 6) + 1)
+    Seq(0, 63, 64, 1000).foreach(i => words(i >>> 6) |= 1L << i)
+    val m = new java.util.HashMap[String, Array[Long]]()
+    m.put("f1", words)
+    val bc = spark.sparkContext.broadcast(m)
+    val ris = Seq(0L, 1L, 62L, 63L, 64L, 65L, 999L, 1000L, 1001L,
+      (words.length.toLong * 64) + 5L) // beyond the bitmap's words
+    val rows = ris.flatMap(ri => Seq(("f1", ri), ("other", ri)))
+    val df = rows.toDF("f", "ri")
+    // codegen path (whole-stage): the predicate as a selected column
+    val got = df.select($"f", $"ri",
+        DvBitmap.deleted(bc, $"f", $"ri").as("del"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    val set = Set(0L, 63L, 64L, 1000L)
+    rows.foreach { case (f, ri) =>
+      val want = f == "f1" && set.contains(ri)
+      assert(got((f, ri)) == want, s"codegen ($f, $ri): got ${got((f, ri))}, want $want")
+    }
+    // interpreted eval path (direct Expression.eval) must agree
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{LongType, StringType}
+    rows.foreach { case (f, ri) =>
+      val e = DvBitmapDeleted(
+        BoundReference(0, StringType, nullable = true),
+        BoundReference(1, LongType, nullable = false), bc)
+      val v = e.eval(InternalRow(UTF8String.fromString(f), ri))
+      assert(v == (f == "f1" && set.contains(ri)), s"eval ($f, $ri) = $v")
+    }
+    // NULL file path reads as "not deleted" in interpreted eval
+    val eNull = DvBitmapDeleted(Literal(null, StringType),
+      BoundReference(1, LongType, nullable = false), bc)
+    assert(eNull.eval(InternalRow(null, 0L)) == false)
+  }
+
+  test("DvBitmap.cachedBroadcast: same immutable key returns the same broadcast") {
+    import graft.expr.DvBitmap
+    val dv = Seq(("fA", 1L), ("fA", 9L)).toDF("file_path", "row_index")
+    val a = DvBitmap.cachedBroadcast(spark, Seq("s1", "s2"), Seq("fA"), dv)
+    val b = DvBitmap.cachedBroadcast(spark, Seq("s2", "s1"), Seq("fA"),
+      sys.error("must not rebuild"))
+    assert(a eq b, "sidecar-set + dirty-set key must hit the cache (order-insensitive)")
+    val c = DvBitmap.cachedBroadcast(spark, Seq("s1", "s3"), Seq("fA"), dv)
+    assert(!(a eq c), "a different sidecar set must rebuild")
+    assert(a.value.get("fA") != null &&
+      (a.value.get("fA")(0) & (1L << 1)) != 0L && (a.value.get("fA")(0) & (1L << 9)) != 0L)
+  }
 }

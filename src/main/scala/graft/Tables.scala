@@ -78,5 +78,10 @@ object Tables {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // modern MICROS instead of the deprecated INT96 default: INT96
+    // footers carry no usable min/max, so snapshot stats-in-log could
+    // never prune a timestamp retention column (the single most common
+    // one) on engine-written tables
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
 }

@@ -97,6 +97,31 @@ object DvBitmap {
         size() > cacheCapacity
     }
 
+  /** In-flight builds keyed like [[cache]] — concurrent readers of the
+    * SAME state share one build; readers of DIFFERENT states build in
+    * parallel (the global lock only guards map gets/puts, never the
+    * Spark aggregation itself, which previously serialized every
+    * concurrent DV'd read across all tables behind one build). */
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.concurrent.CompletableFuture[Broadcast[java.util.HashMap[String, Array[Long]]]]]()
+
+  /** Constant-size content key: the sorted path lists are hashed (a
+    * 10⁵-dirty-file read would otherwise build a multi-MB key string
+    * per read), with a NUL joiner no filesystem path can contain. */
+  private def contentKey(appId: String, dvFiles: Seq[String],
+      dirtyFiles: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def fold(xs: Seq[String]): Unit = {
+      xs.sorted.foreach { x =>
+        md.update(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(0.toByte)
+      }
+      md.update(1.toByte) // list separator — ([a],[]) never collides with ([],[a])
+    }
+    fold(dvFiles); fold(dirtyFiles)
+    appId + "|" + java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
   /** [[buildBroadcast]] memoized on the immutable inputs. `dvFiles` and
     * `dirtyFiles` identify the content; the application id scopes the
     * key to the live SparkContext (a broadcast from a stopped context
@@ -104,17 +129,23 @@ object DvBitmap {
   def cachedBroadcast(spark: SparkSession, dvFiles: Seq[String],
       dirtyFiles: Seq[String], dv: => DataFrame)
       : Broadcast[java.util.HashMap[String, Array[Long]]] = {
-    val key = spark.sparkContext.applicationId + "|" +
-      dvFiles.sorted.mkString(",") + "|" + dirtyFiles.sorted.mkString(",")
+    val key = contentKey(spark.sparkContext.applicationId, dvFiles, dirtyFiles)
     cache.synchronized {
       val hit = cache.get(key)
-      if (hit != null) hit
-      else {
-        val built = buildBroadcast(spark, dv)
-        cache.put(key, built)
-        built
-      }
+      if (hit != null) return hit
     }
+    val fut = new java.util.concurrent.CompletableFuture[
+      Broadcast[java.util.HashMap[String, Array[Long]]]]()
+    val prev = inflight.putIfAbsent(key, fut)
+    if (prev != null) return prev.join() // someone else is building this state
+    try {
+      val built = buildBroadcast(spark, dv)
+      cache.synchronized { cache.put(key, built) }
+      fut.complete(built)
+      built
+    } catch {
+      case t: Throwable => fut.completeExceptionally(t); throw t
+    } finally inflight.remove(key)
   }
 
   /** Predicate column: true iff `(filePath, rowIndex)` is marked

@@ -119,7 +119,21 @@ object Snapshots {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+      // FileContext rename-with-OVERWRITE is the atomic primitive on
+      // HDFS-like stores. A store with no AbstractFileSystem binding
+      // (some object stores) has NO atomic rename at all — refuse
+      // loudly rather than silently break the torn-write guarantee the
+      // checkpoint/vacuum paths depend on. (A crash between stage and
+      // rename strands the .tmp file; vacuum sweeps those.)
+      val fc =
+        try org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+        catch {
+          case e: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            throw new UnsupportedOperationException(
+              s"atomic replace of $target needs an AbstractFileSystem binding " +
+                s"for scheme '${f.getUri.getScheme}' (FileContext rename is the " +
+                "atomic primitive); this store cannot host a snapshot log", e)
+        }
       fc.rename(f.makeQualified(tmp), f.makeQualified(target),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
@@ -131,6 +145,22 @@ object Snapshots {
 
   private def fs(spark: SparkSession, table: String) =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Normalize a path string that came from `_metadata.file_path` (or a
+    * DV sidecar's `file_path` column, which stores it) to the literal
+    * on-disk name manifests record: those strings are URI-ENCODED
+    * (`%20` for a space — e.g. a partition value with specials), so a
+    * plain `new Path(s).toString` of both sides never matches. Decodes
+    * one URI layer THEN Path-normalizes (slash count, scheme
+    * spelling). Manifest/listStatus strings must NOT go through this —
+    * a literal `%xx` in a file name (our own partition escaping writes
+    * them) would be wrongly stripped; use `new Path(s).toString` for
+    * those. */
+  private def normPath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme != null) new Path(u).toString else new Path(s).toString
+    } catch { case _: java.net.URISyntaxException => new Path(s).toString }
 
   /** Versions present in the log, ascending (empty for a fresh path). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -154,19 +184,59 @@ object Snapshots {
       neutral: Boolean = false,
       restoredFrom: Option[Long] = None)
 
+  // ------------------------------------------------------------------
+  // Snapshot-state caches. Manifests are IMMUTABLE once created (the
+  // one exception — vacuum's horizon rewrite + manifest truncation —
+  // invalidates below), so parsed manifests, folded states, and folded
+  // stats are memoized per (table, version). Without this every read
+  // re-lists the log and re-parses JSON from the last checkpoint
+  // forward — a driver-side O(commits + files) cost PER QUERY that
+  // becomes the serving bottleneck at 10⁴ commits / many reads per
+  // second of the same version (the reason Delta caches Snapshot
+  // objects). `latestVersion` stays the only filesystem probe on a
+  // warm read path. Capacities bound driver footprint; entries are
+  // plain data (no broadcasts), so eviction needs no cleanup.
+  // ------------------------------------------------------------------
+  private def lruCache[V](cap: Int) =
+    new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        size() > cap
+    }
+  private val manifestCache = lruCache[Manifest](8192)
+  private val stateCache = lruCache[State](256)
+  private val statsFoldCache = lruCache[Map[String, Map[String, ColStats]]](64)
+  private def cacheKey(table: String, v: Long) = table + "#v" + v
+
+  /** Drop every cached entry for `table` — called by [[vacuum]], whose
+    * horizon rewrite and manifest truncation are the ONLY mutations of
+    * existing versions. Test seam. */
+  private[graft] def invalidateCaches(table: String): Unit = {
+    val prefix = table + "#v"
+    def purge[V](m: java.util.LinkedHashMap[String, V]): Unit =
+      m.synchronized { m.keySet().removeIf(_.startsWith(prefix)) }
+    purge(manifestCache); purge(stateCache); purge(statsFoldCache)
+  }
+
   private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
+    val key = cacheKey(table, v)
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null) return hit
+    }
     val f = fs(spark, table)
     val in = f.open(versionFile(table, v))
     val node = try mapper.readTree(in) finally in.close()
     def arr(name: String): Seq[String] = Option(node.get(name))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
-    Manifest(node.get("version").asLong(), node.get("action").asText(),
+    val m = Manifest(node.get("version").asLong(), node.get("action").asText(),
       node.get("files").elements().asScala.map(_.asText()).toSeq,
       node.get("ts").asLong(),
       Option(node.get("batchId")).map(_.asLong()),
       arr("removed"), arr("dvs"), arr("removedDvs"),
       Option(node.get("neutral")).exists(_.asBoolean()),
       Option(node.get("restoredFrom")).map(_.asLong()))
+    manifestCache.synchronized { manifestCache.put(key, m) }
+    m
   }
 
   /** The visible state at a version: the data FILES plus the DELETION
@@ -180,9 +250,26 @@ object Snapshots {
     * against, its key columns, and the (broadcast-sized) distinct
     * source keys — enough to detect the one race no serial order can
     * explain: a concurrent commit inserting a key this merge also
-    * upserts (both rows end up live). */
+    * upserts (both rows end up live). `sourceKeys` is a LOCAL relation
+    * (the keys were collected once at merge start), so the guard probes
+    * the exact keys the merge actually matched against — re-executing a
+    * nondeterministic source plan at conflict-check time could evaluate
+    * DIFFERENT keys and let a genuine write-write conflict pass. */
   private final case class MergeGuard(baseVersion: Long,
       keyCols: Seq[String], sourceKeys: DataFrame)
+
+  /** Collect `source`'s distinct key tuples ONCE and pin them as a
+    * local relation — the single key set every downstream use of the
+    * merge shares (touched-file discovery, the anti-join, the commit
+    * loop's MergeGuard). Broadcast-sized by contract: a table-scale
+    * "merge" is an overwrite commit, not an upsert. */
+  private def frozenSourceKeys(spark: SparkSession, source: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val proj = source.select(keyCols.map(col): _*)
+    val rows = proj.distinct().collect()
+    broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), proj.schema))
+  }
 
   /** The file set visible at `version`: fold the log from the last
     * overwrite at-or-before it. Loud on a vacuumed/unknown version. */
@@ -195,6 +282,17 @@ object Snapshots {
     * are stale-but-harmless: readers apply DVs per file, and a removed
     * file is never scanned. */
   private def stateAt(spark: SparkSession, table: String, version: Long): State = {
+    val key = cacheKey(table, version)
+    stateCache.synchronized {
+      val hit = stateCache.get(key)
+      if (hit != null) return hit
+    }
+    val st = stateAtUncached(spark, table, version)
+    stateCache.synchronized { stateCache.put(key, st) }
+    st
+  }
+
+  private def stateAtUncached(spark: SparkSession, table: String, version: Long): State = {
     val vs = versions(spark, table)
     require(vs.contains(version),
       s"snapshot version $version does not exist for $table " +
@@ -330,20 +428,240 @@ object Snapshots {
       neutral = neutral, mergeGuard = mergeGuard)
   }
 
+  // ------------------------------------------------------------------
+  // Partition-aware layout. Registered partition columns
+  // (`partition.columns` table property, set BEFORE the first commit —
+  // Delta's create-time contract) make every commit write
+  // `partitionBy` Hive-style directories INSIDE its immutable commit
+  // dir: `data/c-xxxx/__p_col=value/part-*.parquet`. The partitioned
+  // column is DUPLICATED into a `__p_` shadow for the directory
+  // layout and kept in the data file itself (a per-file constant —
+  // parquet dictionary-encodes it to nothing), so data files stay
+  // self-contained: every existing read path (DV subtraction, stats,
+  // provenance, schema evolution) works unchanged, and partition
+  // PRUNING is pure path parsing at the manifest level — the file
+  // list a reader plans from never includes other partitions' files.
+  // On top of the layout: metadata-only whole-partition drops
+  // ([[deletePartitions]] — the retention primitive that makes
+  // "delete a day" a manifest write at 100 TB) and dynamic partition
+  // overwrite ([[overwritePartitions]] — the incremental-load contract
+  // for a nightly refresh that replaces exactly the partitions it
+  // recomputed while appends to other partitions commute).
+  // ------------------------------------------------------------------
+
+  // deliberately NOT underscore-prefixed: `_`-led names are skipped as
+  // metadata by file listers (our own leaf enumeration, Spark's file
+  // index, the streaming file source) — the partition dirs must be
+  // visible to all of them
+  private val partPrefix = "p__"
+  private val hiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Register the columns every subsequent commit partitions the
+    * layout by. Must be called before the first commit: files written
+    * unpartitioned carry no partition path segments, so partition
+    * predicates could not prune (or worse, drop) them exactly. */
+  def setPartitionColumns(spark: SparkSession, table: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "setPartitionColumns: at least one column")
+    require(latestVersion(spark, table).isEmpty,
+      s"setPartitionColumns: $table already has commits — partitioning is a " +
+        "create-time property (rewrite into a fresh partitioned table instead)")
+    setProperty(spark, table, "partition.columns", cols.mkString(","))
+  }
+
+  private def partitionColumnsOf(spark: SparkSession, table: String): Seq[String] =
+    properties(spark, table).get("partition.columns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** Unescape one Hive-style partition path value (`%xx` sequences —
+    * the convention Spark's `partitionBy` writes). */
+  private def unescapePathValue(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        // malformed %-runs fall through literally
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Partition values parsed from a file's path segments
+    * (`__p_col=value`), column → value string; the hive default
+    * sentinel maps to null. Empty for files written before/without
+    * partition registration. */
+  private[graft] def partitionValuesOf(file: String): Map[String, String] = {
+    val p = new Path(file)
+    var seg = p.getParent
+    var out = Map.empty[String, String]
+    while (seg != null && seg.getName.startsWith(partPrefix) &&
+        seg.getName.contains('=')) {
+      val name = seg.getName
+      val eq = name.indexOf('=')
+      val c = name.substring(partPrefix.length, eq)
+      val raw = name.substring(eq + 1)
+      out += c -> (if (raw == hiveDefaultPartition) null
+        else unescapePathValue(raw))
+      seg = seg.getParent
+    }
+    out
+  }
+
+  /** Render a filter value the way Spark renders it into a partition
+    * path (pre-escaping): the exact-match key for pruning. */
+  private def renderPartValue(v: Any): String = v match {
+    case null => null
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
+    case other => other.toString
+  }
+
+  /** True when `file`'s parsed partition values match every
+    * `(column → value)` entry. A file with NO parsed value for a
+    * filtered column does not match (exactness is guarded by the
+    * create-time registration contract). */
+  private def partitionMatches(file: String, filter: Map[String, Any]): Boolean = {
+    val vals = partitionValuesOf(file)
+    filter.forall { case (c, v) =>
+      vals.get(c) match {
+        case Some(got) => got == renderPartValue(v)
+        case None => false
+      }
+    }
+  }
+
+  /** Visible files of `version` (default latest) inside the partitions
+    * matching `filter` — manifest-level partition pruning: pure path
+    * parsing, no file opened. */
+  def partitionPrunedFiles(spark: SparkSession, table: String,
+      filter: Map[String, Any], version: Option[Long] = None): Seq[String] = {
+    require(filter.nonEmpty, "partitionPrunedFiles: empty filter")
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    stateAt(spark, table, v).files.filter(partitionMatches(_, filter))
+  }
+
+  /** Read exactly the partitions matching `filter` (equality on each
+    * listed partition column), deletion vectors still applied. The
+    * scan's file list IS the partition — other partitions' files never
+    * reach the planner — and the equality predicate is re-applied on
+    * the data columns (a per-file constant: codegen folds it), so the
+    * result is exact even against a hand-dropped file. */
+  def readPartitions(spark: SparkSession, table: String,
+      filter: Map[String, Any], version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val st = stateAt(spark, table, v)
+    val keep = partitionPrunedFiles(spark, table, filter, Some(v))
+    val base = readState(spark, table, State(keep, st.dvs))
+    val pred = filter.map { case (c, vv) =>
+      if (vv == null) col(c).isNull else col(c) === lit(vv)
+    }.reduce(_ && _)
+    base.where(pred)
+  }
+
+  /** DROP PARTITION: remove every visible file of the partitions
+    * matching `filter` from the manifest — METADATA-ONLY, no byte
+    * read or written; deleting a day from a year of time-partitioned
+    * data is one manifest rename. DV rows referencing dropped files
+    * become stale-but-harmless. Refuses loudly if a matching
+    * partition's files predate partition registration (no path
+    * segments — exact semantics impossible). The conflict check
+    * covers the dropped files: a racing rewrite of one fails the
+    * commit rather than resurrecting rows. */
+  def deletePartitions(spark: SparkSession, table: String,
+      filter: Map[String, Any]): Cow = {
+    require(filter.nonEmpty, "deletePartitions: empty filter")
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val st = stateAt(spark, table, base)
+    val pcols = partitionColumnsOf(spark, table)
+    require(filter.keySet.subsetOf(pcols.toSet),
+      s"deletePartitions: ${filter.keySet} must be registered partition " +
+        s"columns ($pcols)")
+    val unpartitioned = st.files.filter(partitionValuesOf(_).isEmpty)
+    require(unpartitioned.isEmpty,
+      s"deletePartitions: ${unpartitioned.size} visible files carry no " +
+        "partition path segments (written before registration?) — exact " +
+        "partition semantics impossible; use deleteWhere")
+    val dropped = st.files.filter(partitionMatches(_, filter)).sorted
+    if (dropped.isEmpty) return Cow(None, 0, st.files.size)
+    val v = commitManifest(spark, table, Seq.empty, "replace", None,
+      removed = dropped, baseDvs = Some(st.dvs.toSet))
+    Cow(Some(v), 0, st.files.size, filesDropped = dropped.size)
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE: replace exactly the partitions
+    * PRESENT IN `df` with `df`'s rows — the nightly-refresh contract
+    * (Spark's `partitionOverwriteMode=dynamic`, made atomic): visible
+    * files of those partitions are removed and `df`'s files added in
+    * ONE `replace` commit, so readers flip atomically and appends or
+    * refreshes touching OTHER partitions commute (a whole-table
+    * overwrite would conflict with every concurrent commit). Cost is
+    * O(df + dropped partitions' manifests) — untouched partitions are
+    * carried by reference. */
+  def overwritePartitions(spark: SparkSession, table: String,
+      df: DataFrame): Cow = {
+    val base = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val pcols = partitionColumnsOf(spark, table)
+    require(pcols.nonEmpty,
+      s"overwritePartitions: $table has no registered partition columns")
+    val st = stateAt(spark, table, base)
+    // the touched partition tuples — partition-count-scale driver list
+    val touched = df.select(pcols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => pcols.indices.map(i =>
+        if (r.isNullAt(i)) null else r.getString(i)).toIndexedSeq).toSet
+    val removed = st.files.filter { f =>
+      val vals = partitionValuesOf(f)
+      vals.nonEmpty &&
+        touched.contains(pcols.map(c => vals.getOrElse(c, "")).toIndexedSeq)
+    }.sorted
+    val files = writeData(spark, table, df)
+    validateWrittenOrAbort(spark, table, files)
+    val v = commitManifest(spark, table, files, "replace", None,
+      removed = removed, baseDvs = Some(st.dvs.toSet))
+    Cow(Some(v), removed.size, st.files.size)
+  }
+
   /** Write `df` as a new immutable commit directory; returns the part
     * files (durable but INVISIBLE until a manifest references them —
-    * a crash here leaves orphans for [[vacuum]] to sweep). */
+    * a crash here leaves orphans for [[vacuum]] to sweep). Registered
+    * partition columns shape the layout: each is duplicated into a
+    * `__p_` shadow consumed by `partitionBy` (so the data file keeps
+    * the real column) and leaf files are enumerated recursively. */
   private def writeData(spark: SparkSession, table: String, df: DataFrame,
       maxRecordsPerFile: Option[Long] = None): Seq[String] = {
     val f = fs(spark, table)
     val commitDir = new Path(new Path(table, "data"),
       s"c-${UUID.randomUUID().toString.take(8)}")
-    val writer = df.write
+    val pcols = partitionColumnsOf(spark, table)
+    val writer =
+      if (pcols.isEmpty) df.write
+      else {
+        val missing = pcols.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"commit to $table: partition column(s) ${missing.mkString(",")} " +
+            "absent from the batch")
+        pcols.foldLeft(df)((d, c) => d.withColumn(partPrefix + c, col(c)))
+          .write.partitionBy(pcols.map(partPrefix + _): _*)
+      }
     maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n))
     writer.parquet(commitDir.toString)
-    f.listStatus(commitDir).map(_.getPath)
-      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-      .map(_.toString).sorted.toSeq
+    def leaves(dir: Path): Seq[Path] =
+      f.listStatus(dir).toSeq
+        .filter(s => !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .flatMap(s => if (s.isDirectory) leaves(s.getPath) else Seq(s.getPath))
+    leaves(commitDir).map(_.toString).sorted
   }
 
   /** The manifest-create retry loop shared by every commit shape. All
@@ -430,7 +748,7 @@ object Snapshots {
           val scope = removed.map(new Path(_).toString).toSet
           lazy val referenced = spark.read.parquet(addedDvs: _*)
             .select("file_path").distinct().collect()
-            .map(r => new Path(r.getString(0)).toString)
+            .map(r => normPath(r.getString(0)))
           if (scope.nonEmpty && referenced.exists(scope))
             throw new java.util.ConcurrentModificationException(
               s"replace conflict at $table v$v: a concurrent merge-on-read " +
@@ -670,19 +988,32 @@ object Snapshots {
   /** One column's folded footer statistics for one file. `hasValues =
     * false` means every row is NULL (still prunable under a range
     * predicate — range predicates never match NULL). `min`/`max` are
-    * Long ("long"), Double ("double") or String ("string"). */
+    * Long ("long" raw integers, "ts" epoch micros, "date" epoch days),
+    * Double ("double") or String ("string"). */
   private[graft] final case class ColStats(typ: String, min: Any, max: Any,
       nulls: Long, hasValues: Boolean)
 
   /** min/max/nullCount per requested TOP-LEVEL column from one parquet
     * footer, merged across row groups. A column whose statistics are
     * missing/unusable in ANY row group is omitted (conservative — the
-    * file is then never pruned on it). Physical types covered: int32/
-    * int64 → long, float/double → double, UTF8 binary → string;
-    * everything else is skipped. */
+    * file is then never pruned on it). The LOGICAL type annotation
+    * decides both eligibility and the recorded stats type — recording
+    * a physical int for a logically-annotated column would compare
+    * un-decoded values against decoded bounds and prune WRONGLY (the
+    * classic unscaled-DECIMAL hazard):
+    *   - int32/int64 with no annotation or a plain integer annotation
+    *     → "long";
+    *   - int64 TIMESTAMP (MILLIS/MICROS) → "ts", normalized to epoch
+    *     MICROS (MILLIS ×1000 is exact; NANOS is skipped — truncating
+    *     its extrema could narrow the envelope);
+    *   - int32 DATE → "date" (epoch days);
+    *   - float/double → "double"; UTF8 binary → "string";
+    *   - everything else — DECIMAL on any physical type, INT96, UUID,
+    *     nested — is skipped (never recorded, never pruned). */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
       file: String, cols: Set[String]): Map[String, ColStats] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new Path(file), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -697,24 +1028,39 @@ object Snapshots {
             val s = cc.getStatistics
             val prim = cc.getPrimitiveType
             val logical = prim.getLogicalTypeAnnotation
+            val tsUnit: Option[LogicalTypeAnnotation.TimeUnit] = logical match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                Some(t.getUnit)
+              case _ => None
+            }
+            val plainInt = logical == null ||
+              logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
             val typ = prim.getPrimitiveTypeName match {
-              case INT32 | INT64 => "long"
+              case INT32 if plainInt => "long"
+              case INT32 if logical
+                .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] => "date"
+              case INT64 if plainInt => "long"
+              case INT64 if tsUnit.contains(LogicalTypeAnnotation.TimeUnit.MILLIS) ||
+                tsUnit.contains(LogicalTypeAnnotation.TimeUnit.MICROS) => "ts"
               case FLOAT | DOUBLE => "double"
               case BINARY
-                if logical.isInstanceOf[org.apache.parquet.schema
-                  .LogicalTypeAnnotation.StringLogicalTypeAnnotation] => "string"
+                if logical.isInstanceOf[
+                  LogicalTypeAnnotation.StringLogicalTypeAnnotation] => "string"
               case _ => null
             }
+            val tsScale =
+              if (tsUnit.contains(LogicalTypeAnnotation.TimeUnit.MILLIS)) 1000L else 1L
             if (typ == null || s == null || !s.isNumNullsSet ||
                 (s.isEmpty && b.getRowCount > 0)) {
               bad += name; perCol.remove(name)
             } else {
               val hasVals = s.hasNonNullValue
               def v(raw: Any): Any = typ match {
-                case "long" => raw match {
+                case "long" | "date" => raw match {
                   case i: java.lang.Integer => i.longValue()
                   case l: java.lang.Long => l.longValue()
                 }
+                case "ts" => raw.asInstanceOf[java.lang.Long].longValue() * tsScale
                 case "double" => raw match {
                   case f: java.lang.Float => f.doubleValue()
                   case d: java.lang.Double => d.doubleValue()
@@ -752,6 +1098,15 @@ object Snapshots {
     * file instead (kept — no false negatives, ever). */
   private def boundComparable(typ: String, bound: Any): Boolean = typ match {
     case "string" => bound.isInstanceOf[String]
+    case "ts" => bound match {
+      case _: java.sql.Timestamp | _: java.time.Instant |
+           _: java.time.LocalDateTime | _: Long => true
+      case _ => false
+    }
+    case "date" => bound match {
+      case _: java.sql.Date | _: java.time.LocalDate | _: Int | _: Long => true
+      case _ => false
+    }
     case _ => bound match {
       case _: Long | _: Int | _: Double | _: Float |
            _: java.math.BigDecimal => true
@@ -759,12 +1114,43 @@ object Snapshots {
     }
   }
 
+  /** A "ts" bound as epoch MICROS — the unit the stats were normalized
+    * to. `java.sql.Timestamp` / `Instant` map through their UTC instant
+    * (matching how Spark stores TimestampType); `LocalDateTime` maps as
+    * wall-clock-at-UTC (matching TimestampNTZ's storage); a raw Long is
+    * taken as micros. */
+  private def tsMicros(bound: Any): Long = bound match {
+    case t: java.sql.Timestamp =>
+      java.lang.Math.addExact(java.lang.Math.multiplyExact(t.getTime / 1000L, 1000000L),
+        (t.getNanos / 1000).toLong)
+    case i: java.time.Instant =>
+      java.lang.Math.addExact(java.lang.Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong)
+    case l: java.time.LocalDateTime => tsMicros(l.toInstant(java.time.ZoneOffset.UTC))
+    case l: Long => l
+  }
+
+  /** A "date" bound as epoch DAYS. */
+  private def dateDays(bound: Any): Long = bound match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
   /** Compare two stats/bound values under a column's stats type.
     * Long-vs-long compares exactly; any fractional operand promotes
     * both to double (exact for |v| < 2^53 — conservative enough for
-    * pruning bounds). */
+    * pruning bounds). Strings compare as UNSIGNED UTF-8 BYTES — the
+    * order parquet's binary min/max are extrema under; UTF-16 code-unit
+    * order diverges past the BMP and would prune wrongly. */
   private def cmpStats(typ: String, a: Any, b: Any): Int = typ match {
-    case "string" => a.toString.compareTo(b.toString)
+    case "string" =>
+      val u = java.nio.charset.StandardCharsets.UTF_8
+      java.util.Arrays.compareUnsigned(
+        a.toString.getBytes(u), b.toString.getBytes(u))
+    case "ts" => java.lang.Long.compare(tsMicros(a), tsMicros(b))
+    case "date" => java.lang.Long.compare(dateDays(a), dateDays(b))
     case _ =>
       (a, b) match {
         case (x: Long, y: Long) => java.lang.Long.compare(x, y)
@@ -822,7 +1208,7 @@ object Snapshots {
       cn.put("t", cs.typ)
       cn.put("n", cs.nulls)
       if (cs.hasValues) cs.typ match {
-        case "long" =>
+        case "long" | "ts" | "date" =>
           cn.put("min", cs.min.asInstanceOf[Long])
           cn.put("max", cs.max.asInstanceOf[Long])
         case "double" =>
@@ -855,6 +1241,18 @@ object Snapshots {
     * checkpoint (no stats node) falls back to the full manifest fold. */
   private def statsFold(spark: SparkSession, table: String,
       version: Long): Map[String, Map[String, ColStats]] = {
+    val key = cacheKey(table, version)
+    statsFoldCache.synchronized {
+      val hit = statsFoldCache.get(key)
+      if (hit != null) return hit
+    }
+    val folded = statsFoldUncached(spark, table, version)
+    statsFoldCache.synchronized { statsFoldCache.put(key, folded) }
+    folded
+  }
+
+  private def statsFoldUncached(spark: SparkSession, table: String,
+      version: Long): Map[String, Map[String, ColStats]] = {
     val f = fs(spark, table)
     def parseStats(root: com.fasterxml.jackson.databind.JsonNode,
         acc: Map[String, Map[String, ColStats]]): Map[String, Map[String, ColStats]] = {
@@ -871,7 +1269,7 @@ object Snapshots {
             def read(field: String): Any =
               if (!hasVals) null
               else typ match {
-                case "long" => cn.get(field).asLong()
+                case "long" | "ts" | "date" => cn.get(field).asLong()
                 case "double" => cn.get(field).asDouble()
                 case "string" => cn.get(field).asText()
               }
@@ -908,18 +1306,33 @@ object Snapshots {
     * survivor list is only meaningful under the caller's own range
     * predicate. Pure log fold — no file is opened, no data scanned. */
   def statsPrunedFiles(spark: SparkSession, table: String, c: String,
-      lo: Any, hi: Any, version: Option[Long] = None): Seq[String] = {
+      lo: Any, hi: Any, version: Option[Long] = None): Seq[String] =
+    statsPrunedFilesBox(spark, table, Map(c -> (lo, hi)), version)
+
+  /** Multi-column box pruning: visible files whose recorded envelopes
+    * may intersect EVERY `[lo, hi]` band in `box` — the intersection of
+    * the per-column survivor sets, in one log fold. On a
+    * [[Layout.zorderBy]] layout both dimensions' envelopes are tight,
+    * so a 2-D box out-prunes either 1-D band alone (the stats-in-log
+    * twin of the zone-map box prune). Same conservative contract per
+    * column: missing stats, mismatched bound types → never prune. */
+  def statsPrunedFilesBox(spark: SparkSession, table: String,
+      box: Map[String, (Any, Any)], version: Option[Long] = None): Seq[String] = {
+    require(box.nonEmpty, "statsPrunedFilesBox: at least one column band")
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
     val folded = statsFold(spark, table, v)
     stateAt(spark, table, v).files.filter { f =>
-      folded.get(new Path(f).getName).flatMap(_.get(c)) match {
-        case None => true // no stats — never prune
-        case Some(cs) if !boundComparable(cs.typ, lo) ||
-            !boundComparable(cs.typ, hi) => true // mismatched bound types
-        case Some(cs) =>
-          cs.hasValues &&
-            cmpStats(cs.typ, cs.max, lo) >= 0 && cmpStats(cs.typ, cs.min, hi) <= 0
+      val fileStats = folded.get(new Path(f).getName)
+      box.forall { case (c, (lo, hi)) =>
+        fileStats.flatMap(_.get(c)) match {
+          case None => true // no stats — never prune
+          case Some(cs) if !boundComparable(cs.typ, lo) ||
+              !boundComparable(cs.typ, hi) => true // mismatched bound types
+          case Some(cs) =>
+            cs.hasValues &&
+              cmpStats(cs.typ, cs.max, lo) >= 0 && cmpStats(cs.typ, cs.min, hi) <= 0
+        }
       }
     }
   }
@@ -930,11 +1343,18 @@ object Snapshots {
     * The CALLER must still apply the exact `[lo, hi]` predicate: the
     * survivor set is a superset only with respect to matching rows. */
   def readStatsPruned(spark: SparkSession, table: String, c: String,
-      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+      lo: Any, hi: Any, version: Option[Long] = None): DataFrame =
+    readStatsPrunedBox(spark, table, Map(c -> (lo, hi)), version)
+
+  /** [[readStatsPrunedBox]]: the multi-column box twin of
+    * [[readStatsPruned]] — scan only files surviving EVERY band, DVs
+    * still applied; the caller applies the exact box predicate. */
+  def readStatsPrunedBox(spark: SparkSession, table: String,
+      box: Map[String, (Any, Any)], version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
     val st = stateAt(spark, table, v)
-    val keep = statsPrunedFiles(spark, table, c, lo, hi, Some(v))
+    val keep = statsPrunedFilesBox(spark, table, box, Some(v))
     readState(spark, table, State(keep, st.dvs))
   }
 
@@ -1027,9 +1447,10 @@ object Snapshots {
     if (dvParts.isEmpty) return ins
     val dv = spark.read.parquet(dvParts: _*)
     // the deleted rows' content lives in their (immutable) source
-    // files — scan only those, keep the listed positions
+    // files — scan only those, keep the listed positions (decoded to
+    // literal names: the stored strings are URI-encoded)
     val dvFiles = dv.select("file_path").distinct().collect()
-      .map(_.getString(0)).toSeq.sorted
+      .map(r => normPath(r.getString(0))).toSeq.sorted
     val dels = positionsSemi(spark, spark.read.parquet(dvFiles: _*), dv)
       .withColumn("_change_type", lit("delete"))
     ins.unionByName(dels)
@@ -1110,7 +1531,7 @@ object Snapshots {
     // budget — so discovery stays ONE sidecar-scale aggregation.
     val perFile = dv.groupBy(col("file_path"))
       .agg(max(col("row_index")).as("max_ri")).collect()
-    val dvFiles = perFile.map(r => new Path(r.getString(0)).toString).toSet
+    val dvFiles = perFile.map(r => normPath(r.getString(0))).toSet
     val (dirty, clean) = st.files.partition(f => dvFiles.contains(new Path(f).toString))
     if (dirty.isEmpty) return decorate(readFiles(spark, table, st.files, mergeSchema))
     val dirtyNorm = dirty.map(new Path(_).toString).toSet
@@ -1118,7 +1539,7 @@ object Snapshots {
     // stale-but-harmless: excluded from the budget, the bitmap build,
     // and the dictionary alike
     val livePerFile = perFile
-      .filter(r => dirtyNorm.contains(new Path(r.getString(0)).toString))
+      .filter(r => dirtyNorm.contains(normPath(r.getString(0))))
     val bitmapBytes = livePerFile.map(r => ((r.getLong(1) >>> 6) + 1L) * 8L).sum
     val scan = decorate(readFiles(spark, table, dirty, mergeSchema))
     val applied =
@@ -1289,6 +1710,27 @@ object Snapshots {
       .filter(p => sizes.get(new Path(p).toString).exists(_ < smallFileMaxBytes))
       .sorted
     if (small.size < math.max(minFiles, 2)) return Cow(None, 0, st.files.size)
+    // sidecars whose every LIVE reference is being compacted away are
+    // retired with the rewrite — without this they stay visible forever
+    // and every subsequent read re-scans them for rows that are 100%
+    // stale. A sidecar touching any surviving file stays (its rows for
+    // compacted files become stale-but-harmless); one sidecar-scale
+    // scan, only when DVs exist at all.
+    val smallNorm = small.map(new Path(_).toString).toSet
+    val visibleNorm = st.files.map(new Path(_).toString).toSet
+    val retiredDvs =
+      if (st.dvs.isEmpty) Seq.empty[String]
+      else {
+        val refs = spark.read.parquet(st.dvs: _*)
+          .select(col("_metadata.file_path").as("dv_part"), col("file_path"))
+          .distinct().collect()
+          .map(r => normPath(r.getString(0)) -> normPath(r.getString(1)))
+        val byPart = refs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        st.dvs.filter { p =>
+          byPart.get(new Path(p).toString).forall(_.forall(f =>
+            smallNorm.contains(f) || !visibleNorm.contains(f)))
+        }.sorted
+      }
     // bin-pack ~packFactor small files per write task; maxRecordsPerFile
     // still splits any task that packs past the row target, so output
     // files are bounded above by rows and below by the packing
@@ -1297,7 +1739,8 @@ object Snapshots {
       .coalesce(math.max(1, small.size / packFactor))
     val v = commitAction(spark, table, packed, "replace", batchId = None,
       maxRecordsPerFile = Some(targetRowsPerFile),
-      removed = small, baseDvs = Some(st.dvs.toSet), neutral = true)
+      removed = small, removedDvs = retiredDvs,
+      baseDvs = Some(st.dvs.toSet), neutral = true)
     Cow(Some(v), small.size, st.files.size)
   }
 
@@ -1352,7 +1795,7 @@ object Snapshots {
     touchedFilesPlan(spark, scan, cond).collect()
       // normalize through hadoop Path: the manifest stores
       // FileSystem-qualified paths, _metadata a URI form
-      .map(r => new Path(r.getString(0)).toString).toSeq.sorted
+      .map(r => normPath(r.getString(0))).toSeq.sorted
   }
 
   /** The discovery scan as a DataFrame (PlanSpec pins its shape: the
@@ -1553,9 +1996,10 @@ object Snapshots {
     val st = stateAt(spark, table, base)
     val visible = st.files
     // touched = files holding a row whose key appears in source; the
-    // source is the delta — broadcast-sized by contract (a table-scale
-    // "merge" is an overwrite commit, not an upsert)
-    val srcKeys = broadcast(source.select(keyCols.map(col): _*).distinct())
+    // key set is COLLECTED once (broadcast-sized by contract) so
+    // discovery, the anti-join, and the conflict guard all probe the
+    // same frozen keys even against a nondeterministic source plan
+    val srcKeys = frozenSourceKeys(spark, source, keyCols)
     val keyEq = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val scanSet = candidates
       .map(_.map(new Path(_).toString).filter(visible.map(new Path(_).toString).toSet))
@@ -1567,7 +2011,7 @@ object Snapshots {
         .as("t")
         .join(srcKeys.as("s"), keyEq, "left_semi")
         .select(col("__file")).distinct().collect()
-        .map(r => new Path(r.getString(0)).toString).toSeq.sorted
+        .map(r => normPath(r.getString(0))).toSeq.sorted
     val ordered = snap.columns.toSeq
     val insertOnly = touched.isEmpty
     val newRows =
@@ -1654,7 +2098,7 @@ object Snapshots {
     val n = perFile.map(_.getLong(1)).sum
     if (n == 0L) { f.delete(dir, true); (Seq.empty, 0L, Seq.empty) }
     else (parts, n,
-      perFile.map(r => new Path(r.getString(0)).toString).toSeq.sorted)
+      perFile.map(r => normPath(r.getString(0))).toSeq.sorted)
   }
 
   /** Row-level DELETE as MERGE-ON-READ: write a deletion-vector
@@ -1732,7 +2176,7 @@ object Snapshots {
           "multiple source rows (pass validate = false to skip this check)")
     }
     val st = stateAt(spark, table, base)
-    val srcKeys = broadcast(source.select(keyCols.map(col): _*).distinct())
+    val srcKeys = frozenSourceKeys(spark, source, keyCols)
     val keyEq = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val scanSet = candidates
       .map(_.map(new Path(_).toString).filter(st.files.map(new Path(_).toString).toSet))
@@ -1790,7 +2234,7 @@ object Snapshots {
     val dv = spark.read.parquet(st.dvs: _*)
     val perFile = dv.groupBy(col("file_path")).count().collect()
     // stale DV rows (their file already rewritten away) are not debt
-    val live = perFile.filter(r => visible.contains(new Path(r.getString(0)).toString))
+    val live = perFile.filter(r => visible.contains(normPath(r.getString(0))))
     DvStats(live.length, live.map(_.getLong(1)).sum, st.dvs.size)
   }
 
@@ -1807,7 +2251,7 @@ object Snapshots {
     if (st.dvs.isEmpty) return Cow(None, 0, st.files.size)
     val dvFiles = spark.read.parquet(st.dvs: _*)
       .select("file_path").distinct().collect()
-      .map(r => new Path(r.getString(0)).toString).toSet
+      .map(r => normPath(r.getString(0))).toSet
     val dirty = st.files.filter(f => dvFiles.contains(new Path(f).toString)).sorted
     if (dirty.isEmpty) {
       // stale DVs only (every referenced file already rewritten away):
@@ -1936,7 +2380,7 @@ object Snapshots {
   def resolveDeletedRows(spark: SparkSession, table: String,
       positions: DataFrame): DataFrame = {
     val files = positions.select(col("file_path")).distinct().collect()
-      .map(_.getString(0)).toSeq.sorted
+      .map(r => normPath(r.getString(0))).toSeq.sorted
     if (files.isEmpty) return readFiles(spark, table, Seq.empty).limit(0)
     positionsSemi(spark, spark.read.parquet(files: _*), positions)
   }
@@ -2048,17 +2492,40 @@ object Snapshots {
       else f.listStatus(root).filter(_.isDirectory).map(_.getPath)
     val commitDirs = sweepDirs(new Path(table, "data")) ++ sweepDirs(dvRoot(table))
     var deleted = 0L
-    commitDirs.foreach { d =>
-      val parts = f.listStatus(d).map(_.getPath)
-        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-      val (dead, live) = parts.partition(p => !reachable.contains(p.toString))
-      dead.foreach { p => if (f.delete(p, false)) deleted += 1 }
-      if (live.isEmpty) f.delete(d, true) // whole commit dir unreachable
+    // recurse: a partitioned commit dir nests its files under
+    // __p_col=value directories. Returns true when no LIVE file
+    // remains below `d` (metadata markers don't keep a dir alive).
+    def sweep(d: Path): Boolean = {
+      var allGone = true
+      f.listStatus(d).foreach { s =>
+        val p = s.getPath
+        if (s.isDirectory) {
+          if (sweep(p)) f.delete(p, true) else allGone = false
+        } else if (!p.getName.startsWith("_") && !p.getName.startsWith(".")) {
+          if (!reachable.contains(p.toString)) {
+            if (f.delete(p, false)) deleted += 1
+          } else allGone = false
+        }
+      }
+      allGone
     }
+    commitDirs.foreach { d => if (sweep(d)) f.delete(d, true) }
     vs.dropRight(retainVersions).foreach(v => f.delete(versionFile(table, v), false))
     // checkpoints below the horizon may reference reclaimed files — drop them
     checkpoints(spark, table).filter(_ < horizon)
       .foreach(v => f.delete(checkpointFile(table, v), false))
+    // a crash between createExclusive/replaceAtomic's stage and its
+    // link/rename strands a .tmp-* file in the log dir forever — vacuum
+    // is the maintenance op serialized against writers, so sweeping
+    // them here is race-free
+    f.listStatus(logDir(table)).map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .foreach(p => f.delete(p, false))
+    // the horizon rewrite + manifest truncation are the one mutation of
+    // existing versions — cached manifests/states/stats for this table
+    // must not outlive them (a stale hit on a dropped version would
+    // silently plan a scan over reclaimed files instead of failing loud)
+    invalidateCaches(table)
     deleted
   }
 }

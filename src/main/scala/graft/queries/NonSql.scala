@@ -320,6 +320,32 @@ object NonSql {
       .orderBy($"o_orderkey")
   }
 
+  // S25: partition-aware snapshot lifecycle — the 100 TB layout
+  // contract: orders is committed hive-partitioned by o_orderpriority
+  // (per-file partition values recoverable from the manifest's paths),
+  // a whole partition is dropped METADATA-ONLY (no byte read — the
+  // "delete a day" primitive), another is atomically replaced by a
+  // dynamic partition overwrite (the nightly-refresh contract), a MOR
+  // delete lands on what remains, and the final read must equal the
+  // relational composition. SnapshotSpec pins that a partition
+  // predicate plans ONLY that partition's files.
+  val s25PartitionedSnapshot: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_part_").toString
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority", $"o_totalprice")
+    graft.operators.Snapshots.setPartitionColumns(s, tmp, Seq("o_orderpriority"))
+    graft.operators.Snapshots.commit(s, tmp, base)
+    graft.operators.Snapshots.deletePartitions(s, tmp,
+      Map("o_orderpriority" -> "5-LOW"))
+    graft.operators.Snapshots.overwritePartitions(s, tmp,
+      base.where($"o_orderpriority" === "2-HIGH" && $"o_totalprice" > 100000.0))
+    graft.operators.Snapshots.deleteWhereMor(s, tmp, $"o_custkey" % 50 === 0)
+    graft.operators.Snapshots.read(s, tmp)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -502,7 +528,8 @@ object NonSql {
     "s21_mor_lifecycle" -> s21MorLifecycle,
     "s22_change_feed" -> s22ChangeFeed,
     "s23_compact_small" -> s23CompactSmall,
-    "s24_stats_prune" -> s24StatsPrune
+    "s24_stats_prune" -> s24StatsPrune,
+    "s25_partitioned_snapshot" -> s25PartitionedSnapshot
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -580,6 +607,11 @@ object NonSql {
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_totalprice BETWEEN 50000.0 AND 150000.0 " +
         "AND NOT (o_custkey % 10 = 0) ORDER BY o_orderkey"),
+    "s25_partitioned_snapshot" ->
+      ("SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders " +
+        "WHERE o_orderpriority <> '5-LOW' " +
+        "AND (o_orderpriority <> '2-HIGH' OR o_totalprice > 100000.0) " +
+        "AND NOT (o_custkey % 50 = 0) ORDER BY o_orderkey"),
     "s22_change_feed" ->
       ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
         "src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice " +

@@ -40,6 +40,12 @@ object Ops {
       Seq("c_mktsegment", "c_nationkey"), "ts")
       .withColumn("valid_to", coalesce($"valid_to",
         to_timestamp(lit("2200-01-01 00:00:00"))))
+      // NTZ on the dumped columns: the session writes TIMESTAMP_MICROS
+      // (adjusted-to-UTC) parquet, which downstream compare engines read
+      // tz-AWARE while the DuckDB oracle's TIMESTAMP literal is naive;
+      // the session TZ is UTC, so the wall-clock value is unchanged
+      .withColumn("valid_from", $"valid_from".cast("timestamp_ntz"))
+      .withColumn("valid_to", $"valid_to".cast("timestamp_ntz"))
       .orderBy($"c_custkey", $"valid_from")
   }
 

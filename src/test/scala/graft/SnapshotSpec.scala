@@ -956,6 +956,272 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
       "numeric bounds against string stats must disable pruning, not misprune")
   }
 
+  test("stats-in-log: DECIMAL columns are never recorded — unscaled footer stats must not plan deletes") {
+    // parquet stores DECIMAL(4,2) as UNSCALED int32 (0.10 → 10); recording
+    // that as a plain long and comparing against scaled bounds classified
+    // a file with values 0.10..0.20 as fully inside [5.0, 25.0] — silent
+    // data loss through deleteRange's metadata-only drop. Decimals are now
+    // skipped at stats capture, so classification is conservative.
+    val t = tbl()
+    Snapshots.setStatsColumns(spark, t, Seq("amt"))
+    Snapshots.commit(spark, t, spark.range(0, 100)
+      .select($"id", (($"id" % 11 + 10) / lit(100.0)).cast("decimal(4,2)").as("amt"))
+      .repartition(1))
+    val n = Snapshots.read(spark, t).count()
+    // the band's UNSCALED shadow [10..20] sits inside [5, 25]; no actual
+    // value (0.10..0.20) does — neither pruning nor deleteRange may act
+    assert(Snapshots.statsPrunedFiles(spark, t, "amt",
+      new java.math.BigDecimal("5.0"), new java.math.BigDecimal("25.0")).size ==
+      Snapshots.filesAt(spark, t, 0L).size,
+      "decimal stats must not be recorded — pruning must stay conservative")
+    val cow = Snapshots.deleteRange(spark, t, "amt",
+      new java.math.BigDecimal("5.0"), new java.math.BigDecimal("25.0"))
+    assert(cow.filesDropped == 0 && Snapshots.read(spark, t).count() == n,
+      s"deleteRange on a decimal column deleted rows it must not: $cow")
+  }
+
+  test("stats-in-log: timestamp and date columns prune with native bounds") {
+    val t = tbl()
+    Snapshots.setStatsColumns(spark, t, Seq("t", "d"))
+    // TimestampType (UTC-adjusted micros) + DateType (epoch days)
+    Snapshots.commit(spark, t, spark.range(0, 96)
+      .select($"id",
+        timestamp_seconds($"id" * 3600).as("t"),
+        date_add(lit("2020-01-01").cast("date"), ($"id" * 4).cast("int")).as("d"))
+      .repartitionByRange(4, $"id"))
+    val all = Snapshots.filesAt(spark, t, 0L).size
+    val lo = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(10 * 3600))
+    val hi = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(20 * 3600))
+    val keepT = Snapshots.statsPrunedFiles(spark, t, "t", lo, hi)
+    assert(keepT.nonEmpty && keepT.size < all,
+      s"timestamp bounds must prune a time-clustered layout: ${keepT.size}/$all")
+    val gotT = Snapshots.readStatsPruned(spark, t, "t", lo, hi)
+      .where($"t".between(lit(lo), lit(hi)))
+    assert(gotT.count() == 11) // hours 10..20 inclusive
+    // Instant bounds take the same path
+    assert(Snapshots.statsPrunedFiles(spark, t, "t",
+      java.time.Instant.ofEpochSecond(10 * 3600),
+      java.time.Instant.ofEpochSecond(20 * 3600)).toSet == keepT.toSet)
+    // date bounds prune too
+    val dLo = java.sql.Date.valueOf("2020-02-01")
+    val dHi = java.time.LocalDate.parse("2020-03-01")
+    val keepD = Snapshots.statsPrunedFiles(spark, t, "d", dLo, dHi)
+    assert(keepD.nonEmpty && keepD.size < all)
+    val gotD = Snapshots.readStatsPruned(spark, t, "d", dLo, dHi)
+      .where($"d".between(lit(dLo), lit(java.sql.Date.valueOf("2020-03-01"))))
+    val wantD = Snapshots.read(spark, t)
+      .where($"d".between(lit(dLo), lit(java.sql.Date.valueOf("2020-03-01"))))
+    assert(gotD.count() == wantD.count() && gotD.count() > 0)
+    // retention delete planned straight off the stats: whole early files
+    // drop metadata-only under a timestamp range
+    val cow = Snapshots.deleteRange(spark, t, "t",
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(23 * 3600)))
+    assert(cow.filesDropped > 0, s"time-retention delete must drop files metadata-only: $cow")
+    assert(Snapshots.read(spark, t).agg(min($"id")).head().getLong(0) == 24L)
+  }
+
+  test("stats-in-log: string pruning compares unsigned UTF-8 bytes, not UTF-16 code units") {
+    // parquet's binary min/max are extrema under unsigned UTF-8 byte
+    // order: for {U+FFFF, U+1F600} the byte-order max is U+1F600 (F0 9F
+    // 98 80 > EF BF BF) while UTF-16 order says U+1F600's surrogate
+    // (D83D) < U+FFFF — a UTF-16 compare of max against lo=U+FFFF would
+    // prune the file that CONTAINS U+FFFF.
+    val t = tbl()
+    Snapshots.setStatsColumns(spark, t, Seq("s"))
+    val smiley = new String(Character.toChars(0x1F600))
+    Snapshots.commit(spark, t,
+      Seq("￿", smiley).toDF("s").repartition(1))
+    val keep = Snapshots.statsPrunedFiles(spark, t, "s", "￿", "￿")
+    assert(keep.size == 1, "file containing the bound value must survive pruning")
+    assert(Snapshots.readStatsPruned(spark, t, "s", "￿", "￿")
+      .where($"s" === "￿").count() == 1)
+  }
+
+  test("vacuum sweeps stranded .tmp-* staging files from the log dir") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(5))
+    Snapshots.commit(spark, t, orders.limit(5))
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stranded = new org.apache.hadoop.fs.Path(t, "_graft_log/.tmp-deadbeef")
+    val out = f.create(stranded, true); out.write("torn".getBytes); out.close()
+    Snapshots.vacuum(spark, t, retainVersions = 1)
+    assert(!f.exists(stranded), "vacuum must sweep stranded staging files")
+    assert(Snapshots.read(spark, t).count() == 10)
+  }
+
+  test("compactSmall retires sidecars whose references were all compacted away; keeps the rest") {
+    val t = tbl()
+    (0 until 4).foreach(i => Snapshots.commit(spark, t,
+      orders.filter($"o_orderkey" % 4 === i).repartition(1)))
+    Snapshots.deleteWhereMor(spark, t, $"o_totalprice" < 30000.0)
+    assert(Snapshots.dvStats(spark, t).dvFiles > 0)
+    // every data file is small → all compact; the sidecar's references
+    // are then 100% stale and it must leave the manifest with them
+    Snapshots.compactSmall(spark, t,
+      targetRowsPerFile = 1000000L, smallFileMaxBytes = 512L * 1024L)
+    val after = Snapshots.dvStats(spark, t)
+    assert(after.dvFiles == 0, s"fully-covered sidecars must retire: $after")
+    val want = orders.filter(!($"o_totalprice" < 30000.0))
+    val got = Snapshots.read(spark, t)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // a sidecar referencing a SURVIVING (non-compacted) file stays
+    val t2 = tbl()
+    Snapshots.commit(spark, t2, orders.repartition(1)) // the big file
+    Snapshots.commit(spark, t2, orders.limit(10).repartition(1))
+    Snapshots.commit(spark, t2, orders.limit(10).repartition(1))
+    Snapshots.deleteWhereMor(spark, t2,
+      $"o_totalprice" > 300000.0) // positions across big + small files
+    val f2 = new org.apache.hadoop.fs.Path(t2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigLen = Snapshots.filesAt(spark, t2, 0L)
+      .map(p => f2.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).max
+    val cow = Snapshots.compactSmall(spark, t2,
+      targetRowsPerFile = 1000000L, smallFileMaxBytes = bigLen) // small-only
+    assert(cow.version.nonEmpty && cow.filesRewritten == 2)
+    assert(Snapshots.dvStats(spark, t2).dvFiles == 1,
+      "a sidecar still referencing the surviving big file must not retire")
+    val want2 = orders.unionByName(orders.limit(10)).unionByName(orders.limit(10))
+      .filter(!($"o_totalprice" > 300000.0))
+    val got2 = Snapshots.read(spark, t2)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+  }
+
+  test("snapshot state cache: immutable folds are cached; vacuum invalidates loudly") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(100))
+    val v1 = Snapshots.commit(spark, t, orders.limit(50))
+    val first = Snapshots.filesAt(spark, t, v1)
+    // a warm fold is THE SAME object — no re-list, no re-parse
+    assert(Snapshots.filesAt(spark, t, v1) eq first)
+    // a new commit is a new cache entry, not a stale hit
+    val v2 = Snapshots.commit(spark, t, orders.limit(25))
+    assert(Snapshots.filesAt(spark, t, v2).size == first.size + 1)
+    assert(Snapshots.filesAt(spark, t, v1) eq first)
+    // vacuum truncates history — the cached v0/v1 folds must die with
+    // it: time travel below the horizon fails loudly, never serves a
+    // cached state whose files were reclaimed
+    Snapshots.filesAt(spark, t, 0L) // warm the doomed entry
+    Snapshots.vacuum(spark, t, retainVersions = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, t, Some(0L)).count()
+    }
+    assert(Snapshots.read(spark, t).count() == 175)
+  }
+
+  test("multi-column box pruning out-prunes either single band on a z-ordered layout") {
+    val t = tbl()
+    Snapshots.setStatsColumns(spark, t, Seq("o_custkey", "o_totalprice"))
+    Snapshots.commit(spark, t,
+      Layout.zorderBy(orders, Seq("o_custkey", "o_totalprice"), numPartitions = 16))
+    val all = Snapshots.filesAt(spark, t, 0L).size
+    val custBand: (Any, Any) = (100L, 300L)
+    val priceBand: (Any, Any) = (50000.0, 120000.0)
+    val kCust = Snapshots.statsPrunedFiles(spark, t, "o_custkey",
+      custBand._1, custBand._2).size
+    val kPrice = Snapshots.statsPrunedFiles(spark, t, "o_totalprice",
+      priceBand._1, priceBand._2).size
+    val kBox = Snapshots.statsPrunedFilesBox(spark, t,
+      Map("o_custkey" -> custBand, "o_totalprice" -> priceBand)).size
+    assert(kBox <= math.min(kCust, kPrice))
+    assert(kBox < all, s"z-order box must prune: $kBox/$all (cust $kCust, price $kPrice)")
+    val got = Snapshots.readStatsPrunedBox(spark, t,
+      Map("o_custkey" -> custBand, "o_totalprice" -> priceBand))
+      .where($"o_custkey".between(100L, 300L) &&
+        $"o_totalprice".between(50000.0, 120000.0))
+    val want = orders.where($"o_custkey".between(100L, 300L) &&
+      $"o_totalprice".between(50000.0, 120000.0))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("partitioned snapshots: pruned reads scan one partition; metadata-only drops; dynamic overwrite") {
+    val t = tbl()
+    val base = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.setPartitionColumns(spark, t, Seq("o_orderpriority"))
+    Snapshots.commit(spark, t, base)
+    val all = Snapshots.filesAt(spark, t, 0L)
+    val urgent = Snapshots.partitionPrunedFiles(spark, t,
+      Map("o_orderpriority" -> "1-URGENT"))
+    assert(urgent.nonEmpty && urgent.size < all.size)
+    assert(urgent.forall(_.contains("p__o_orderpriority=1-URGENT")))
+    // the partition read PLANS exactly that partition's files
+    val got = Snapshots.readPartitions(spark, t, Map("o_orderpriority" -> "1-URGENT"))
+    assert(got.inputFiles.map(p => new org.apache.hadoop.fs.Path(p).toString).toSet ==
+      urgent.map(p => new org.apache.hadoop.fs.Path(p).toString).toSet)
+    val want = base.where($"o_orderpriority" === "1-URGENT")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // DROP PARTITION is metadata-only
+    val cow = Snapshots.deletePartitions(spark, t, Map("o_orderpriority" -> "5-LOW"))
+    assert(cow.filesDropped > 0 && cow.filesRewritten == 0)
+    assert(Snapshots.read(spark, t).where($"o_orderpriority" === "5-LOW").isEmpty)
+    // dynamic partition overwrite replaces exactly the touched partition
+    val refreshed = base.where($"o_orderpriority" === "2-HIGH" &&
+      $"o_totalprice" > 100000.0)
+    val ow = Snapshots.overwritePartitions(spark, t, refreshed)
+    assert(ow.version.nonEmpty && ow.filesRewritten > 0)
+    val want2 = base.where($"o_orderpriority" =!= "5-LOW")
+      .where($"o_orderpriority" =!= "2-HIGH" || $"o_totalprice" > 100000.0)
+    val got2 = Snapshots.read(spark, t)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+    // time travel composes: v0 is still the full table
+    assert(Snapshots.read(spark, t, Some(0L)).count() == base.count())
+  }
+
+  test("partitioned snapshots compose with deletion vectors; vacuum sweeps nested partition dirs") {
+    val t = tbl()
+    val base = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.setPartitionColumns(spark, t, Seq("o_orderpriority"))
+    Snapshots.commit(spark, t, base)
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" % 10 === 0)
+    val got = Snapshots.readPartitions(spark, t, Map("o_orderpriority" -> "3-MEDIUM"))
+    val want = base.where($"o_orderpriority" === "3-MEDIUM" &&
+      !($"o_orderkey" % 10 === 0))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // dropping a partition then vacuuming reclaims its nested files
+    Snapshots.deletePartitions(spark, t, Map("o_orderpriority" -> "5-LOW"))
+    val reclaimed = Snapshots.vacuum(spark, t, retainVersions = 1)
+    assert(reclaimed > 0, "vacuum must reclaim the dropped partition's nested files")
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lowDirs = f.globStatus(
+      new org.apache.hadoop.fs.Path(t, "data/*/p__o_orderpriority=5-LOW"))
+    assert(lowDirs == null || lowDirs.isEmpty,
+      "the dropped partition's directories must be swept")
+    val got2 = Snapshots.read(spark, t)
+    val want2 = want.unionByName(base.where($"o_orderpriority".isin(
+      "1-URGENT", "2-HIGH", "4-NOT SPECIFIED") && !($"o_orderkey" % 10 === 0)))
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+  }
+
+  test("partition values with special characters and NULL round-trip exactly") {
+    val t = tbl()
+    Snapshots.setPartitionColumns(spark, t, Seq("k"))
+    Snapshots.commit(spark, t,
+      Seq((Option("a/b=c %7"), 1), (Option.empty[String], 2), (Option("plain"), 3))
+        .toDF("k", "v"))
+    assert(Snapshots.readPartitions(spark, t, Map("k" -> "a/b=c %7"))
+      .select($"v").as[Int].collect().toSeq == Seq(1))
+    assert(Snapshots.readPartitions(spark, t, Map("k" -> null))
+      .select($"v").as[Int].collect().toSeq == Seq(2))
+    Snapshots.deletePartitions(spark, t, Map("k" -> "plain"))
+    assert(Snapshots.read(spark, t).select($"v").as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("partitioning is a create-time property; drops demand registered columns") {
+    val t = tbl()
+    Snapshots.commit(spark, t, orders.limit(10))
+    intercept[IllegalArgumentException] {
+      Snapshots.setPartitionColumns(spark, t, Seq("o_custkey"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.deletePartitions(spark, t, Map("o_custkey" -> 1L))
+    }
+  }
+
   test("stats-in-log fold resolves through the checkpoint sidecar") {
     val t = tbl()
     Snapshots.setStatsColumns(spark, t, Seq("o_totalprice"))

@@ -346,6 +346,30 @@ object NonSql {
       .orderBy($"o_orderkey")
   }
 
+  // S26: SQL surface over snapshot tables — the query runs THROUGH
+  // spark.sql over the SnapshotCatalog with native VERSION AS OF time
+  // travel (DataSourceV2 TableCatalog.loadTable(ident, version)), the
+  // scan serving the engine's own read plan (deletion vectors
+  // subtracted in-scan). v2 appends churn AFTER the queried version —
+  // the pinned read must not see it.
+  val s26SqlSnapshot: Q = (s, dir) => {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_sqlcat_").toString
+    val snap = s"$root/orders_snap"
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    graft.operators.Snapshots.commit(s, snap, base)
+    graft.operators.Snapshots.deleteWhereMor(s, snap, $"o_totalprice" < 50000.0)
+    graft.operators.Snapshots.commit(s, snap, base.limit(777)) // post-pin churn
+    s.conf.set("spark.sql.catalog.gsnapq", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.gsnapq.root", root)
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM gsnapq.orders_snap VERSION AS OF 1
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -529,7 +553,8 @@ object NonSql {
     "s22_change_feed" -> s22ChangeFeed,
     "s23_compact_small" -> s23CompactSmall,
     "s24_stats_prune" -> s24StatsPrune,
-    "s25_partitioned_snapshot" -> s25PartitionedSnapshot
+    "s25_partitioned_snapshot" -> s25PartitionedSnapshot,
+    "s26_sql_snapshot" -> s26SqlSnapshot
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -612,6 +637,11 @@ object NonSql {
         "WHERE o_orderpriority <> '5-LOW' " +
         "AND (o_orderpriority <> '2-HIGH' OR o_totalprice > 100000.0) " +
         "AND NOT (o_custkey % 50 = 0) ORDER BY o_orderkey"),
+    "s26_sql_snapshot" ->
+      ("SELECT o_orderstatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders WHERE NOT (o_totalprice < 50000.0) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "s22_change_feed" ->
       ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
         "src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice " +

@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.TaskContext
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Snapshots
+
+/** SQL surface for snapshot tables — two DataSourceV2 entry points over
+  * the same engine read path ([[Snapshots.read]], deletion vectors and
+  * all):
+  *
+  *   - `spark.read.format("graft-snapshot").option("versionAsOf", 7)
+  *     .load(path)` — the path-based reader, options `versionAsOf` /
+  *     `timestampAsOf` (epoch millis or `yyyy-MM-dd HH:mm:ss` UTC);
+  *   - a [[SnapshotCatalog]] registered as
+  *     `spark.sql.catalog.<name> = graft.sources.SnapshotCatalog`
+  *     (+ optional `spark.sql.catalog.<name>.root = /base/dir`), giving
+  *     native SQL time travel: `SELECT * FROM <name>.tbl VERSION AS OF
+  *     7` / `TIMESTAMP AS OF '...'` — the Spark grammar routes those
+  *     clauses to `TableCatalog.loadTable(ident, version|timestamp)`.
+  *
+  * Execution: the table is backed by the ENGINE's own DataFrame plan.
+  * At scan build the pushed column pruning and filters are applied to
+  * that plan (so the parquet scans inside still get `ReadSchema` /
+  * `PushedFilters`, and the DV bitmap probe stays in the scan's
+  * codegen span), then the optimized plan's `toRdd` partitions are
+  * served through the DSv2 reader one-to-one. Planning runs
+  * driver-side, where any broadcast/shuffle stages of the inner plan
+  * are materialized (AQE executes intermediate stages eagerly);
+  * snapshot read plans are scan-shaped — no shuffle — so per-partition
+  * compute on the executors is narrow. Every pushed filter is ALSO
+  * re-applied by Spark above the scan (pushFilters reports them all as
+  * residual), so a conversion gap can never change results.
+  *
+  * Reference counterpart: the feature store reads its offline parquet
+  * straight by path (`batch_processing.py:52`); this provider is the
+  * versioned, SQL-addressable replacement.
+  */
+class SnapshotProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  private def resolve(options: CaseInsensitiveStringMap): (String, Long) = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-snapshot: 'path' is required"))
+    (path, SnapshotSource.resolveVersion(SparkSession.active, path,
+      Option(options.get("versionAsOf")).orElse(Option(options.get("version"))),
+      Option(options.get("timestampAsOf"))))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (path, v) = resolve(options)
+    Snapshots.read(SparkSession.active, path, Some(v)).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val (path, v) = resolve(new CaseInsensitiveStringMap(properties))
+    new SnapshotV2Table(path, v)
+  }
+}
+
+private[sources] object SnapshotSource {
+  /** Resolve the pinned version from explicit `versionAsOf` /
+    * `timestampAsOf` options (latest when neither is given). Pinning
+    * happens ONCE at table resolution, so a query plan holding the
+    * table is a consistent snapshot regardless of later commits. */
+  def resolveVersion(spark: SparkSession, path: String,
+      versionAsOf: Option[String], timestampAsOf: Option[String]): Long = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "graft-snapshot: versionAsOf and timestampAsOf are exclusive")
+    versionAsOf.map(_.toLong).orElse(
+      timestampAsOf.map(t => versionAtTimestamp(spark, path, parseTsMillis(t))))
+      .getOrElse(Snapshots.latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot committed at $path")))
+  }
+
+  def parseTsMillis(t: String): Long =
+    t.toLongOption.getOrElse {
+      val norm = if (t.contains(' ')) t.replace(' ', 'T') else t
+      val ldt =
+        if (norm.length <= 10) java.time.LocalDate.parse(norm).atStartOfDay()
+        else java.time.LocalDateTime.parse(norm)
+      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
+  /** Newest version committed at-or-before `tsMillis` (the
+    * [[Snapshots.readAsOf]] rule, resolved to a version number). */
+  def versionAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val vs = Snapshots.versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot committed at $path")
+    Snapshots.history(spark, path)
+      .where(col("ts") <= lit(tsMillis))
+      .agg(org.apache.spark.sql.functions.max(col("version")))
+      .head() match {
+      case r if r.isNullAt(0) => throw new IllegalArgumentException(
+        s"timestampAsOf $tsMillis predates the first retained commit of $path")
+      case r => r.getLong(0)
+    }
+  }
+
+  /** Best-effort `sources.Filter` → `Column` conversion for pushing
+    * into the inner plan. `None` = not convertible (the filter is
+    * still applied by Spark above the scan either way). */
+  def filterToColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case sources.Not(c) => filterToColumn(c).map(not)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
+/** A pinned (table, version) as a DSv2 read-only table. */
+class SnapshotV2Table(path: String, version: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot:$path@v$version"
+  override lazy val schema: StructType =
+    Snapshots.read(SparkSession.active, path, Some(version)).schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(path, version, schema)
+}
+
+class SnapshotScanBuilder(path: String, version: Long, full: StructType)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty prune (COUNT(*) shapes) keeps one narrow column so the
+    // inner plan stays a valid projection
+    required = if (requiredSchema.fields.isEmpty)
+      StructType(full.fields.take(1)) else requiredSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(f => SnapshotSource.filterToColumn(f).isDefined)
+    filters // ALL filters stay residual — Spark re-applies them above the scan
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    var df = Snapshots.read(spark, path, Some(version))
+    pushed.flatMap(SnapshotSource.filterToColumn).foreach(c => df = df.where(c))
+    df = df.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    new SnapshotScan(df, s"graft-snapshot $path v$version")
+  }
+}
+
+/** Serves the inner DataFrame's executed-plan RDD partitions through
+  * the DSv2 reader, one input partition per RDD partition. */
+class SnapshotScan(df: DataFrame, desc: String) extends Scan {
+  override def readSchema(): StructType = df.schema
+  override def description(): String = desc
+
+  /** Force the lineage's `dependencies` (a non-transient lazy field)
+    * on the DRIVER: the factory ships the RDD graph by plain Java
+    * serialization, and an executor-side `getDependencies` recompute
+    * would touch `partitions` of RDDs whose partition lists are
+    * `@transient` (FileScanRDD). A normal task binary ships the same
+    * graph with dependencies already materialized by the scheduler —
+    * this reproduces that state. */
+  private def materialize(r: RDD[_]): Unit = {
+    r.partitions
+    r.dependencies.foreach(d => materialize(d.rdd))
+  }
+
+  override def toBatch: Batch = new Batch {
+    // planning runs driver-side: the optimized physical plan compiles
+    // here (and AQE materializes any intermediate stages eagerly), so
+    // executor-side compute is narrow
+    private lazy val rdd: RDD[InternalRow] = {
+      val r = df.queryExecution.toRdd
+      materialize(r)
+      r
+    }
+    override def planInputPartitions(): Array[InputPartition] =
+      rdd.partitions.map(p => SnapshotInputPartition(p))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SnapshotReaderFactory(rdd)
+  }
+}
+
+case class SnapshotInputPartition(part: org.apache.spark.Partition)
+  extends InputPartition
+
+class SnapshotReaderFactory(rdd: RDD[InternalRow])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val it = rdd.compute(
+      partition.asInstanceOf[SnapshotInputPartition].part, TaskContext.get())
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Read-only [[TableCatalog]] over a directory of snapshot tables —
+  * the native-SQL entry: register once,
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.SnapshotCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/tables")
+  *   spark.sql("SELECT * FROM graft.events VERSION AS OF 7")
+  *   spark.sql("SELECT * FROM graft.events TIMESTAMP AS OF '2026-01-01'")
+  * }}}
+  * Identifiers resolve under `root` (namespace segments become path
+  * segments); an absolute identifier (backquoted `/abs/path`) bypasses
+  * root. Time travel maps straight onto the log: `VERSION AS OF` pins
+  * that manifest version, `TIMESTAMP AS OF` resolves the newest commit
+  * at-or-before the timestamp (Spark hands it down in MICROseconds).
+  * DDL/DML through the catalog is refused — commits go through the
+  * [[Snapshots]] API, whose manifest rename IS the transaction. */
+class SnapshotCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root"))
+  }
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String = {
+    val segs = ident.namespace().toSeq :+ ident.name()
+    val joined = segs.mkString("/")
+    if (joined.startsWith("/") || joined.contains(":/")) joined
+    else root.map(r => s"$r/$joined").getOrElse(throw new IllegalArgumentException(
+      s"catalog $catalogName has no 'root' option — use an absolute " +
+        s"identifier (backquoted path) or set spark.sql.catalog.$catalogName.root"))
+  }
+
+  private def spark = SparkSession.active
+
+  override def tableExists(ident: Identifier): Boolean =
+    Snapshots.latestVersion(spark, pathOf(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    val v = Snapshots.latestVersion(spark, p).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    new SnapshotV2Table(p, v)
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    new SnapshotV2Table(p, version.toLong)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    // the DSv2 time-travel contract hands micros since epoch
+    new SnapshotV2Table(p,
+      SnapshotSource.versionAtTimestamp(spark, p, timestamp / 1000L))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = root.map(r => (r +: namespace.toSeq).mkString("/")).getOrElse(
+      return Array.empty)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return Array.empty
+    f.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => f.exists(new org.apache.hadoop.fs.Path(d, "_graft_log")))
+      .map(d => Identifier.of(namespace, d.getName))
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"SnapshotCatalog is read-only: $op goes through the graft.operators." +
+        "Snapshots API (commit/mergeInto/deleteWhere...), whose manifest " +
+        "rename is the transaction")
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}

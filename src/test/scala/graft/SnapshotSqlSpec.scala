@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Snapshots
+
+/** SQL surface over snapshot tables: the `graft-snapshot` DataSourceV2
+  * provider (path-based, versionAsOf/timestampAsOf options) and the
+  * SnapshotCatalog (native `VERSION AS OF` / `TIMESTAMP AS OF` through
+  * spark.sql). The provider must read EXACTLY what the Scala API reads
+  * — deletion vectors subtracted, version pinned. */
+class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def orders = Tables.load(spark, sf0001, "orders")
+    .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_sql_").toString
+
+  private def buildLifecycle(t: String): Unit = {
+    Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))
+    Snapshots.deleteWhereMor(spark, t, $"o_totalprice" < 50000.0)
+    val src = orders.filter($"o_orderkey" % 100 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+    Snapshots.mergeIntoMor(spark, t, src, Seq("o_orderkey"))
+  }
+
+  test("provider read == Scala-API read, deletion vectors subtracted; versions pin") {
+    val t = freshTable()
+    buildLifecycle(t)
+    val api = Snapshots.read(spark, t)
+    val dsv2 = spark.read.format("graft-snapshot").load(t)
+    assert(dsv2.schema == api.schema)
+    assert(dsv2.exceptAll(api).isEmpty && api.exceptAll(dsv2).isEmpty)
+    // DVs are live in this state — the provider must subtract them:
+    // every non-merged low-price row was deletion-vectored away (the
+    // merge legitimately re-inserts %100 keys at price+1)
+    assert(dsv2.where($"o_totalprice" < 50000.0 &&
+      $"o_orderkey" % 100 =!= 0).isEmpty)
+    // version pinning
+    val v0 = spark.read.format("graft-snapshot").option("versionAsOf", "0").load(t)
+    val apiV0 = Snapshots.read(spark, t, Some(0L))
+    assert(v0.exceptAll(apiV0).isEmpty && apiV0.exceptAll(v0).isEmpty)
+    // a pinned table is a consistent snapshot: a commit AFTER load
+    // does not leak into the pinned frame
+    val latestPinned = spark.read.format("graft-snapshot").load(t)
+    val before = latestPinned.count()
+    Snapshots.commit(spark, t, orders.limit(7))
+    assert(latestPinned.count() == before)
+    assert(spark.read.format("graft-snapshot").load(t).count() == before + 7)
+  }
+
+  test("provider timestampAsOf resolves the newest commit at-or-before") {
+    val t = freshTable()
+    Snapshots.commit(spark, t, orders.limit(10))
+    Snapshots.commit(spark, t, orders.limit(5))
+    val ts0 = Snapshots.history(spark, t).where($"version" === 0)
+      .select($"ts").as[Long].head()
+    val got = spark.read.format("graft-snapshot")
+      .option("timestampAsOf", ts0.toString).load(t)
+    assert(got.count() == 10)
+    intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("timestampAsOf", (ts0 - 10000).toString).load(t).count()
+    }
+  }
+
+  test("SQL catalog: plain reads, VERSION AS OF, TIMESTAMP AS OF through spark.sql") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val t = s"$root/facts"
+    buildLifecycle(t)
+    spark.conf.set("spark.sql.catalog.gsnap", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsnap.root", root)
+    val api = Snapshots.read(spark, t)
+    val viaSql = spark.sql("SELECT * FROM gsnap.facts")
+    assert(viaSql.exceptAll(api).isEmpty && api.exceptAll(viaSql).isEmpty)
+    val v0 = spark.sql("SELECT * FROM gsnap.facts VERSION AS OF 0")
+    val apiV0 = Snapshots.read(spark, t, Some(0L))
+    assert(v0.exceptAll(apiV0).isEmpty && apiV0.exceptAll(v0).isEmpty)
+    // TIMESTAMP AS OF: pin the instant of v1's commit — resolves v1
+    val ts1 = Snapshots.history(spark, t).where($"version" === 1)
+      .select($"ts").as[Long].head()
+    val lit1 = java.time.Instant.ofEpochMilli(ts1).toString
+    val asOf = spark.sql(s"SELECT * FROM gsnap.facts TIMESTAMP AS OF '$lit1'")
+    val apiV1 = Snapshots.read(spark, t, Some(1L))
+    assert(asOf.exceptAll(apiV1).isEmpty && apiV1.exceptAll(asOf).isEmpty)
+    // predicates and projections flow through (and the residual filter
+    // guarantees exactness regardless of inner pushdown)
+    val narrow = spark.sql(
+      "SELECT o_orderkey FROM gsnap.facts WHERE o_orderkey % 100 = 0")
+    assert(narrow.schema.fieldNames.toSeq == Seq("o_orderkey"))
+    assert(narrow.count() == api.where($"o_orderkey" % 100 === 0).count())
+    // aggregates over the provider
+    val n = spark.sql("SELECT COUNT(*) AS n FROM gsnap.facts").as[Long].head()
+    assert(n == api.count())
+  }
+
+  test("catalog lists snapshot tables and refuses DDL") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat2_").toString
+    Snapshots.commit(spark, s"$root/t1", orders.limit(3))
+    Snapshots.commit(spark, s"$root/t2", orders.limit(4))
+    spark.conf.set("spark.sql.catalog.gsnap2", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsnap2.root", root)
+    val listed = spark.sql("SHOW TABLES IN gsnap2").select("tableName")
+      .as[String].collect().toSet
+    assert(listed == Set("t1", "t2"))
+    intercept[Exception] {
+      spark.sql("DROP TABLE gsnap2.t1")
+    }
+    assert(Snapshots.read(spark, s"$root/t1").count() == 3)
+  }
+
+  test("inner plan keeps parquet pushdown: pruned read schema and pushed filter") {
+    val t = freshTable()
+    Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))
+    val df = spark.read.format("graft-snapshot").load(t)
+      .where($"o_orderkey" === 7L).select($"o_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    // the DSv2 scan reports what it pushed into the inner engine plan
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(plan.contains("graft-snapshot"), plan.take(500))
+  }
+}

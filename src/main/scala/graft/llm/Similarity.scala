@@ -1170,4 +1170,158 @@ object Similarity {
       .withColumnRenamed("__cluster", "cluster")
       .drop("__features")
   }
+
+  /** DRIVER-RESIDENT IVF-PQ serving engine — the latency floor of the
+    * Spark-job path is Spark's per-job scheduling (~hundreds of ms per
+    * /similar request even with every table cached); a serving replica
+    * instead holds the INDEX-SCALE working set locally (cell-bucketed
+    * PQ codes, centroids, codebooks, plus the raw vectors for the
+    * exact re-rank) and answers in pure driver math: distance table →
+    * probed-cell ADC scan with a bounded heap → exact cosine re-rank.
+    * Same algorithm, same rounding (HALF_UP at 6 decimals), same tie
+    * order as [[ivfPqTopKReranked]] — result-identical by construction
+    * (HttpApiSpec pins the parity). Memory contract: codes are m bytes
+    * per vector, vectors dim×8 — the classic ANN-server working set
+    * (FAISS-style), index-scale by design. Build once per index via
+    * [[LocalIvfPq.build]]; Spark is only touched at build time. */
+  final class LocalIvfPq private (
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      cellIds: Array[Array[Long]],
+      cellCodes: Array[Array[Int]], // flattened m codes per row, per cell
+      vectors: java.util.HashMap[Long, Array[Double]]) {
+
+    private val m = codebooks.length
+    private val nK = codebooks(0).length
+    private val norms = {
+      val h = new java.util.HashMap[Long, Double](vectors.size() * 2)
+      vectors.forEach((id, v) => h.put(id, math.sqrt(localDot(v, v))))
+      h
+    }
+
+    private def localDot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** Spark `round(_, 6)` semantics (BigDecimal HALF_UP). */
+    private def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    def vectorOf(id: Long): Option[Array[Double]] = Option(vectors.get(id))
+
+    def size: Int = vectors.size()
+
+    /** Top-k neighbors of `qv`, excluding `excludeId`:
+      * `(neighbor_id, rank, cos)` with `cos` null when either norm is
+      * zero (sorted last — the safeDiv contract). */
+    def query(qv: Array[Double], excludeId: Long, k: Int,
+        nProbe: Int, overFetch: Int): Array[(Long, Int, java.lang.Double)] = {
+      // per-query subspace distance table — the ADC inner loop's LUT
+      val sub = qv.length / m
+      val tab = new Array[Double](m * nK)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < codebooks(j).length) {
+          var d = 0.0; var t = 0
+          while (t < sub) { val x = qv(j * sub + t) - codebooks(j)(c)(t); d += x * x; t += 1 }
+          tab(j * nK + c) = d; c += 1
+        }
+        j += 1
+      }
+      // nProbe nearest cells (stable on ties, like the UDF's sortBy)
+      val probed = centroids.indices.map { i =>
+        val cent = centroids(i)
+        var d = 0.0; var t = 0
+        val n = math.min(cent.length, qv.length)
+        while (t < n) { val x = qv(t) - cent(t); d += x * x; t += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+      // bounded top-k' by (adist, neighbor_id) — max-heap evicts worst
+      val kPrime = math.max(k * overFetch, k)
+      val heap = new java.util.PriorityQueue[(Double, Long)](kPrime + 1,
+        (a: (Double, Long), b: (Double, Long)) => {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        })
+      probed.foreach { cell =>
+        val ids = cellIds(cell); val codes = cellCodes(cell)
+        var r = 0
+        while (r < ids.length) {
+          val id = ids(r)
+          if (id != excludeId) {
+            var s = 0.0; var jj = 0
+            val off = r * m
+            while (jj < m) { s += tab(jj * nK + codes(off + jj)); jj += 1 }
+            val a = round6(s)
+            if (heap.size() < kPrime) heap.add((a, id))
+            else {
+              val worst = heap.peek()
+              if (a < worst._1 || (a == worst._1 && id < worst._2)) {
+                heap.poll(); heap.add((a, id))
+              }
+            }
+          }
+          r += 1
+        }
+      }
+      // exact cosine re-rank of the shortlist (rerankExact's order:
+      // cos desc nulls-last, then neighbor_id)
+      val qn = math.sqrt(localDot(qv, qv))
+      val shortlist = new Array[(Long, java.lang.Double)](heap.size())
+      var i = shortlist.length - 1
+      while (i >= 0) {
+        val (_, id) = heap.poll()
+        val cv = vectors.get(id)
+        val den = qn * norms.get(id)
+        val cos: java.lang.Double =
+          if (cv == null || den == 0.0) null
+          else java.lang.Double.valueOf(round6(localDot(qv, cv) / den))
+        shortlist(i) = (id, cos)
+        i -= 1
+      }
+      val ranked = shortlist.sortWith { (a, b) =>
+        (a._2, b._2) match {
+          case (null, null) => a._1 < b._1
+          case (null, _) => false
+          case (_, null) => true
+          case (x, y) =>
+            if (x.doubleValue() != y.doubleValue()) x.doubleValue() > y.doubleValue()
+            else a._1 < b._1
+        }
+      }.take(k)
+      ranked.zipWithIndex.map { case ((id, cos), r) => (id, r + 1, cos) }
+    }
+  }
+
+  object LocalIvfPq {
+    /** Collect an index (+ the corpus vectors the re-rank needs) into
+      * a serving engine. One job over the code table, one column-pruned
+      * job over the corpus — then every query is driver-local. */
+    def build(index: IvfPqIndex, corpus: DataFrame, idCol: String,
+        vecCol: String): LocalIvfPq = {
+      val codeRows = index.codes
+        .select(col("neighbor_id").cast("long"), col("cell"), col("code"))
+        .collect()
+      val nCells = index.centroids.length
+      val perCellIds = Array.fill(nCells)(new scala.collection.mutable.ArrayBuffer[Long])
+      val perCellCodes = Array.fill(nCells)(new scala.collection.mutable.ArrayBuffer[Int])
+      codeRows.foreach { r =>
+        val cell = r.getInt(1)
+        perCellIds(cell) += r.getLong(0)
+        perCellCodes(cell) ++= r.getSeq[Int](2)
+      }
+      val vecRows = corpus
+        .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+        .collect()
+      val vecs = new java.util.HashMap[Long, Array[Double]](vecRows.length * 2)
+      vecRows.foreach(r => vecs.put(r.getLong(0), r.getSeq[Double](1).toArray))
+      new LocalIvfPq(index.centroids, index.codebooks,
+        perCellIds.map(_.toArray), perCellCodes.map(_.toArray), vecs)
+    }
+  }
 }

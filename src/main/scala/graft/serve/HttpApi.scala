@@ -312,6 +312,51 @@ object HttpApi {
     * request). No quantizer fit, no corpus rescan — the only
     * corpus-side work per request is the shortlist's broadcast
     * vector-fetch join. */
+  /** Serve `/similar` from a DRIVER-RESIDENT copy of the index
+    * ([[graft.llm.Similarity.LocalIvfPq]]) — the production serving
+    * shape: the Spark-job path's latency floor is per-request job
+    * scheduling (~¼–½ s however small the data); holding the
+    * index-scale working set locally (PQ codes + re-rank vectors, the
+    * FAISS-replica contract) answers in single-digit milliseconds with
+    * RESULT-IDENTICAL rows (same ADC, same rounding, same tie order —
+    * HttpApiSpec pins parity against [[ivfPqBackend]], so the
+    * `ns_ann_recall` ≥0.9 gate carries over verbatim). Spark runs twice
+    * at construction (collect codes, collect vectors), never again. */
+  def localIvfPqBackend(index: graft.llm.Similarity.IvfPqIndex,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, nProbe: Int = 6, overFetch: Int = 10): AnnBackend = new AnnBackend {
+    private val spark = corpus.sparkSession
+    private val engine = graft.llm.Similarity.LocalIvfPq
+      .build(index, corpus, idCol, vecCol)
+    private val sentinelId: Long = {
+      require(engine.vectorOf(Long.MinValue).isEmpty,
+        s"corpus contains id ${Long.MinValue} — no sentinel id available for raw-vector serving")
+      Long.MinValue
+    }
+    private val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    private def toDf(rows: Array[(Long, Int, java.lang.Double)]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3)): _*), schema)
+    override def similar(vecId: Long, k: Int): org.apache.spark.sql.DataFrame = {
+      val qv = engine.vectorOf(vecId).getOrElse(
+        throw new IllegalArgumentException(s"unknown $idCol: $vecId"))
+      toDf(engine.query(qv, vecId, k, nProbe, overFetch))
+    }
+    override def similarTo(vector: Array[Double], k: Int): org.apache.spark.sql.DataFrame = {
+      val dim = index.centroids(0).length
+      require(vector.length == dim,
+        s"vector must have $dim dimensions, got ${vector.length}")
+      toDf(engine.query(vector, sentinelId, k, nProbe, overFetch))
+    }
+  }
+
   def ivfPqBackend(index: graft.llm.Similarity.IvfPqIndex,
       corpus: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, nProbe: Int = 6, overFetch: Int = 10): AnnBackend = new AnnBackend {

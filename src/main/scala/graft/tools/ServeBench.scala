@@ -35,8 +35,11 @@ object ServeBench {
     val emb = Tables.load(spark, dir, "embeddings")
     val index = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
       nCells = 8, m = 8, kCodes = 256)
+    // production config: the driver-resident ANN replica (result-
+    // identical to the Spark-job backend — parity spec-pinned); the
+    // Spark-path /similar is measured separately below for contrast
     val api = new HttpApi(spark, new FeatureStore(spark, storePath),
-      ann = Some(HttpApi.ivfPqBackend(index, emb, "vec_id", "embedding")))
+      ann = Some(HttpApi.localIvfPqBackend(index, emb, "vec_id", "embedding")))
     api.start()
     val base = s"http://127.0.0.1:${api.boundPort}"
     val client = HttpClient.newHttpClient()
@@ -89,6 +92,24 @@ object ServeBench {
     println(f"concurrent mixed: ${4 * reps}%d requests on 4 threads in " +
       f"$total%.1f s = ${4 * reps / total}%.0f req/s")
     api.stop()
+
+    // contrast: the Spark-job /similar path (per-request job scheduling
+    // is its floor) — the number the local replica replaces
+    val apiSpark = new HttpApi(spark, new FeatureStore(spark, storePath),
+      ann = Some(HttpApi.ivfPqBackend(index, emb, "vec_id", "embedding")))
+    apiSpark.start()
+    val base2 = s"http://127.0.0.1:${apiSpark.boundPort}"
+    def fire2(path: String): Long = {
+      val req = HttpRequest.newBuilder(URI.create(base2 + path)).GET().build()
+      val t0 = System.nanoTime()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      require(r.statusCode() == 200)
+      (System.nanoTime() - t0) / 1000
+    }
+    (1 to 5).foreach(_ => fire2("/similar/3?k=5"))
+    val ls2 = (1 to reps).map(_ => fire2("/similar/3?k=5")).sorted
+    println(f"GET /similar (spark-job path)  p50 ${ls2(ls2.length / 2) / 1000.0}%.1f ms")
+    apiSpark.stop()
     spark.stop()
   }
 }

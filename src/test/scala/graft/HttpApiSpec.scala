@@ -196,6 +196,29 @@ class HttpApiSpec extends AnyFunSuite with SparkSuite {
     } finally annApi.stop()
   }
 
+  test("local ANN replica is result-identical to the Spark-job backend") {
+    import graft.llm.Similarity
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val index = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCells = 4, m = 8, kCodes = 8)
+    val sparkSide = HttpApi.ivfPqBackend(index, emb, "vec_id", "embedding")
+    val localSide = HttpApi.localIvfPqBackend(index, emb, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Option[Double])] =
+      df.orderBy("rank").collect().toSeq.map(r =>
+        (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // GET path: several stored ids, identical (neighbor, rank, cos)
+    Seq(3L, 17L, 42L, 101L).foreach { id =>
+      assert(rows(localSide.similar(id, 5)) == rows(sparkSide.similar(id, 5)),
+        s"GET parity broke for id $id")
+    }
+    // POST path: raw query vectors, incl. a stored vector's values
+    val v = emb.where(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    assert(rows(localSide.similarTo(v, 5)) == rows(sparkSide.similarTo(v, 5)))
+    // unknown id errors on both
+    intercept[IllegalArgumentException] { localSide.similar(999999999L, 3) }
+  }
+
   test("POST /similar serves ANN neighbors for a raw query vector") {
     import graft.llm.Similarity
     val emb = Tables.load(spark, sf0001, "embeddings")

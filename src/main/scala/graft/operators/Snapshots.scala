@@ -202,9 +202,12 @@ object Snapshots {
       override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
         size() > cap
     }
-  private val manifestCache = lruCache[Manifest](8192)
-  private val stateCache = lruCache[State](256)
-  private val statsFoldCache = lruCache[Map[String, Map[String, ColStats]]](64)
+  // capacities assume file-LIST-scale entries (a folded State for a
+  // 10⁶-file table is ~100 MB of path strings) — Delta likewise caches
+  // a handful of Snapshot objects, not hundreds
+  private val manifestCache = lruCache[Manifest](4096)
+  private val stateCache = lruCache[State](32)
+  private val statsFoldCache = lruCache[Map[String, Map[String, ColStats]]](16)
   private def cacheKey(table: String, v: Long) = table + "#v" + v
 
   /** Drop every cached entry for `table` — called by [[vacuum]], whose
@@ -2338,6 +2341,11 @@ object Snapshots {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
+      // partitioned commit dirs nest files under p__col=value — list
+      // leaves recursively and DON'T infer partition columns from the
+      // dirs (the data files are self-contained: the partition column
+      // is kept in the file, so the provided schema is complete)
+      .option("recursiveFileLookup", "true")
       .parquet(table + "/data/*")
 
   /** STREAMING half of the change data feed: deletion-vector
@@ -2441,7 +2449,14 @@ object Snapshots {
     * streaming batch stays a no-op across a vacuum. Still a maintenance
     * op to serialize against WRITERS: the unreachable-file sweep cannot
     * distinguish an in-flight commit's durable-but-unmanifested files
-    * from crash orphans. Returns the number of data files deleted. */
+    * from crash orphans. READERS are protected only by the retention
+    * window: a query planned against version v scans v's files long
+    * after later commits land, so `retainVersions` (or the
+    * [[vacuumOlderThan]] cutoff) must exceed the longest in-flight
+    * read/DML duration in commit-count (resp. wall-clock) terms — the
+    * same contract as Delta's vacuum retention; too-tight retention
+    * surfaces as FileNotFoundException in the racing scan (loud, never
+    * wrong results). Returns the number of data files deleted. */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Long = {
     require(retainVersions >= 1, "vacuum: must retain at least the latest version")
     val f = fs(spark, table)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.GroupStateTimeout
 import graft.Tables
+import scala.jdk.CollectionConverters._
 import graft.schema.StreamTxn
 import graft.stream.{OnlineStore, StreamPipeline}
 
@@ -233,6 +234,150 @@ object StreamBench {
       (((b.toLong * 1000003L + i.toLong) * 2654435761L) >>> 12) % baseN
     cdcRun("uniform", uniformKey)
     cdcRun("uniform-mor", uniformKey, mor = true)
+
+    maintenanceScenario(spark)
+    spark.stop()
+  }
+
+  /** Maintenance-cadence scenario (VERDICT r8 #8) — also runnable alone
+    * via [[MaintBench]]. */
+  def maintenanceScenario(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Snapshots
+    val baseN = 1000000L
+    def uniformKey(b: Int, i: Int): Long =
+      (((b.toLong * 1000003L + i.toLong) * 2654435761L) >>> 12) % baseN
+    // ---------------------------------------------------------------
+    // MAINTENANCE-CADENCE scenario: the full ops loop on ONE live
+    // table — 100 MOR landing batches racing a CONCURRENT housekeeping
+    // thread running compactSmall + purgeDeletes + vacuum on its own
+    // cadence. What it proves at steady state: landings never starve
+    // (every batchId commits exactly once — the scoped conflict rules
+    // make compaction commute with appends; a genuine DV-vs-rewrite
+    // race surfaces as CME and the housekeeping RETRIES), read
+    // amplification stays bounded (debt is folded on cadence, not
+    // accumulated), and write cost per batch stays flat.
+    // ---------------------------------------------------------------
+    val mBatches = sys.env.getOrElse("SPARK_GRAFT_MAINT_BATCHES", "100").toInt
+    val perBatch = 2000
+    val mTbl = java.nio.file.Files.createTempDirectory("graft_sbench_maint_").toString
+    Snapshots.commit(spark, mTbl, spark.range(baseN).toDF("id")
+      .withColumn("v", $"id" * 1.0).repartitionByRange(16, $"id"))
+    val expected = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    @volatile var housekeeping = true
+    var retries = 0; var compactions = 0; var purges = 0; var vacuums = 0L
+    val maint = new Thread(() => {
+      var i = 0
+      while (housekeeping) {
+        try {
+          i += 1
+          if (i % 3 == 0) { // purge + reclaim on the coarser cadence
+            Snapshots.purgeDeletes(spark, mTbl); purges += 1
+            // retention must exceed the longest in-flight reader IN
+            // WALL-CLOCK terms: commits land several per second here,
+            // so version-count retention is the wrong unit (retain=30
+            // was ~10 s of history — a racing merge's planned scan
+            // still referenced a reclaimed sidecar). vacuumOlderThan
+            // encodes the rule directly: keep everything younger than
+            // the longest query this table serves (the Delta vacuum-
+            // retention contract).
+            vacuums += Snapshots.vacuumOlderThan(spark, mTbl,
+              System.currentTimeMillis() - 120000L)
+          } else {
+            // threshold BELOW the compacted-file size (200 k rows ≈
+            // 2–3 MB): freshly folded files must not requalify as
+            // small, or the loop recompacts the same table forever —
+            // the cadence-parameterization rule this bench documents
+            val c = Snapshots.compactSmall(spark, mTbl,
+              targetRowsPerFile = 200000L, smallFileMaxBytes = 1L << 20,
+              minFiles = 4)
+            if (c.version.nonEmpty) compactions += 1
+          }
+        } catch {
+          case _: java.util.ConcurrentModificationException => retries += 1
+          case _: InterruptedException => ()
+        }
+        Thread.sleep(1000)
+      }
+    }, "maintenance")
+    maint.setDaemon(true)
+    maint.start()
+    val mmem = MemoryStream[(Long, Double)](spark)
+    val batchTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val mq = mmem.toDF().toDF("id", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        // landings retry on a racing housekeeping commit — bounded:
+        // housekeeping commits are content-neutral and scoped
+        val lastWins = b.groupBy("id")
+          .agg(org.apache.spark.sql.functions.last("v").as("v"))
+        var done = false
+        var tries = 0
+        while (!done) {
+          try { Snapshots.mergeBatchMor(spark, mTbl, lastWins, Seq("id"), id); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException if tries < 20 =>
+              tries += 1; retries += 1
+          }
+        }
+        ()
+      }.start()
+    val tM = System.nanoTime()
+    try {
+      (0 until mBatches).foreach { b =>
+        val rows = (0 until perBatch).map { i =>
+          val k = uniformKey(b, i); (k, b * 1.0)
+        }
+        rows.foreach { case (k, v) => expected.put(k, v) }
+        val t0 = System.nanoTime()
+        mmem.addData(rows)
+        mq.processAllAvailable()
+        batchTimes += (System.nanoTime() - t0) / 1e9
+      }
+    } finally {
+      housekeeping = false
+      mq.stop()
+      maint.join(10000)
+    }
+    val mSecs = (System.nanoTime() - tM) / 1e9
+    // steady-state read time + debt after the loop
+    val t7 = System.nanoTime()
+    val cnt = Snapshots.read(spark, mTbl).count()
+    val readM = (System.nanoTime() - t7) / 1e9
+    val debt = Snapshots.dvStats(spark, mTbl)
+    val nFiles = Snapshots.filesAt(spark, mTbl,
+      Snapshots.latestVersion(spark, mTbl).get).size
+    // exactly-once across the whole loop: every batchId exactly once
+    val batchIds = Snapshots.history(spark, mTbl).count()
+    require(cnt == baseN, s"maintenance loop lost/duplicated rows: $cnt != $baseN")
+    // spot-check 50 touched keys against the reference map
+    val sample = expected.keySet().iterator().asScala.take(50).toSeq
+    val got = Snapshots.read(spark, mTbl).where($"id".isin(sample: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sample.foreach { k =>
+      require(got(k) == expected.get(k),
+        s"key $k: got ${got(k)}, expected ${expected.get(k)}")
+    }
+    val sorted = batchTimes.sorted
+    println(f"maintenance_bench: $mBatches%d MOR batches x $perBatch%d rows into " +
+      f"$baseN%d-row table in $mSecs%.1f s " +
+      f"(batch p50 ${sorted(sorted.size / 2)}%.2f s, p95 ${sorted((sorted.size * 0.95).toInt)}%.2f s); " +
+      f"$compactions compactions, $purges purges, $vacuums files vacuumed, " +
+      f"$retries conflict retries; steady-state: $nFiles files, " +
+      f"${debt.dirtyFiles} dirty / ${debt.dvRows} dv rows, read-after $readM%.2f s, " +
+      f"$batchIds manifests")
+  }
+}
+
+/** Standalone entry for the maintenance-cadence scenario. */
+object MaintBench {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    StreamBench.maintenanceScenario(spark)
     spark.stop()
   }
 }

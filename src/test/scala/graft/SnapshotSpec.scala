@@ -1211,6 +1211,25 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t).select($"v").as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("streamChanges consumes a PARTITIONED append-only table (nested dirs listed, no inference clash)") {
+    val t = tbl()
+    Snapshots.setPartitionColumns(spark, t, Seq("p"))
+    Snapshots.setProperty(spark, t, "streaming", "append_only")
+    Snapshots.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "p"))
+    val q = Snapshots.streamChanges(spark, t,
+      org.apache.spark.sql.types.StructType.fromDDL("id LONG, p STRING"))
+      .writeStream.format("memory").queryName("snap_part_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Snapshots.commit(spark, t, Seq((3L, "a")).toDF("id", "p"))
+      q.processAllAvailable()
+      val got = spark.table("snap_part_stream")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "a")))
+    } finally q.stop()
+  }
+
   test("partitioning is a create-time property; drops demand registered columns") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(10))

@@ -980,8 +980,14 @@ object Snapshots {
     * — the stats ride in every manifest. */
   def setStatsColumns(spark: SparkSession, table: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty && cols.size <= 8, "setStatsColumns: 1..8 columns")
+    require(cols.forall(!_.startsWith("__")),
+      "setStatsColumns: __-prefixed names are reserved (internal stats keys)")
     setProperty(spark, table, "stats.columns", cols.mkString(","))
   }
+
+  /** Internal stats key carrying each file's ROW COUNT (recorded from
+    * the same footer read as the column stats): min == max == rows. */
+  private val rowCountKey = "__rowCount"
 
   private def statsColumns(spark: SparkSession, table: String): Seq[String] =
     properties(spark, table).get("stats.columns")
@@ -1024,6 +1030,10 @@ object Snapshots {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val perCol = scala.collection.mutable.Map.empty[String, ColStats]
       val bad = scala.collection.mutable.Set.empty[String]
+      // the file's row count rides along under a reserved key — the
+      // basis of metadata-only COUNT(*) ([[countAt]])
+      val rowTotal = blocks.map(_.getRowCount).sum
+      perCol(rowCountKey) = ColStats("long", rowTotal, rowTotal, 0L, hasValues = true)
       blocks.foreach { b =>
         b.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
@@ -1359,6 +1369,38 @@ object Snapshots {
     val st = stateAt(spark, table, v)
     val keep = statsPrunedFilesBox(spark, table, box, Some(v))
     readState(spark, table, State(keep, st.dvs))
+  }
+
+  /** Metadata-only COUNT(*) at `version` (default latest): sums the
+    * per-file row counts recorded at commit time from the write's own
+    * footers — ZERO data files opened, pure log fold; standing
+    * deletion vectors subtract via one sidecar-scale aggregation
+    * (positions are unique across sidecars by construction — MOR
+    * writes exclude already-deleted rows). Returns None when any
+    * visible file predates stats recording (committed before
+    * [[setStatsColumns]]) — fall back to `read().count()`. On a 100 TB
+    * table this answers the most common query ever issued without
+    * touching a data byte. */
+  def countAt(spark: SparkSession, table: String,
+      version: Option[Long] = None): Option[Long] = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val st = stateAt(spark, table, v)
+    val folded = statsFold(spark, table, v)
+    val per = st.files.map(f =>
+      folded.get(new Path(f).getName).flatMap(_.get(rowCountKey))
+        .collect { case cs if cs.hasValues => cs.min.asInstanceOf[Long] })
+    if (per.exists(_.isEmpty)) return None
+    val total = per.map(_.get).sum
+    if (st.dvs.isEmpty) Some(total)
+    else {
+      val visible = st.files.map(new Path(_).toString).toSet
+      val dead = spark.read.parquet(st.dvs: _*)
+        .groupBy(col("file_path")).count().collect()
+        .filter(r => visible.contains(normPath(r.getString(0))))
+        .map(_.getLong(1)).sum
+      Some(total - dead)
+    }
   }
 
   /** TIMESTAMP AS OF: read the newest version whose commit time is

@@ -370,6 +370,24 @@ object NonSql {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  // S27: metadata-only COUNT(*) — per-file row counts recorded at
+  // commit time (same footer read as the column stats) fold through
+  // the log, standing deletion vectors subtract via one sidecar-scale
+  // aggregation: the most common query ever issued answers without
+  // opening a data file. The oracle is the plain relational count.
+  val s27CountMeta: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_cnt_").toString
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    graft.operators.Snapshots.setStatsColumns(s, tmp, Seq("o_totalprice"))
+    graft.operators.Snapshots.commit(s, tmp, base.repartition(4))
+    graft.operators.Snapshots.deleteWhereMor(s, tmp, $"o_totalprice" < 50000.0)
+    val n = graft.operators.Snapshots.countAt(s, tmp).getOrElse(
+      sys.error("countAt: stats recorded at commit must cover every file"))
+    Seq(n).toDF("n")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -554,7 +572,8 @@ object NonSql {
     "s23_compact_small" -> s23CompactSmall,
     "s24_stats_prune" -> s24StatsPrune,
     "s25_partitioned_snapshot" -> s25PartitionedSnapshot,
-    "s26_sql_snapshot" -> s26SqlSnapshot
+    "s26_sql_snapshot" -> s26SqlSnapshot,
+    "s27_count_meta" -> s27CountMeta
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -642,6 +661,8 @@ object NonSql {
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
         "FROM orders WHERE NOT (o_totalprice < 50000.0) " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "s27_count_meta" ->
+      "SELECT COUNT(*) AS n FROM orders WHERE NOT (o_totalprice < 50000.0)",
     "s22_change_feed" ->
       ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
         "src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice " +

@@ -1241,6 +1241,38 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("countAt answers COUNT(*) metadata-only across the whole lifecycle") {
+    val t = tbl()
+    Snapshots.setStatsColumns(spark, t, Seq("o_totalprice"))
+    Snapshots.commit(spark, t, orders.repartition(4))
+    val n0 = orders.count()
+    assert(Snapshots.countAt(spark, t).contains(n0))
+    // MOR delete: DV rows subtract (one sidecar-scale aggregation)
+    Snapshots.deleteWhereMor(spark, t, $"o_totalprice" < 50000.0)
+    assert(Snapshots.countAt(spark, t).contains(Snapshots.read(spark, t).count()))
+    // purge folds DVs into fresh files with fresh counts
+    Snapshots.purgeDeletes(spark, t)
+    assert(Snapshots.countAt(spark, t).contains(Snapshots.read(spark, t).count()))
+    // COW delete rewrites with fresh counts; time travel keeps old ones
+    Snapshots.deleteWhere(spark, t, $"o_totalprice" > 300000.0)
+    val live = Snapshots.read(spark, t).count()
+    assert(Snapshots.countAt(spark, t).contains(live))
+    assert(Snapshots.countAt(spark, t, Some(0L)).contains(n0))
+    // survives the vacuum horizon fold (stats embedded in the rewrite)
+    Snapshots.vacuum(spark, t, retainVersions = 1)
+    assert(Snapshots.countAt(spark, t).contains(live))
+    // pre-registration files have no recorded count — None, never wrong
+    val t2 = tbl()
+    Snapshots.commit(spark, t2, orders.limit(10))
+    Snapshots.setStatsColumns(spark, t2, Seq("o_totalprice"))
+    Snapshots.commit(spark, t2, orders.limit(5))
+    assert(Snapshots.countAt(spark, t2).isEmpty)
+    // the internal key namespace is reserved
+    intercept[IllegalArgumentException] {
+      Snapshots.setStatsColumns(spark, tbl(), Seq("__rowCount"))
+    }
+  }
+
   test("stats-in-log fold resolves through the checkpoint sidecar") {
     val t = tbl()
     Snapshots.setStatsColumns(spark, t, Seq("o_totalprice"))

@@ -219,6 +219,37 @@ class HttpApiSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException] { localSide.similar(999999999L, 3) }
   }
 
+  test("local backend /similar wire format matches the Spark backend byte-for-byte") {
+    import graft.llm.Similarity
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val index = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCells = 4, m = 8, kCodes = 8)
+    val apiSpark = new HttpApi(spark, new FeatureStore(spark, storePath),
+      ann = Some(HttpApi.ivfPqBackend(index, emb, "vec_id", "embedding")))
+    val apiLocal = new HttpApi(spark, new FeatureStore(spark, storePath),
+      ann = Some(HttpApi.localIvfPqBackend(index, emb, "vec_id", "embedding")))
+    apiSpark.start(); apiLocal.start()
+    try {
+      def get(port: Int, p: String): String = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      def post(port: Int, body: String): String = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/similar"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      Seq(3L, 42L).foreach { id =>
+        assert(get(apiLocal.boundPort, s"/similar/$id?k=4") ==
+          get(apiSpark.boundPort, s"/similar/$id?k=4"),
+          s"wire-format parity broke for id $id")
+      }
+      val v = emb.where(org.apache.spark.sql.functions.col("vec_id") === 7L)
+        .select("embedding").head().getSeq[Float](0).mkString("[", ",", "]")
+      assert(post(apiLocal.boundPort, s"""{"vector":$v,"k":3}""") ==
+        post(apiSpark.boundPort, s"""{"vector":$v,"k":3}"""))
+    } finally { apiSpark.stop(); apiLocal.stop() }
+  }
+
   test("POST /similar serves ANN neighbors for a raw query vector") {
     import graft.llm.Similarity
     val emb = Tables.load(spark, sf0001, "embeddings")

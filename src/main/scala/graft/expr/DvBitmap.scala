@@ -137,7 +137,18 @@ object DvBitmap {
     val fut = new java.util.concurrent.CompletableFuture[
       Broadcast[java.util.HashMap[String, Array[Long]]]]()
     val prev = inflight.putIfAbsent(key, fut)
-    if (prev != null) return prev.join() // someone else is building this state
+    if (prev != null) {
+      // someone else is building this state; rethrow THEIR failure as
+      // the ORIGINAL exception — join() wraps in CompletionException,
+      // which would change the error type callers map on (a 400-class
+      // IllegalArgumentException must not become a 500 on the thread
+      // that lost the build race)
+      try return prev.join()
+      catch {
+        case e: java.util.concurrent.CompletionException if e.getCause != null =>
+          throw e.getCause
+      }
+    }
     try {
       val built = buildBroadcast(spark, dv)
       cache.synchronized { cache.put(key, built) }

@@ -210,10 +210,29 @@ object Snapshots {
   private val statsFoldCache = lruCache[Map[String, Map[String, ColStats]]](16)
   private def cacheKey(table: String, v: Long) = table + "#v" + v
 
+  /** Per-table invalidation epoch, FENCING slow cache fills: a fold
+    * that started before a vacuum and finished after it must not
+    * re-insert the stale result (the one interleaving a purge-only
+    * invalidation misses — the stale v0 would then be served silently
+    * instead of failing the vacuumed-version check). Fills capture the
+    * epoch before computing and insert only if it is unchanged. */
+  private val tableEpochs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def epochOf(table: String): Long =
+    Option(tableEpochs.get(table)).map(_.longValue()).getOrElse(0L)
+
+  /** Insert `value` unless `table`'s epoch moved since `e0` (an
+    * invalidation ran mid-fill — the result may describe dropped
+    * manifests). */
+  private def putFenced[V](m: java.util.LinkedHashMap[String, V],
+      table: String, e0: Long, key: String, value: V): Unit =
+    m.synchronized { if (epochOf(table) == e0) m.put(key, value) }
+
   /** Drop every cached entry for `table` — called by [[vacuum]], whose
     * horizon rewrite and manifest truncation are the ONLY mutations of
     * existing versions. Test seam. */
   private[graft] def invalidateCaches(table: String): Unit = {
+    tableEpochs.merge(table, java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
     val prefix = table + "#v"
     def purge[V](m: java.util.LinkedHashMap[String, V]): Unit =
       m.synchronized { m.keySet().removeIf(_.startsWith(prefix)) }
@@ -226,6 +245,7 @@ object Snapshots {
       val hit = manifestCache.get(key)
       if (hit != null) return hit
     }
+    val e0 = epochOf(table)
     val f = fs(spark, table)
     val in = f.open(versionFile(table, v))
     val node = try mapper.readTree(in) finally in.close()
@@ -238,7 +258,7 @@ object Snapshots {
       arr("removed"), arr("dvs"), arr("removedDvs"),
       Option(node.get("neutral")).exists(_.asBoolean()),
       Option(node.get("restoredFrom")).map(_.asLong()))
-    manifestCache.synchronized { manifestCache.put(key, m) }
+    putFenced(manifestCache, table, e0, key, m)
     m
   }
 
@@ -290,8 +310,9 @@ object Snapshots {
       val hit = stateCache.get(key)
       if (hit != null) return hit
     }
+    val e0 = epochOf(table)
     val st = stateAtUncached(spark, table, version)
-    stateCache.synchronized { stateCache.put(key, st) }
+    putFenced(stateCache, table, e0, key, st)
     st
   }
 
@@ -436,8 +457,8 @@ object Snapshots {
   // (`partition.columns` table property, set BEFORE the first commit —
   // Delta's create-time contract) make every commit write
   // `partitionBy` Hive-style directories INSIDE its immutable commit
-  // dir: `data/c-xxxx/__p_col=value/part-*.parquet`. The partitioned
-  // column is DUPLICATED into a `__p_` shadow for the directory
+  // dir: `data/c-xxxx/p__col=value/part-*.parquet`. The partitioned
+  // column is DUPLICATED into a `p__` shadow for the directory
   // layout and kept in the data file itself (a per-file constant —
   // parquet dictionary-encodes it to nothing), so data files stay
   // self-contained: every existing read path (DV subtraction, stats,
@@ -497,7 +518,7 @@ object Snapshots {
   }
 
   /** Partition values parsed from a file's path segments
-    * (`__p_col=value`), column → value string; the hive default
+    * (`p__col=value`), column → value string; the hive default
     * sentinel maps to null. Empty for files written before/without
     * partition registration. */
   private[graft] def partitionValuesOf(file: String): Map[String, String] = {
@@ -518,12 +539,27 @@ object Snapshots {
   }
 
   /** Render a filter value the way Spark renders it into a partition
-    * path (pre-escaping): the exact-match key for pruning. */
+    * path (pre-escaping): the exact-match key for pruning. NULL and the
+    * EMPTY STRING both land in the hive default partition (Spark writes
+    * `__HIVE_DEFAULT_PARTITION__` for both), so both render to null and
+    * the default partition is addressed as ONE unit — the Hive
+    * contract. Types whose `toString` differs from Spark's partition
+    * path rendering (timestamps, binary, decimals with trailing-zero
+    * normalization) are REFUSED loudly rather than silently matching
+    * nothing. */
   private def renderPartValue(v: Any): String = v match {
     case null => null
+    case "" => null // hive default partition, like null
+    case s: String => s
     case d: java.sql.Date => d.toString
     case d: java.time.LocalDate => d.toString
-    case other => other.toString
+    case _: Int | _: Long | _: Short | _: Byte | _: Boolean |
+         _: Double | _: Float => v.toString
+    case other => throw new IllegalArgumentException(
+      s"partition filter value of type ${other.getClass.getName} — its " +
+        "toString does not match Spark's partition path rendering; pass " +
+        "the exact path string Spark wrote (string/integer/boolean/date " +
+        "values render canonically)")
   }
 
   /** True when `file`'s parsed partition values match every
@@ -540,12 +576,24 @@ object Snapshots {
     }
   }
 
+  /** Loud guard shared by every partition-filter entry point: keys must
+    * be REGISTERED partition columns — a typo or a data-column filter
+    * would otherwise silently match nothing. */
+  private def validatePartitionFilter(spark: SparkSession, table: String,
+      filter: Map[String, Any], op: String): Unit = {
+    require(filter.nonEmpty, s"$op: empty filter")
+    val pcols = partitionColumnsOf(spark, table)
+    require(pcols.nonEmpty, s"$op: $table has no registered partition columns")
+    require(filter.keySet.subsetOf(pcols.toSet),
+      s"$op: ${filter.keySet} must be registered partition columns ($pcols)")
+  }
+
   /** Visible files of `version` (default latest) inside the partitions
     * matching `filter` — manifest-level partition pruning: pure path
     * parsing, no file opened. */
   def partitionPrunedFiles(spark: SparkSession, table: String,
       filter: Map[String, Any], version: Option[Long] = None): Seq[String] = {
-    require(filter.nonEmpty, "partitionPrunedFiles: empty filter")
+    validatePartitionFilter(spark, table, filter, "partitionPrunedFiles")
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
     stateAt(spark, table, v).files.filter(partitionMatches(_, filter))
@@ -565,7 +613,10 @@ object Snapshots {
     val keep = partitionPrunedFiles(spark, table, filter, Some(v))
     val base = readState(spark, table, State(keep, st.dvs))
     val pred = filter.map { case (c, vv) =>
-      if (vv == null) col(c).isNull else col(c) === lit(vv)
+      // the hive default partition holds BOTH null and "" values (Spark
+      // writes the same sentinel for both) — address it as one unit
+      if (vv == null || vv == "") col(c).isNull || col(c) === lit("")
+      else col(c) === lit(vv)
     }.reduce(_ && _)
     base.where(pred)
   }
@@ -581,14 +632,10 @@ object Snapshots {
     * commit rather than resurrecting rows. */
   def deletePartitions(spark: SparkSession, table: String,
       filter: Map[String, Any]): Cow = {
-    require(filter.nonEmpty, "deletePartitions: empty filter")
+    validatePartitionFilter(spark, table, filter, "deletePartitions")
     val base = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
     val st = stateAt(spark, table, base)
-    val pcols = partitionColumnsOf(spark, table)
-    require(filter.keySet.subsetOf(pcols.toSet),
-      s"deletePartitions: ${filter.keySet} must be registered partition " +
-        s"columns ($pcols)")
     val unpartitioned = st.files.filter(partitionValuesOf(_).isEmpty)
     require(unpartitioned.isEmpty,
       s"deletePartitions: ${unpartitioned.size} visible files carry no " +
@@ -618,18 +665,24 @@ object Snapshots {
     require(pcols.nonEmpty,
       s"overwritePartitions: $table has no registered partition columns")
     val st = stateAt(spark, table, base)
-    // the touched partition tuples — partition-count-scale driver list
-    val touched = df.select(pcols.map(c => col(c).cast("string")): _*)
-      .distinct().collect()
-      .map(r => pcols.indices.map(i =>
-        if (r.isNullAt(i)) null else r.getString(i)).toIndexedSeq).toSet
+    // write FIRST, then derive the touched partitions from the files
+    // the write actually produced: df executes exactly once (a
+    // nondeterministic source re-evaluated for a separate
+    // touched-partition collect could write partitions absent from the
+    // removed set — duplicate rows), and the tuples come from the same
+    // path-segment rendering space as the visible files', so matching
+    // is exact by construction
+    val files = writeData(spark, table, df)
+    validateWrittenOrAbort(spark, table, files)
+    val touched = files
+      .map(f => partitionValuesOf(f))
+      .map(vals => pcols.map(c => vals.getOrElse(c, "")).toIndexedSeq)
+      .toSet
     val removed = st.files.filter { f =>
       val vals = partitionValuesOf(f)
       vals.nonEmpty &&
         touched.contains(pcols.map(c => vals.getOrElse(c, "")).toIndexedSeq)
     }.sorted
-    val files = writeData(spark, table, df)
-    validateWrittenOrAbort(spark, table, files)
     val v = commitManifest(spark, table, files, "replace", None,
       removed = removed, baseDvs = Some(st.dvs.toSet))
     Cow(Some(v), removed.size, st.files.size)
@@ -639,7 +692,7 @@ object Snapshots {
     * files (durable but INVISIBLE until a manifest references them —
     * a crash here leaves orphans for [[vacuum]] to sweep). Registered
     * partition columns shape the layout: each is duplicated into a
-    * `__p_` shadow consumed by `partitionBy` (so the data file keeps
+    * `p__` shadow consumed by `partitionBy` (so the data file keeps
     * the real column) and leaf files are enumerated recursively. */
   private def writeData(spark: SparkSession, table: String, df: DataFrame,
       maxRecordsPerFile: Option[Long] = None): Seq[String] = {
@@ -1134,7 +1187,11 @@ object Snapshots {
     * taken as micros. */
   private def tsMicros(bound: Any): Long = bound match {
     case t: java.sql.Timestamp =>
-      java.lang.Math.addExact(java.lang.Math.multiplyExact(t.getTime / 1000L, 1000000L),
+      // floorDiv, not /: a pre-1970 timestamp with fractional seconds
+      // has getTime truncate TOWARD ZERO (-500 ms / 1000 = 0, not -1),
+      // which would shift the bound a full second and mis-prune
+      java.lang.Math.addExact(
+        java.lang.Math.multiplyExact(java.lang.Math.floorDiv(t.getTime, 1000L), 1000000L),
         (t.getNanos / 1000).toLong)
     case i: java.time.Instant =>
       java.lang.Math.addExact(java.lang.Math.multiplyExact(i.getEpochSecond, 1000000L),
@@ -1259,8 +1316,9 @@ object Snapshots {
       val hit = statsFoldCache.get(key)
       if (hit != null) return hit
     }
+    val e0 = epochOf(table)
     val folded = statsFoldUncached(spark, table, version)
-    statsFoldCache.synchronized { statsFoldCache.put(key, folded) }
+    putFenced(statsFoldCache, table, e0, key, folded)
     folded
   }
 
@@ -2550,7 +2608,7 @@ object Snapshots {
     val commitDirs = sweepDirs(new Path(table, "data")) ++ sweepDirs(dvRoot(table))
     var deleted = 0L
     // recurse: a partitioned commit dir nests its files under
-    // __p_col=value directories. Returns true when no LIVE file
+    // p__col=value directories. Returns true when no LIVE file
     // remains below `d` (metadata markers don't keep a dir alive).
     def sweep(d: Path): Boolean = {
       var allGone = true

@@ -36,8 +36,12 @@ class HttpApi(spark: SparkSession, store: FeatureStore,
   // TCP_NODELAY on the JDK server's sockets: sendResponseHeaders and
   // the body write land in separate small segments, and Nagle +
   // delayed-ACK puts a ~40 ms stall between them on EVERY response
-  // (ServeBench measured a 44 ms p50 floor on /health). The property
-  // is read once at server-class init, so set it before create().
+  // (ServeBench measured a 44 ms p50 floor on /health). CAVEAT: the
+  // property is read ONCE when the JDK server classes initialize — if
+  // the embedding JVM created any com.sun.net.httpserver server before
+  // the first HttpApi, this line is a silent no-op; pass
+  // -Dsun.net.httpserver.nodelay=true at launch to make it
+  // unconditional (and note it applies process-wide either way).
   System.setProperty("sun.net.httpserver.nodelay", "true")
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   private val pool = Executors.newFixedThreadPool(4)

@@ -1230,6 +1230,52 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("default partition holds NULL and empty string as ONE unit; partition filters are loud") {
+    val t = tbl()
+    Snapshots.setPartitionColumns(spark, t, Seq("k"))
+    Snapshots.commit(spark, t,
+      Seq((Option.empty[String], 1), (Option(""), 2), (Option("x"), 3)).toDF("k", "v"))
+    // Spark writes the SAME hive sentinel for null and "" — the default
+    // partition is addressed as one unit (deleting "the null partition"
+    // must not silently take "" rows the caller never asked about
+    // without also SERVING them under the same address)
+    assert(Snapshots.readPartitions(spark, t, Map("k" -> null))
+      .select($"v").as[Int].collect().toSet == Set(1, 2))
+    assert(Snapshots.readPartitions(spark, t, Map("k" -> ""))
+      .select($"v").as[Int].collect().toSet == Set(1, 2))
+    val cow = Snapshots.deletePartitions(spark, t, Map("k" -> null))
+    assert(cow.filesDropped > 0)
+    assert(Snapshots.read(spark, t).select($"v").as[Int].collect().toSeq == Seq(3))
+    // a typo / data-column filter key is loud, never silently empty
+    intercept[IllegalArgumentException] {
+      Snapshots.readPartitions(spark, t, Map("v" -> 1))
+    }
+    // a filter value type whose toString diverges from the path
+    // rendering is refused, never silently unmatched
+    intercept[IllegalArgumentException] {
+      Snapshots.partitionPrunedFiles(spark, t,
+        Map("k" -> new java.sql.Timestamp(0L)))
+    }
+  }
+
+  test("pre-1970 fractional-second timestamp bounds floor, not truncate") {
+    val t = tbl()
+    Snapshots.setStatsColumns(spark, t, Seq("ts"))
+    // one file at -0.5 s, one at +0.2 s
+    Snapshots.commit(spark, t,
+      spark.range(1).select(timestamp_micros(lit(-500000L)).as("ts")).repartition(1))
+    Snapshots.commit(spark, t,
+      spark.range(1).select(timestamp_micros(lit(200000L)).as("ts")).repartition(1))
+    val lo = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(-600L))
+    val hi = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(-400L))
+    val keep = Snapshots.statsPrunedFiles(spark, t, "ts", lo, hi)
+    // truncation-toward-zero would shift the band a full second and
+    // prune the -0.5 s file (false negative) while keeping +0.2 s
+    assert(keep.size == 1, s"kept ${keep.size}")
+    assert(Snapshots.readStatsPruned(spark, t, "ts", lo, hi)
+      .where($"ts".between(lit(lo), lit(hi))).count() == 1)
+  }
+
   test("partitioning is a create-time property; drops demand registered columns") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(10))

@@ -111,6 +111,26 @@ class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, s"$root/t1").count() == 3)
   }
 
+  test("catalog reads compose with partitioned layout, partition drops, and DVs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat3_").toString
+    val t = s"$root/part_facts"
+    val base = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.setPartitionColumns(spark, t, Seq("o_orderpriority"))
+    Snapshots.commit(spark, t, base)
+    Snapshots.deletePartitions(spark, t, Map("o_orderpriority" -> "5-LOW"))
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" % 7 === 0)
+    spark.conf.set("spark.sql.catalog.gsnap3", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsnap3.root", root)
+    val api = Snapshots.read(spark, t)
+    val viaSql = spark.sql(
+      "SELECT * FROM gsnap3.part_facts WHERE o_orderpriority = '1-URGENT'")
+    val want = api.where($"o_orderpriority" === "1-URGENT")
+    assert(viaSql.exceptAll(want).isEmpty && want.exceptAll(viaSql).isEmpty)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gsnap3.part_facts")
+      .as[Long].head() == api.count())
+  }
+
   test("inner plan keeps parquet pushdown: pruned read schema and pushed filter") {
     val t = freshTable()
     Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))

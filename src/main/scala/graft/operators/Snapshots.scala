@@ -493,10 +493,23 @@ object Snapshots {
     setProperty(spark, table, "partition.columns", cols.mkString(","))
   }
 
-  private def partitionColumnsOf(spark: SparkSession, table: String): Seq[String] =
-    properties(spark, table).get("partition.columns")
+  /** Registered partition columns per table, memoized once NON-EMPTY:
+    * registration is create-time immutable, so a registered set never
+    * changes — but an EMPTY read must not cache (the table may be
+    * registered between a probe and its first commit). Keeps the
+    * per-read FS probe off the partition-pruning hot path. */
+  private val partitionColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private[graft] def partitionColumnsOf(spark: SparkSession, table: String): Seq[String] = {
+    val hit = partitionColsCache.get(table)
+    if (hit != null) return hit
+    val cols = properties(spark, table).get("partition.columns")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
+    if (cols.nonEmpty) partitionColsCache.put(table, cols)
+    cols
+  }
 
   /** Unescape one Hive-style partition path value (`%xx` sequences —
     * the convention Spark's `partitionBy` writes). */
@@ -590,7 +603,8 @@ object Snapshots {
 
   /** Visible files of `version` (default latest) inside the partitions
     * matching `filter` — manifest-level partition pruning: pure path
-    * parsing, no file opened. */
+    * parsing over the folded state (no data file opened; the filter
+    * validation's partition-column lookup memoizes after first use). */
   def partitionPrunedFiles(spark: SparkSession, table: String,
       filter: Map[String, Any], version: Option[Long] = None): Seq[String] = {
     validatePartitionFilter(spark, table, filter, "partitionPrunedFiles")
@@ -614,8 +628,14 @@ object Snapshots {
     val base = readState(spark, table, State(keep, st.dvs))
     val pred = filter.map { case (c, vv) =>
       // the hive default partition holds BOTH null and "" values (Spark
-      // writes the same sentinel for both) — address it as one unit
-      if (vv == null || vv == "") col(c).isNull || col(c) === lit("")
+      // writes the same sentinel for both) — address it as one unit.
+      // The ""-arm only exists for string columns: under ANSI mode a
+      // constant-folded cast('' as int) would THROW on a non-string
+      // partition column (where "" values cannot exist anyway).
+      val isString = base.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType
+      if (vv == null || vv == "")
+        if (isString) col(c).isNull || col(c) === lit("") else col(c).isNull
       else col(c) === lit(vv)
     }.reduce(_ && _)
     base.where(pred)
@@ -988,7 +1008,14 @@ object Snapshots {
     try enforceConstraints(spark, table, spark.read.parquet(files: _*))
     catch {
       case e: IllegalArgumentException =>
-        fs(spark, table).delete(new Path(files.head).getParent, true)
+        // delete the whole STAGED COMMIT DIR (c-xxxx), not just the
+        // first file's parent — on a partitioned layout that parent is
+        // one p__col=value subdir and the other partitions' files
+        // would survive as orphans until vacuum
+        var d = new Path(files.head).getParent
+        while (d != null && !d.getName.startsWith("c-")) d = d.getParent
+        fs(spark, table).delete(
+          if (d != null) d else new Path(files.head).getParent, true)
         throw e
     }
   }

@@ -1276,6 +1276,32 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
       .where($"ts".between(lit(lo), lit(hi))).count() == 1)
   }
 
+  test("null partition on a NON-STRING partition column reads under ANSI; partitioned constraint abort sweeps the whole commit dir") {
+    val t = tbl()
+    Snapshots.setPartitionColumns(spark, t, Seq("k"))
+    Snapshots.commit(spark, t,
+      Seq((Option(1), 10), (Option.empty[Int], 20)).toDF("k", "v"))
+    // the ""-arm of the default-partition predicate must not cast ''
+    // to int (ANSI would throw at planning)
+    assert(Snapshots.readPartitions(spark, t, Map("k" -> null))
+      .select($"v").as[Int].collect().toSeq == Seq(20))
+    assert(Snapshots.readPartitions(spark, t, Map("k" -> 1))
+      .select($"v").as[Int].collect().toSeq == Seq(10))
+    // a violating batch on a PARTITIONED table aborts the whole staged
+    // commit dir — not just the first partition subdir
+    Snapshots.addConstraint(spark, t, "v_pos", "v > 0")
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = f.listStatus(new org.apache.hadoop.fs.Path(t, "data")).length
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, t,
+        Seq((Option(2), -1), (Option(3), 5)).toDF("k", "v"))
+    }
+    val after = f.listStatus(new org.apache.hadoop.fs.Path(t, "data")).length
+    assert(after == before, s"staged commit dir must be swept whole: $before -> $after")
+    assert(Snapshots.read(spark, t).count() == 2)
+  }
+
   test("partitioning is a create-time property; drops demand registered columns") {
     val t = tbl()
     Snapshots.commit(spark, t, orders.limit(10))

@@ -63,13 +63,15 @@ class SnapshotProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (path, v) = resolve(options)
-    Snapshots.read(SparkSession.active, path, Some(v)).schema
+    val base = Snapshots.read(SparkSession.active, path, Some(v)).schema
+    if (SnapshotSource.isCdc(options)) SnapshotSource.withChangeType(base) else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val (path, v) = resolve(new CaseInsensitiveStringMap(properties))
-    new SnapshotV2Table(path, v)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (path, v) = resolve(opts)
+    new SnapshotV2Table(path, v, SnapshotSource.isCdc(opts))
   }
 }
 
@@ -112,6 +114,16 @@ private[sources] object SnapshotSource {
     }
   }
 
+  /** `readChangeFeed` option: batch AND streaming reads emit the
+    * change-data feed ([[Snapshots.changeFeed]] — every row change
+    * with a `_change_type` column) instead of current rows. */
+  def isCdc(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.equalsIgnoreCase("true"))
+
+  def withChangeType(base: StructType): StructType =
+    base.add("_change_type", org.apache.spark.sql.types.StringType,
+      nullable = false)
+
   /** Best-effort `sources.Filter` → `Column` conversion for pushing
     * into the inner plan. `None` = not convertible (the filter is
     * still applied by Spark above the scan either way). */
@@ -139,19 +151,36 @@ private[sources] object SnapshotSource {
   }
 }
 
-/** A pinned (table, version) as a DSv2 read-only table. */
-class SnapshotV2Table(path: String, version: Long)
+/** A pinned (table, version) as a DSv2 read-only table. Batch reads
+  * serve the pinned version; a streaming read uses the pin only for
+  * schema — its offsets track the live log ([[SnapshotMicroBatchStream]]). */
+class SnapshotV2Table(path: String, version: Long, cdc: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot:$path@v$version"
-  override lazy val schema: StructType =
-    Snapshots.read(SparkSession.active, path, Some(version)).schema
+  override lazy val schema: StructType = {
+    val base = Snapshots.read(SparkSession.active, path, Some(version)).schema
+    if (cdc) SnapshotSource.withChangeType(base) else base
+  }
+  // registered partition columns surface as identity transforms —
+  // DESCRIBE-style metadata for SQL users (pruning itself happens at
+  // the manifest level inside the engine read); lazy like `schema`:
+  // Spark may ask repeatedly during analysis and the column set is
+  // create-time immutable
+  override lazy val partitioning: Array[Transform] =
+    Snapshots.partitionColumnsOf(SparkSession.active, path)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(path, version, schema)
+    // cdc is a TABLE-level shape (it adds the _change_type column to
+    // the negotiated schema), so it comes from the provider options,
+    // not the per-scan ones
+    new SnapshotScanBuilder(path, version, schema, cdc, options)
 }
 
-class SnapshotScanBuilder(path: String, version: Long, full: StructType)
+class SnapshotScanBuilder(path: String, version: Long, full: StructType,
+    cdc: Boolean, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
@@ -171,19 +200,60 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType)
 
   override def build(): Scan = {
     val spark = SparkSession.active
-    var df = Snapshots.read(spark, path, Some(version))
-    pushed.flatMap(SnapshotSource.filterToColumn).foreach(c => df = df.where(c))
-    df = df.select(required.fieldNames.map(col).toIndexedSeq: _*)
-    new SnapshotScan(df, s"graft-snapshot $path v$version")
+    // the batch plan is a thunk: a pure streaming scan never builds it
+    val mkBatch = () => {
+      var df =
+        if (cdc) {
+          // batch CDF read: inclusive [startingVersion, endingVersion]
+          // (Delta's option names), defaults = the whole retained log
+          // up to the pinned version
+          val from = Option(options.get("startingVersion"))
+            .map(_.toLong - 1L).getOrElse(-1L)
+          val to = Option(options.get("endingVersion"))
+            .map(_.toLong).getOrElse(version)
+          Snapshots.changeFeed(spark, path, from, to)
+        } else Snapshots.read(spark, path, Some(version))
+      pushed.flatMap(SnapshotSource.filterToColumn).foreach(c => df = df.where(c))
+      df.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    val cfg = SnapshotStreamConfig(path, cdc,
+      Option(options.get("startingVersion")),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+    new SnapshotScan(required, s"graft-snapshot $path v$version",
+      mkBatch, cfg, pushed.toSeq)
   }
 }
 
 /** Serves the inner DataFrame's executed-plan RDD partitions through
-  * the DSv2 reader, one input partition per RDD partition. */
-class SnapshotScan(df: DataFrame, desc: String) extends Scan {
-  override def readSchema(): StructType = df.schema
+  * the DSv2 reader, one input partition per RDD partition; the same
+  * scan exposes the micro-batch stream ([[SnapshotMicroBatchStream]]),
+  * which re-plans a fresh inner DataFrame per offset range. */
+class SnapshotScan(schema: StructType, desc: String,
+    mkBatch: () => DataFrame, streamCfg: SnapshotStreamConfig,
+    pushed: Seq[sources.Filter]) extends Scan {
+  override def readSchema(): StructType = schema
   override def description(): String = desc
 
+  override def toBatch: Batch = new Batch {
+    // planning runs driver-side: the optimized physical plan compiles
+    // here (and AQE materializes any intermediate stages eagerly), so
+    // executor-side compute is narrow
+    private lazy val rdd: RDD[InternalRow] = {
+      val r = mkBatch().queryExecution.toRdd
+      SnapshotScan.materialize(r)
+      r
+    }
+    override def planInputPartitions(): Array[InputPartition] =
+      rdd.partitions.map(p => SnapshotInputPartition(p))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SnapshotReaderFactory(rdd)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(streamCfg, schema, pushed)
+}
+
+object SnapshotScan {
   /** Force the lineage's `dependencies` (a non-transient lazy field)
     * on the DRIVER: the factory ships the RDD graph by plain Java
     * serialization, and an executor-side `getDependencies` recompute
@@ -191,24 +261,9 @@ class SnapshotScan(df: DataFrame, desc: String) extends Scan {
     * `@transient` (FileScanRDD). A normal task binary ships the same
     * graph with dependencies already materialized by the scheduler —
     * this reproduces that state. */
-  private def materialize(r: RDD[_]): Unit = {
+  private[sources] def materialize(r: RDD[_]): Unit = {
     r.partitions
     r.dependencies.foreach(d => materialize(d.rdd))
-  }
-
-  override def toBatch: Batch = new Batch {
-    // planning runs driver-side: the optimized physical plan compiles
-    // here (and AQE materializes any intermediate stages eagerly), so
-    // executor-side compute is narrow
-    private lazy val rdd: RDD[InternalRow] = {
-      val r = df.queryExecution.toRdd
-      materialize(r)
-      r
-    }
-    override def planInputPartitions(): Array[InputPartition] =
-      rdd.partitions.map(p => SnapshotInputPartition(p))
-    override def createReaderFactory(): PartitionReaderFactory =
-      new SnapshotReaderFactory(rdd)
   }
 }
 

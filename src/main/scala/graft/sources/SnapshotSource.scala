@@ -71,7 +71,9 @@ class SnapshotProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (path, v) = resolve(opts)
-    new SnapshotV2Table(path, v, SnapshotSource.isCdc(opts))
+    val pinned = opts.containsKey("versionAsOf") || opts.containsKey("version") ||
+      opts.containsKey("timestampAsOf")
+    new SnapshotV2Table(path, v, SnapshotSource.isCdc(opts), writable = !pinned)
   }
 }
 
@@ -151,11 +153,17 @@ private[sources] object SnapshotSource {
   }
 }
 
-/** A pinned (table, version) as a DSv2 read-only table. Batch reads
-  * serve the pinned version; a streaming read uses the pin only for
-  * schema — its offsets track the live log ([[SnapshotMicroBatchStream]]). */
-class SnapshotV2Table(path: String, version: Long, cdc: Boolean = false)
-    extends Table with SupportsRead {
+/** A pinned (table, version) as a DSv2 table. Batch reads serve the
+  * pinned version; a streaming read uses the pin only for schema — its
+  * offsets track the live log ([[SnapshotMicroBatchStream]]). Writes
+  * (`INSERT INTO` / `INSERT OVERWRITE` / dynamic partition overwrite)
+  * route through the engine's commit protocol and are only offered on
+  * a LIVE table handle (`writable`): an explicitly time-traveled load
+  * must not append past its pin, and a change-feed table is a
+  * derivation, not a base relation. */
+class SnapshotV2Table(path: String, version: Long, cdc: Boolean = false,
+    writable: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-snapshot:$path@v$version"
   override lazy val schema: StructType = {
     val base = Snapshots.read(SparkSession.active, path, Some(version)).schema
@@ -170,13 +178,67 @@ class SnapshotV2Table(path: String, version: Long, cdc: Boolean = false)
     Snapshots.partitionColumnsOf(SparkSession.active, path)
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    if (!cdc) {
+      // the write lands through InsertableRelation (V1_BATCH_WRITE):
+      // the engine's commit(df) IS the transaction, so the v1 fallback
+      // (one DataFrame in, one atomic manifest rename out) is the
+      // honest shape, not a limitation. BATCH_WRITE is advertised too —
+      // DataFrameWriter.save's v2 path gates on it specifically — and
+      // the planner still picks the V1 exec from the Write's type.
+      // Advertised even on a pinned handle so a misdirected write
+      // reaches newWriteBuilder's specific "not writable" error instead
+      // of a generic fallback. Dynamic partition overwrite is NOT
+      // advertised: the V1 fallback cannot plan
+      // OverwritePartitionsDynamic, so SQL refuses it loudly at
+      // analysis — use Snapshots.overwritePartitions.
+      caps.add(TableCapability.BATCH_WRITE)
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+    }
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // cdc is a TABLE-level shape (it adds the _change_type column to
     // the negotiated schema), so it comes from the provider options,
     // not the per-scan ones
     new SnapshotScanBuilder(path, version, schema, cdc, options)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(writable && !cdc,
+      s"graft-snapshot: $name is not writable — a time-traveled or " +
+        "change-feed handle cannot accept inserts; load the live table " +
+        "(no versionAsOf/timestampAsOf/readChangeFeed) or use the " +
+        "Snapshots API")
+    new SnapshotWriteBuilder(path)
+  }
+}
+
+/** `INSERT INTO` → append commit; `INSERT OVERWRITE` (static) →
+  * overwrite commit. Constraints, the append-only guard, partition
+  * layout, and footer stats all apply — the SQL write is the same
+  * commit every other writer makes. (Dynamic partition overwrite is a
+  * Scala-API operation, [[Snapshots.overwritePartitions]]: the V1
+  * write fallback cannot plan it, and advertising the capability would
+  * trade a loud analysis error for a wrong static truncate.) */
+class SnapshotWriteBuilder(path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: sources.InsertableRelation =
+        new sources.InsertableRelation {
+          override def insert(data: DataFrame, ow: Boolean): Unit =
+            Snapshots.commit(data.sparkSession, path, data,
+              overwrite = overwrite || ow): Unit
+        }
+    }
 }
 
 class SnapshotScanBuilder(path: String, version: Long, full: StructType,
@@ -298,8 +360,12 @@ class SnapshotReaderFactory(rdd: RDD[InternalRow])
   * root. Time travel maps straight onto the log: `VERSION AS OF` pins
   * that manifest version, `TIMESTAMP AS OF` resolves the newest commit
   * at-or-before the timestamp (Spark hands it down in MICROseconds).
-  * DDL/DML through the catalog is refused — commits go through the
-  * [[Snapshots]] API, whose manifest rename IS the transaction. */
+  * `INSERT INTO` / `INSERT OVERWRITE` (incl. dynamic partition
+  * overwrite) land through the table's write builder — the same
+  * manifest commit every other writer makes. DDL (CREATE/ALTER/DROP)
+  * is refused: table layout (partition columns, stats, constraints)
+  * is declared through the [[Snapshots]] API, whose manifest rename
+  * IS the transaction. */
 class SnapshotCatalog extends TableCatalog {
   private var catalogName: String = _
   private var root: Option[String] = None
@@ -328,7 +394,9 @@ class SnapshotCatalog extends TableCatalog {
     val p = pathOf(ident)
     val v = Snapshots.latestVersion(spark, p).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
-    new SnapshotV2Table(p, v)
+    // the live handle accepts INSERT INTO / INSERT OVERWRITE; the
+    // time-traveled loads below stay read-only
+    new SnapshotV2Table(p, v, writable = true)
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -356,9 +424,10 @@ class SnapshotCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"SnapshotCatalog is read-only: $op goes through the graft.operators." +
-        "Snapshots API (commit/mergeInto/deleteWhere...), whose manifest " +
-        "rename is the transaction")
+      s"SnapshotCatalog accepts no DDL: $op goes through the graft." +
+        "operators.Snapshots API (setPartitionColumns/setStatsColumns/" +
+        "addConstraint/vacuum...), whose manifest rename is the " +
+        "transaction; INSERT INTO/OVERWRITE work through SQL")
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     readOnly("CREATE TABLE")

@@ -131,6 +131,84 @@ class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
       .as[Long].head() == api.count())
   }
 
+  test("SQL INSERT INTO appends through the manifest; INSERT OVERWRITE replaces; constraints bind") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat4_").toString
+    val t = s"$root/ins_tbl"
+    Snapshots.commit(spark, t, orders.limit(10))
+    Snapshots.addConstraint(spark, t, "price_pos", "o_totalprice > 0")
+    spark.conf.set("spark.sql.catalog.gsnap4", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsnap4.root", root)
+
+    spark.sql("INSERT INTO gsnap4.ins_tbl VALUES (900001, 42, 123.45)")
+    assert(Snapshots.read(spark, t).count() == 11)
+    assert(Snapshots.read(spark, t)
+      .where($"o_orderkey" === 900001L).count() == 1)
+    // the SQL write is a first-class manifest commit: history advances
+    val acts = Snapshots.history(spark, t).orderBy($"version")
+      .select($"action").as[String].collect().toSeq
+    assert(acts == Seq("append", "append"), acts.toString)
+
+    // a violating INSERT aborts BEFORE the manifest — nothing lands
+    intercept[Exception] {
+      spark.sql("INSERT INTO gsnap4.ins_tbl VALUES (900002, 7, -1.0)")
+    }
+    assert(Snapshots.read(spark, t).count() == 11,
+      "a constraint-violating SQL insert must not commit")
+
+    spark.sql("INSERT OVERWRITE gsnap4.ins_tbl VALUES (1, 1, 10.0), (2, 2, 20.0)")
+    assert(Snapshots.read(spark, t).select($"o_orderkey").as[Long]
+      .collect().toSeq.sorted == Seq(1L, 2L))
+    // a pinned (time-traveled) handle must refuse writes
+    val e = intercept[Exception] {
+      orders.limit(1).write.format("graft-snapshot")
+        .option("versionAsOf", "0").mode("append").save(t)
+    }
+    assert(e.getMessage.contains("not writable"), e.getMessage)
+  }
+
+  test("SQL inserts compose with the partitioned layout; dynamic overwrite refuses loudly at analysis") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat5_").toString
+    val t = s"$root/dyn_tbl"
+    val base = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.setPartitionColumns(spark, t, Seq("o_orderpriority"))
+    Snapshots.commit(spark, t, base)
+    spark.conf.set("spark.sql.catalog.gsnap5", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsnap5.root", root)
+    // an INSERT INTO a partitioned table lands hive-partitioned: the
+    // new rows are manifest-prunable like any other commit
+    spark.sql(
+      "INSERT INTO gsnap5.dyn_tbl VALUES (900001, '1-URGENT', 10.0)")
+    val pruned = Snapshots.partitionPrunedFiles(spark, t,
+      Map("o_orderpriority" -> "1-URGENT"))
+    assert(pruned.exists(_.contains("p__o_orderpriority=1-URGENT")))
+    assert(Snapshots.readPartitions(spark, t,
+      Map("o_orderpriority" -> "1-URGENT"))
+      .where($"o_orderkey" === 900001L).count() == 1)
+    // V1 writes cannot plan OverwritePartitionsDynamic — the analyzer
+    // must refuse (the Scala API, overwritePartitions, is the path)
+    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          "INSERT OVERWRITE gsnap5.dyn_tbl VALUES (900002, '1-URGENT', 11.0)")
+      }
+      assert(e.getMessage.contains("dynamic overwrite"), e.getMessage)
+    }
+  }
+
+  test("path-based df.write appends and overwrites an existing snapshot table") {
+    val t = freshTable()
+    // creation is the Snapshots API (the provider writes to EXISTING
+    // tables — consistent with DDL staying out of the SQL surface)
+    Snapshots.commit(spark, t, orders.limit(20))
+    orders.limit(5).write.format("graft-snapshot").mode("append").save(t)
+    assert(Snapshots.read(spark, t).count() == 25)
+    orders.limit(3).write.format("graft-snapshot").mode("overwrite").save(t)
+    assert(Snapshots.read(spark, t).count() == 3)
+    assert(Snapshots.read(spark, t, Some(0L)).count() == 20,
+      "history stays time-travelable under SQL-surface writes")
+  }
+
   test("inner plan keeps parquet pushdown: pruned read schema and pushed filter") {
     val t = freshTable()
     Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))

@@ -388,6 +388,59 @@ object NonSql {
     Seq(n).toDF("n")
   }
 
+  // S28: Structured Streaming OVER a snapshot table — the lakehouse
+  // streaming-source contract: src accumulates three appends with a
+  // content-neutral compaction mid-history (deltas must read through
+  // it), then is REPLICATED table-to-table: readStream(graft-snapshot,
+  // startingVersion=0, maxVersionsPerTrigger=1 — version offsets,
+  // admission-controlled) → foreachBatch commitBatch (the idempotent
+  // exactly-once sink). The replica's final content must equal the
+  // relational union — end-to-end through both the streaming source
+  // and the streaming sink.
+  val s28StreamSnapshot: Q = (s, dir) => {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_stream_").toString
+    val src = s"$root/src"; val dst = s"$root/dst"
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    graft.operators.Snapshots.commit(s, src, base.filter($"o_orderkey" % 3 === 0))
+    graft.operators.Snapshots.commit(s, src, base.filter($"o_orderkey" % 3 === 1))
+    graft.operators.Snapshots.compactLatest(s, src, targetRowsPerFile = 4000000L)
+    graft.operators.Snapshots.commit(s, src, base.filter($"o_orderkey" % 3 === 2))
+    val q = s.readStream.format("graft-snapshot")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        graft.operators.Snapshots.commitBatch(s, dst, df, id): Unit
+      }.start()
+    q.awaitTermination()
+    graft.operators.Snapshots.read(s, dst).orderBy($"o_orderkey")
+  }
+
+  // S29: the SQL WRITE surface — INSERT INTO appends through the
+  // manifest (the same commit every other writer makes), INSERT
+  // OVERWRITE atomically replaces, and the final content is read back
+  // through spark.sql over the catalog.
+  val s29SqlInsert: Q = (s, dir) => {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_sqlins_").toString
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    graft.operators.Snapshots.commit(s, s"$root/orders_ins",
+      base.where($"o_totalprice" >= 50000.0))
+    s.conf.set("spark.sql.catalog.gsnapw", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.gsnapw.root", root)
+    base.createOrReplaceTempView("s29_base")
+    s.sql("INSERT INTO gsnapw.orders_ins " +
+      "SELECT * FROM s29_base WHERE o_totalprice < 50000.0")
+    s.sql("INSERT OVERWRITE gsnapw.orders_ins " +
+      "SELECT * FROM s29_base WHERE o_custkey % 10 != 0")
+    s.sql("SELECT o_orderkey, o_custkey, o_totalprice " +
+      "FROM gsnapw.orders_ins ORDER BY o_orderkey")
+  }
+
   // S14: JSON-lines sink → scan round-trip — the reference's streaming
   // wire format (pipeline.py:44 json.loads per record) as a batch
   // source/sink. Explicit read schema (engine policy, SURVEY §1.2):
@@ -573,7 +626,9 @@ object NonSql {
     "s24_stats_prune" -> s24StatsPrune,
     "s25_partitioned_snapshot" -> s25PartitionedSnapshot,
     "s26_sql_snapshot" -> s26SqlSnapshot,
-    "s27_count_meta" -> s27CountMeta
+    "s27_count_meta" -> s27CountMeta,
+    "s28_stream_snapshot" -> s28StreamSnapshot,
+    "s29_sql_insert" -> s29SqlInsert
   )
 
   /** CSV round-trip and the sliding window are oracle-comparable (the
@@ -663,6 +718,12 @@ object NonSql {
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "s27_count_meta" ->
       "SELECT COUNT(*) AS n FROM orders WHERE NOT (o_totalprice < 50000.0)",
+    "s28_stream_snapshot" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_orderkey"),
+    "s29_sql_insert" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_custkey % 10 != 0 ORDER BY o_orderkey"),
     "s22_change_feed" ->
       ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
         "src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice " +

@@ -237,6 +237,10 @@ object Snapshots {
     def purge[V](m: java.util.LinkedHashMap[String, V]): Unit =
       m.synchronized { m.keySet().removeIf(_.startsWith(prefix)) }
     purge(manifestCache); purge(stateCache); purge(statsFoldCache)
+    // registered partition columns are create-time immutable for a
+    // LIVE table, but a drop + re-create at the same path may change
+    // them — invalidation must cover the memo
+    partitionColsCache.remove(table): Unit
   }
 
   private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {

@@ -63,7 +63,9 @@ class SnapshotProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (path, v) = resolve(options)
-    val base = Snapshots.read(SparkSession.active, path, Some(v)).schema
+    val base =
+      if (v < 0L) SnapshotSource.declaredSchemaOf(SparkSession.active, path).get
+      else Snapshots.read(SparkSession.active, path, Some(v)).schema
     if (SnapshotSource.isCdc(options)) SnapshotSource.withChangeType(base) else base
   }
 
@@ -73,7 +75,9 @@ class SnapshotProvider extends TableProvider with DataSourceRegister {
     val (path, v) = resolve(opts)
     val pinned = opts.containsKey("versionAsOf") || opts.containsKey("version") ||
       opts.containsKey("timestampAsOf")
-    new SnapshotV2Table(path, v, SnapshotSource.isCdc(opts), writable = !pinned)
+    new SnapshotV2Table(path, v, SnapshotSource.isCdc(opts), writable = !pinned,
+      declaredSchema = if (v < 0L)
+        SnapshotSource.declaredSchemaOf(SparkSession.active, path) else None)
   }
 }
 
@@ -88,9 +92,19 @@ private[sources] object SnapshotSource {
       "graft-snapshot: versionAsOf and timestampAsOf are exclusive")
     versionAsOf.map(_.toLong).orElse(
       timestampAsOf.map(t => versionAtTimestamp(spark, path, parseTsMillis(t))))
-      .getOrElse(Snapshots.latestVersion(spark, path).getOrElse(
-        throw new IllegalArgumentException(s"no snapshot committed at $path")))
+      .getOrElse(Snapshots.latestVersion(spark, path).getOrElse {
+        // a CREATE'd-but-never-committed table resolves to -1 (its
+        // declared schema stands in; scans are empty, streams idle)
+        if (declaredSchemaOf(spark, path).isDefined) -1L
+        else throw new IllegalArgumentException(s"no snapshot committed at $path")
+      })
   }
+
+  /** Declared schema of a CREATE'd table with no commit yet (recorded
+    * by [[SnapshotCatalog.createTable]] as a reserved property). */
+  def declaredSchemaOf(spark: SparkSession, path: String): Option[StructType] =
+    graft.operators.Snapshots.properties(spark, path)
+      .get(SnapshotCatalog.schemaProp).map(StructType.fromDDL)
 
   def parseTsMillis(t: String): Long =
     t.toLongOption.getOrElse {
@@ -162,11 +176,14 @@ private[sources] object SnapshotSource {
   * must not append past its pin, and a change-feed table is a
   * derivation, not a base relation. */
 class SnapshotV2Table(path: String, version: Long, cdc: Boolean = false,
-    writable: Boolean = false)
+    writable: Boolean = false, declaredSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-snapshot:$path@v$version"
   override lazy val schema: StructType = {
-    val base = Snapshots.read(SparkSession.active, path, Some(version)).schema
+    // version -1 = a CREATE'd table with no commit yet: the declared
+    // schema stands in until real files exist
+    val base = declaredSchema.getOrElse(
+      Snapshots.read(SparkSession.active, path, Some(version)).schema)
     if (cdc) SnapshotSource.withChangeType(base) else base
   }
   // registered partition columns surface as identity transforms —
@@ -265,7 +282,11 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
     // the batch plan is a thunk: a pure streaming scan never builds it
     val mkBatch = () => {
       var df =
-        if (cdc) {
+        if (version < 0L) {
+          // CREATE'd, never committed: an empty relation of the
+          // declared shape (a later commit is a NEW table resolution)
+          spark.createDataFrame(new util.ArrayList[org.apache.spark.sql.Row](), full)
+        } else if (cdc) {
           // batch CDF read: inclusive [startingVersion, endingVersion]
           // (Delta's option names), defaults = the whole retained log
           // up to the pinned version
@@ -387,16 +408,29 @@ class SnapshotCatalog extends TableCatalog {
 
   private def spark = SparkSession.active
 
-  override def tableExists(ident: Identifier): Boolean =
-    Snapshots.latestVersion(spark, pathOf(ident)).isDefined
+  override def tableExists(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    Snapshots.latestVersion(spark, p).isDefined ||
+      Snapshots.properties(spark, p).contains(SnapshotCatalog.schemaProp)
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
-    val v = Snapshots.latestVersion(spark, p).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     // the live handle accepts INSERT INTO / INSERT OVERWRITE; the
     // time-traveled loads below stay read-only
-    new SnapshotV2Table(p, v, writable = true)
+    Snapshots.latestVersion(spark, p) match {
+      case Some(v) => new SnapshotV2Table(p, v, writable = true)
+      case None =>
+        // a CREATE'd-but-not-yet-written table: schema lives in the
+        // declared property until the first commit materializes it
+        val declared = Snapshots.properties(spark, p)
+          .get(SnapshotCatalog.schemaProp)
+          .map(j => StructType.fromDDL(j))
+          .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchTableException(ident))
+        new SnapshotV2Table(p, -1L, writable = true,
+          declaredSchema = Some(declared))
+    }
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -428,12 +462,59 @@ class SnapshotCatalog extends TableCatalog {
         "operators.Snapshots API (setPartitionColumns/setStatsColumns/" +
         "addConstraint/vacuum...), whose manifest rename is the " +
         "transaction; INSERT INTO/OVERWRITE work through SQL")
+  /** `CREATE TABLE` (and the create half of CTAS): registers partition
+    * columns (identity transforms only — the engine partitions by
+    * column value, Delta's contract) and user TBLPROPERTIES through
+    * the engine's property log, and records the declared schema as a
+    * reserved property so the empty table is loadable before its first
+    * commit (the first commit's files take over as schema of record). */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case t => throw new UnsupportedOperationException(
+        s"SnapshotCatalog: only identity partition transforms are " +
+          s"supported (got $t) — bucket/days/hours layouts go through " +
+          "Layout.zorderBy / Snapshots.compactLatest clustering")
+    }
+    if (partCols.nonEmpty) Snapshots.setPartitionColumns(spark, p, partCols)
+    // user TBLPROPERTIES land in the engine property log (so e.g.
+    // TBLPROPERTIES ('streaming'='append_only') arms the real guard);
+    // Spark's bookkeeping keys are skipped
+    val reserved = Set("provider", "location", "owner", "external",
+      "option.path", "path")
+    properties.asScala.filterNot { case (k, _) => reserved(k) }
+      .foreach { case (k, v) => Snapshots.setProperty(spark, p, k, v) }
+    Snapshots.setProperty(spark, p, SnapshotCatalog.schemaProp, schema.toDDL)
+    new SnapshotV2Table(p, -1L, writable = true, declaredSchema = Some(schema))
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  /** `DROP TABLE`: removes the table directory (data, DV sidecars, and
+    * the whole commit log) and invalidates the state caches. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (!tableExists(ident)) return false
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.invalidateCaches(p)
+    f.delete(hp, true)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+}
+
+object SnapshotCatalog {
+  /** Reserved property carrying a CREATE'd table's declared schema
+    * (DDL string) until the first commit materializes real files. */
+  val schemaProp = "catalog.created.schema"
 }

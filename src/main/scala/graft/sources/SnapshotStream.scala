@@ -73,10 +73,10 @@ class SnapshotMicroBatchStream(cfg: SnapshotStreamConfig,
   // driver-side only: the stream object never ships to executors
   private val spark = SparkSession.active
 
+  /** Latest committed version, or -1 on a CREATE'd-but-empty table —
+    * the stream attaches and idles until the first commit lands. */
   private def liveLatest(): Long =
-    Snapshots.latestVersion(spark, cfg.path).getOrElse(
-      throw new IllegalStateException(
-        s"graft-snapshot stream: no commit at ${cfg.path}"))
+    Snapshots.latestVersion(spark, cfg.path).getOrElse(-1L)
 
   /** Trigger.AvailableNow: the end target is FROZEN at query start
     * (commits racing the drain are left for the next run), while

@@ -96,7 +96,7 @@ class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
     assert(n == api.count())
   }
 
-  test("catalog lists snapshot tables and refuses DDL") {
+  test("catalog lists snapshot tables and refuses schema-mutating DDL") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat2_").toString
     Snapshots.commit(spark, s"$root/t1", orders.limit(3))
     Snapshots.commit(spark, s"$root/t2", orders.limit(4))
@@ -106,7 +106,10 @@ class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
       .as[String].collect().toSet
     assert(listed == Set("t1", "t2"))
     intercept[Exception] {
-      spark.sql("DROP TABLE gsnap2.t1")
+      spark.sql("ALTER TABLE gsnap2.t1 ADD COLUMN bonus DOUBLE")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsnap2.t1 RENAME TO t1b")
     }
     assert(Snapshots.read(spark, s"$root/t1").count() == 3)
   }
@@ -207,6 +210,68 @@ class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t).count() == 3)
     assert(Snapshots.read(spark, t, Some(0L)).count() == 20,
       "history stays time-travelable under SQL-surface writes")
+  }
+
+  test("CREATE TABLE declares schema+partitions+properties; CTAS lands as a commit; DROP removes and un-poisons caches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat6_").toString
+    spark.conf.set("spark.sql.catalog.gsnap6", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsnap6.root", root)
+
+    spark.sql("CREATE TABLE gsnap6.fresh (k BIGINT, p STRING, v DOUBLE) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('custom.note'='kept')")
+    // loadable BEFORE any commit: empty relation of the declared shape
+    val empty = spark.sql("SELECT * FROM gsnap6.fresh")
+    assert(empty.columns.toSeq == Seq("k", "p", "v") && empty.count() == 0)
+    val t = s"$root/fresh"
+    assert(Snapshots.properties(spark, t).get("custom.note").contains("kept"))
+
+    // the first INSERT lands hive-partitioned under the DECLARED layout
+    spark.sql("INSERT INTO gsnap6.fresh VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    assert(spark.sql("SELECT k FROM gsnap6.fresh WHERE p = 'a'")
+      .as[Long].collect().toSeq == Seq(1L))
+    val pruned = Snapshots.partitionPrunedFiles(spark, t, Map("p" -> "a"))
+    assert(pruned.nonEmpty && pruned.forall(_.contains("p__p=a")),
+      s"the CREATE-declared partition column must drive the layout: $pruned")
+
+    // CTAS = createTable + append through the same write path
+    spark.sql("CREATE TABLE gsnap6.ctas AS SELECT * FROM gsnap6.fresh WHERE k = 1")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gsnap6.ctas").as[Long].head() == 1L)
+
+    // DROP deletes the table; a re-CREATE at the same path with a
+    // DIFFERENT partition layout must not see the memoized old one
+    spark.sql("DROP TABLE gsnap6.ctas")
+    intercept[Exception] { spark.sql("SELECT * FROM gsnap6.ctas").collect() }
+    spark.sql("CREATE TABLE gsnap6.ctas (a BIGINT)")
+    spark.sql("INSERT INTO gsnap6.ctas VALUES (7)")
+    assert(spark.sql("SELECT a FROM gsnap6.ctas").as[Long].collect().toSeq == Seq(7L))
+    assert(graft.operators.Snapshots.partitionColumnsOf(spark, s"$root/ctas").isEmpty,
+      "re-created table must not inherit the dropped table's partition columns")
+
+    // non-identity partition transforms are refused loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gsnap6.bucketed (k BIGINT) PARTITIONED BY (bucket(4, k))")
+    }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+  }
+
+  test("a stream attaches to an empty CREATE'd table and delivers the first commit") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat7_").toString
+    spark.conf.set("spark.sql.catalog.gsnap7", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsnap7.root", root)
+    spark.sql("CREATE TABLE gsnap7.feed (k BIGINT, v DOUBLE)")
+    val t = s"$root/feed"
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-snapshot").load(t)
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ss_ckpt_").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got += df.count() }: Unit
+      }.start()
+    q.processAllAvailable()
+    assert(got.sum == 0, s"nothing to deliver before the first commit: $got")
+    spark.sql("INSERT INTO gsnap7.feed VALUES (1, 1.0), (2, 2.0)")
+    q.processAllAvailable(); q.stop()
+    assert(got.sum == 2, s"the first commit must stream through: $got")
   }
 
   test("inner plan keeps parquet pushdown: pruned read schema and pushed filter") {

@@ -145,6 +145,55 @@ class SnapshotStreamSpec extends AnyFunSuite with SparkSuite {
       s"MOR delete must stream $dead retractions: $feed")
   }
 
+  test("CDC stream maintains a MaterializedAgg downstream: merge inserts, retract deletes, exact vs rebuild") {
+    import graft.operators.MaterializedAgg
+    val src = tbl()
+    Snapshots.commit(spark, src, orders.limit(400))
+    val keys = Seq("o_custkey")
+    val measures = Seq(
+      MaterializedAgg.countRows("n"),
+      MaterializedAgg.sumOf(($"o_totalprice" * 100).cast("long"), "cents"))
+    // the stored aggregate, maintained purely from the CDC stream —
+    // no rescan of src, ever
+    var agg: DataFrame = null
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_ss_ckpt_").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val ins = df.where($"_change_type" === "insert").drop("_change_type")
+        val del = df.where($"_change_type" === "delete").drop("_change_type")
+        this.synchronized {
+          if (!ins.isEmpty) {
+            val d = MaterializedAgg.build(ins, keys, measures)
+            agg = if (agg == null) d else MaterializedAgg.merge(agg, d, keys, measures)
+          }
+          if (!del.isEmpty) {
+            agg = MaterializedAgg.retract(agg,
+              MaterializedAgg.build(del, keys, measures), keys, measures,
+              dropWhen = Some($"n" === 0))
+          }
+          // cut lineage so 100 batches don't stack 100 joins
+          if (agg != null) agg = agg.localCheckpoint()
+        }: Unit
+      }.start()
+    q.processAllAvailable()
+
+    // DML lands mid-stream: a scattered MOR delete and a MOR upsert
+    // (whose CDF pairing is delete(old) + insert(new) in ONE batch)
+    Snapshots.deleteWhereMor(spark, src, $"o_totalprice" < 60000.0)
+    q.processAllAvailable()
+    Snapshots.mergeIntoMor(spark, src,
+      orders.limit(400).where($"o_orderkey" % 50 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 5.0),
+      Seq("o_orderkey"))
+    q.processAllAvailable(); q.stop()
+
+    val want = MaterializedAgg.build(Snapshots.read(spark, src), keys, measures)
+    assert(sameRows(agg, want),
+      "stream-maintained aggregate must equal a from-scratch rebuild")
+  }
+
   test("an overwrite mid-stream fails the query loudly; streamed filters/pruning stay correct") {
     val src = tbl()
     Snapshots.commit(spark, src, orders.limit(50))

@@ -177,7 +177,7 @@ private[sources] object SnapshotSource {
   * derivation, not a base relation. */
 class SnapshotV2Table(path: String, version: Long, cdc: Boolean = false,
     writable: Boolean = false, declaredSchema: Option[StructType] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft-snapshot:$path@v$version"
   override lazy val schema: StructType = {
     // version -1 = a CREATE'd table with no commit yet: the declared
@@ -222,6 +222,28 @@ class SnapshotV2Table(path: String, version: Long, cdc: Boolean = false,
     // the negotiated schema), so it comes from the provider options,
     // not the per-scan ones
     new SnapshotScanBuilder(path, version, schema, cdc, options)
+
+  /** `DELETE FROM … WHERE …`: merge-on-read by default (a deletion
+    * vector commit — deletion-locality-sized, streams as CDF
+    * retractions), or copy-on-write when the table property
+    * `delete.mode = cow` asks for rewrite semantics. Only conditions
+    * fully translatable to source filters qualify (`canDeleteWhere`);
+    * anything else — subqueries, expressions past the Filter algebra —
+    * is refused loudly at analysis rather than half-applied. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    writable && !cdc &&
+      filters.forall(f => SnapshotSource.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.flatMap(SnapshotSource.filterToColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val cow = Snapshots.properties(spark, path)
+      .get("delete.mode").exists(_.equalsIgnoreCase("cow"))
+    if (cow) Snapshots.deleteWhere(spark, path, cond)
+    else Snapshots.deleteWhereMor(spark, path, cond): Unit
+  }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
     require(writable && !cdc,
@@ -495,8 +517,22 @@ class SnapshotCatalog extends TableCatalog {
     new SnapshotV2Table(p, -1L, writable = true, declaredSchema = Some(schema))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`: routes to the engine
+    * property log (so `SET TBLPROPERTIES('streaming'='append_only')`
+    * arms the real commit gate, `'delete.mode'='cow'` switches SQL
+    * DELETE semantics). Schema and partition changes stay refused —
+    * schema evolution is mergeSchema at read, layout is create-time. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    changes.foreach {
+      case s: TableChange.SetProperty =>
+        Snapshots.setProperty(spark, p, s.property, s.value)
+      case r: TableChange.RemoveProperty =>
+        Snapshots.unsetProperty(spark, p, r.property)
+      case c => readOnly(s"ALTER TABLE ($c)")
+    }
+    loadTable(ident)
+  }
 
   /** `DROP TABLE`: removes the table directory (data, DV sidecars, and
     * the whole commit log) and invalidates the state caches. */

@@ -274,6 +274,45 @@ class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
     assert(got.sum == 2, s"the first commit must stream through: $got")
   }
 
+  test("SQL DELETE FROM lands merge-on-read (CDF-consumable); delete.mode=cow rewrites; subquery conditions refuse") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat8_").toString
+    val t = s"$root/del_tbl"
+    Snapshots.commit(spark, t, orders.limit(300))
+    spark.conf.set("spark.sql.catalog.gsnap8", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsnap8.root", root)
+
+    val dead = Snapshots.read(spark, t).where($"o_totalprice" < 60000.0).count()
+    assert(dead > 0)
+    spark.sql("DELETE FROM gsnap8.del_tbl WHERE o_totalprice < 60000.0")
+    assert(Snapshots.read(spark, t).count() == 300 - dead)
+    // MOR: the delete is a dv commit, so it streams as CDF retractions
+    val h = Snapshots.history(spark, t).orderBy($"version")
+      .select($"action").as[String].collect().toSeq
+    assert(h == Seq("append", "dv"), h.toString)
+    assert(Snapshots.changeFeed(spark, t, 0L, 1L)
+      .where($"_change_type" === "delete").count() == dead)
+
+    // ALTER TABLE SET TBLPROPERTIES arms engine behavior: cow mode
+    spark.sql("ALTER TABLE gsnap8.del_tbl SET TBLPROPERTIES ('delete.mode'='cow')")
+    assert(Snapshots.properties(spark, t).get("delete.mode").contains("cow"))
+    spark.sql("DELETE FROM gsnap8.del_tbl WHERE o_custkey < 50")
+    val h2 = Snapshots.history(spark, t).orderBy($"version")
+      .select($"action").as[String].collect().toSeq
+    assert(h2.last == "replace", s"cow delete must rewrite, not dv: $h2")
+    assert(Snapshots.read(spark, t).where($"o_custkey" < 50).count() == 0)
+    spark.sql("ALTER TABLE gsnap8.del_tbl UNSET TBLPROPERTIES ('delete.mode')")
+    assert(!Snapshots.properties(spark, t).contains("delete.mode"))
+
+    // schema-mutating ALTER still refuses; untranslatable DELETE refuses
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsnap8.del_tbl ADD COLUMN bonus DOUBLE")
+    }
+    intercept[Exception] {
+      spark.sql("DELETE FROM gsnap8.del_tbl WHERE o_orderkey IN " +
+        "(SELECT o_orderkey FROM gsnap8.del_tbl WHERE o_totalprice > 100000)")
+    }
+  }
+
   test("inner plan keeps parquet pushdown: pruned read schema and pushed filter") {
     val t = freshTable()
     Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))

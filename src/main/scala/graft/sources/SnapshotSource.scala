@@ -409,9 +409,29 @@ class SnapshotReaderFactory(rdd: RDD[InternalRow])
   * is refused: table layout (partition columns, stats, constraints)
   * is declared through the [[Snapshots]] API, whose manifest rename
   * IS the transaction. */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: Option[String] = None
+
+  /** Iceberg-style maintenance procedures: `CALL <cat>.system.vacuum
+    * ('tbl', 3)`, `compact_small`, `optimize` (z-order rewrite),
+    * `purge_deletes`, `checkpoint`, `dv_stats`, `history` — each routes
+    * to the same [[Snapshots]] entry point every other caller uses and
+    * returns its footprint as rows. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ns = ident.namespace()
+    require(ns.isEmpty || ns.sameElements(Array("system")),
+      s"SnapshotCatalog: procedures live in the 'system' namespace, got " +
+        ns.mkString("."))
+    SnapshotProcedures.load(ident.name(),
+      n => pathOf(Identifier.of(Array.empty[String], n)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"SnapshotCatalog: no procedure '${ident.name()}' — available: " +
+          SnapshotProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SnapshotProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -313,6 +313,60 @@ class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("CALL maintenance procedures: the whole ops loop drives through SQL") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat9_").toString
+    val t = s"$root/ops_tbl"
+    (0 until 5).foreach { i =>
+      Snapshots.commit(spark, t, orders.where($"o_orderkey" % 5 === i))
+    }
+    Snapshots.deleteWhereMor(spark, t, $"o_totalprice" < 30000.0)
+    val want = Snapshots.read(spark, t).count()
+    spark.conf.set("spark.sql.catalog.gsnap9", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsnap9.root", root)
+
+    val dv0 = spark.sql("CALL gsnap9.system.dv_stats('ops_tbl')")
+      .select($"dirty_files", $"dv_rows").as[(Int, Long)].head()
+    assert(dv0._1 > 0 && dv0._2 > 0, s"MOR delete must show as dv debt: $dv0")
+
+    val c = spark.sql(
+      "CALL gsnap9.system.compact_small('ops_tbl', 1000000, 4194304)")
+      .select($"files_rewritten").as[Int].head()
+    assert(c > 0, "five small commits must qualify for compaction")
+    assert(Snapshots.read(spark, t).count() == want,
+      "compaction is content-neutral")
+
+    spark.sql("CALL gsnap9.system.purge_deletes('ops_tbl')")
+    assert(spark.sql("CALL gsnap9.system.dv_stats('ops_tbl')")
+      .select($"dv_files").as[Int].head() == 0,
+      "compact+purge must clear the dv debt")
+
+    val hist = spark.sql("CALL gsnap9.system.history('ops_tbl')")
+    assert(hist.count() == Snapshots.versions(spark, t).size.toLong)
+    assert(hist.columns.toSeq ==
+      Seq("version", "action", "n_files", "n_removed", "n_dvs", "ts"))
+
+    spark.sql("CALL gsnap9.system.checkpoint('ops_tbl')")
+    val deleted = spark.sql("CALL gsnap9.system.vacuum('ops_tbl', 1)")
+      .select($"files_deleted").as[Long].head()
+    assert(deleted > 0, "pre-compaction files must be reclaimed")
+    assert(Snapshots.read(spark, t).count() == want,
+      "vacuum never changes the visible rows")
+
+    // optimize: z-order rewrite via CALL, content-neutral
+    val v = spark.sql(
+      "CALL gsnap9.system.optimize('ops_tbl', 1000000, 'o_custkey,o_totalprice')")
+      .select($"version").as[Long].head()
+    assert(v == Snapshots.latestVersion(spark, t).get)
+    assert(Snapshots.read(spark, t).count() == want)
+
+    // an unknown procedure refuses with the available list
+    val e = intercept[Exception] {
+      spark.sql("CALL gsnap9.system.no_such_proc('x')")
+    }
+    assert(e.getMessage.contains("no procedure") ||
+      e.getMessage.contains("FAILED_TO_LOAD_ROUTINE"), e.getMessage)
+  }
+
   test("inner plan keeps parquet pushdown: pruned read schema and pushed filter") {
     val t = freshTable()
     Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))

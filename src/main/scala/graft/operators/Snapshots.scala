@@ -1419,24 +1419,61 @@ object Snapshots {
     * twin of the zone-map box prune). Same conservative contract per
     * column: missing stats, mismatched bound types → never prune. */
   def statsPrunedFilesBox(spark: SparkSession, table: String,
-      box: Map[String, (Any, Any)], version: Option[Long] = None): Seq[String] = {
-    require(box.nonEmpty, "statsPrunedFilesBox: at least one column band")
+      box: Map[String, (Any, Any)], version: Option[Long] = None): Seq[String] =
+    statsPrunedFilesBands(spark, table,
+      box.map { case (c, (lo, hi)) => c -> (Option(lo), Option(hi)) }, version)
+
+  /** OPEN-ENDED band pruning: each column band may omit either side
+    * (`None` = unbounded) — the shape a pushed one-sided predicate
+    * (`ts >= X`, the retention read) produces. Same conservative
+    * contract as the box twin: missing stats, mismatched bound types,
+    * all-unbounded bands → never prune. */
+  def statsPrunedFilesBands(spark: SparkSession, table: String,
+      bands: Map[String, (Option[Any], Option[Any])],
+      version: Option[Long] = None): Seq[String] = {
+    require(bands.nonEmpty, "statsPrunedFilesBands: at least one column band")
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
     val folded = statsFold(spark, table, v)
     stateAt(spark, table, v).files.filter { f =>
       val fileStats = folded.get(new Path(f).getName)
-      box.forall { case (c, (lo, hi)) =>
+      bands.forall { case (c, (lo, hi)) =>
         fileStats.flatMap(_.get(c)) match {
           case None => true // no stats — never prune
-          case Some(cs) if !boundComparable(cs.typ, lo) ||
-              !boundComparable(cs.typ, hi) => true // mismatched bound types
+          case Some(cs) if lo.exists(!boundComparable(cs.typ, _)) ||
+              hi.exists(!boundComparable(cs.typ, _)) => true // mismatched bound types
           case Some(cs) =>
-            cs.hasValues &&
-              cmpStats(cs.typ, cs.max, lo) >= 0 && cmpStats(cs.typ, cs.min, hi) <= 0
+            (lo.isEmpty && hi.isEmpty) || (cs.hasValues &&
+              lo.forall(b => cmpStats(cs.typ, cs.max, b) >= 0) &&
+              hi.forall(b => cmpStats(cs.typ, cs.min, b) <= 0))
         }
       }
     }
+  }
+
+  /** Composed manifest-level skipping read: visible files of `version`
+    * surviving BOTH the partition-equality filter (pure path parsing;
+    * only registered partition columns participate) AND the stats
+    * bands, with deletion vectors still applied — the planning entry
+    * the SQL scan uses so a pushed `WHERE day = 'x' AND price >= y`
+    * schedules tasks ONLY over possibly-matching files. The CALLER
+    * still applies the exact predicates (survivors are a superset).
+    * Returns the DataFrame plus the (kept, visible) file counts for
+    * the scan description. */
+  def readPruned(spark: SparkSession, table: String, version: Option[Long],
+      partitionEq: Map[String, Any],
+      bands: Map[String, (Option[Any], Option[Any])]): (DataFrame, Int, Int) = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at $table"))
+    val st = stateAt(spark, table, v)
+    var keep = st.files
+    if (partitionEq.nonEmpty)
+      keep = keep.intersect(
+        partitionPrunedFiles(spark, table, partitionEq, Some(v)))
+    if (bands.nonEmpty)
+      keep = keep.intersect(
+        statsPrunedFilesBands(spark, table, bands, Some(v)))
+    (readState(spark, table, State(keep, st.dvs)), keep.size, st.files.size)
   }
 
   /** [[read]] restricted to [[statsPrunedFiles]]'s survivors, with the

@@ -217,6 +217,15 @@ class SnapshotV2Table(path: String, version: Long, cdc: Boolean = false,
     }
     caps
   }
+  // engine table properties surface through SHOW TBLPROPERTIES /
+  // DESCRIBE TABLE EXTENDED — the property log is the source of truth
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    Snapshots.properties(SparkSession.active, path)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // cdc is a TABLE-level shape (it adds the _change_type column to
     // the negotiated schema), so it comes from the provider options,
@@ -299,8 +308,38 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 
+  /** Manifest-level skipping hints from the pushed conjuncts:
+    * equality on REGISTERED partition columns prunes by path parsing,
+    * comparison bounds become open-ended stats bands. Weaker-than-exact
+    * bounds are safe (survivors are a superset — Spark re-applies every
+    * filter above the scan), so first-seen per side suffices, and a
+    * strict `>` sharing its bound with the inclusive band keeps at most
+    * one boundary file too many. */
+  private def pruningHints(spark: SparkSession): (Map[String, Any], Map[String, (Option[Any], Option[Any])]) = {
+    val partCols = Snapshots.partitionColumnsOf(spark, path).toSet
+    val partEq: Map[String, Any] = pushed.collect {
+      case sources.EqualTo(a, v) if partCols(a) => a -> (v: Any)
+      case sources.IsNull(a) if partCols(a) => a -> (null: Any)
+    }.toMap
+    val lo = scala.collection.mutable.Map[String, Any]()
+    val hi = scala.collection.mutable.Map[String, Any]()
+    pushed.foreach {
+      case sources.EqualTo(a, v) if v != null =>
+        lo.getOrElseUpdate(a, v); hi.getOrElseUpdate(a, v): Unit
+      case sources.GreaterThan(a, v) if v != null => lo.getOrElseUpdate(a, v): Unit
+      case sources.GreaterThanOrEqual(a, v) if v != null => lo.getOrElseUpdate(a, v): Unit
+      case sources.LessThan(a, v) if v != null => hi.getOrElseUpdate(a, v): Unit
+      case sources.LessThanOrEqual(a, v) if v != null => hi.getOrElseUpdate(a, v): Unit
+      case _ =>
+    }
+    val bands = (lo.keySet ++ hi.keySet).iterator
+      .map(c => c -> (lo.get(c), hi.get(c))).toMap
+    (partEq, bands)
+  }
+
   override def build(): Scan = {
     val spark = SparkSession.active
+    val (partEq, bands) = pruningHints(spark)
     // the batch plan is a thunk: a pure streaming scan never builds it
     val mkBatch = () => {
       var df =
@@ -317,14 +356,26 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
           val to = Option(options.get("endingVersion"))
             .map(_.toLong).getOrElse(version)
           Snapshots.changeFeed(spark, path, from, to)
-        } else Snapshots.read(spark, path, Some(version))
+        } else if (partEq.isEmpty && bands.isEmpty) {
+          Snapshots.read(spark, path, Some(version))
+        } else {
+          // manifest-level skipping: pushed partition equality + stats
+          // bands shrink the planned FILE LIST before any task is
+          // scheduled (zero data files opened to decide); every pushed
+          // filter is still re-applied above, so the conservative
+          // superset contract is enough
+          Snapshots.readPruned(spark, path, Some(version), partEq, bands)._1
+        }
       pushed.flatMap(SnapshotSource.filterToColumn).foreach(c => df = df.where(c))
       df.select(required.fieldNames.map(col).toIndexedSeq: _*)
     }
     val cfg = SnapshotStreamConfig(path, cdc,
       Option(options.get("startingVersion")),
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
-    new SnapshotScan(required, s"graft-snapshot $path v$version",
+    new SnapshotScan(required,
+      s"graft-snapshot $path v$version" +
+        (if (partEq.nonEmpty) partEq.keys.mkString(" partPrune=[", ",", "]") else "") +
+        (if (bands.nonEmpty) bands.keys.mkString(" statsBands=[", ",", "]") else ""),
       mkBatch, cfg, pushed.toSeq)
   }
 }

@@ -367,6 +367,57 @@ class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
       e.getMessage.contains("FAILED_TO_LOAD_ROUTINE"), e.getMessage)
   }
 
+  test("pushed SQL predicates prune at the MANIFEST level: partition equality and stats bands shrink the planned file list") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat10_").toString
+    val t = s"$root/skip_tbl"
+    val base = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.setPartitionColumns(spark, t, Seq("o_orderpriority"))
+    Snapshots.setStatsColumns(spark, t, Seq("o_totalprice"))
+    // range-cluster so the stats envelopes are tight per file
+    Snapshots.commit(spark, t,
+      base.repartitionByRange(6, $"o_totalprice"))
+    Snapshots.deleteWhereMor(spark, t, $"o_orderkey" % 11 === 0)
+    spark.conf.set("spark.sql.catalog.gsnap10", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsnap10.root", root)
+
+    // the engine-side survivor sets the scan must reproduce
+    val all = Snapshots.filesAt(spark, t,
+      Snapshots.latestVersion(spark, t).get).size
+    val partOnly = Snapshots.readPruned(spark, t, None,
+      Map("o_orderpriority" -> "1-URGENT"), Map.empty)
+    val bandOnly = Snapshots.readPruned(spark, t, None, Map.empty,
+      Map("o_totalprice" -> (Some(200000.0): Option[Any], None: Option[Any])))
+    assert(partOnly._2 < partOnly._3 && partOnly._3 == all,
+      s"partition equality must drop files: $partOnly")
+    assert(bandOnly._2 < bandOnly._3,
+      s"a one-sided stats band must drop files: $bandOnly")
+
+    // through SQL: result-identical to the relational filter, and the
+    // scan description shows the derived hints
+    val sql1 = spark.sql("SELECT o_orderkey, o_totalprice FROM " +
+      "gsnap10.skip_tbl WHERE o_orderpriority = '1-URGENT' " +
+      "AND o_totalprice >= 200000.0")
+    val want = Snapshots.read(spark, t)
+      .where($"o_orderpriority" === "1-URGENT" && $"o_totalprice" >= 200000.0)
+      .select($"o_orderkey", $"o_totalprice")
+    assert(sql1.exceptAll(want).isEmpty && want.exceptAll(sql1).isEmpty)
+    val plan = sql1.queryExecution.executedPlan.toString
+    // (the partition column shows in the bands set too — no stats are
+    // recorded for it, so the band can never prune: harmless)
+    assert(plan.contains("partPrune=[o_orderpriority]") &&
+      plan.contains("statsBands=[") && plan.contains("o_totalprice"),
+      s"scan must derive manifest-skipping hints: ${plan.take(800)}")
+
+    // a BETWEEN arrives as two one-sided conjuncts -> one closed band;
+    // equality on a stats column bands both sides
+    val sql2 = spark.sql("SELECT COUNT(*) AS n FROM gsnap10.skip_tbl " +
+      "WHERE o_totalprice BETWEEN 100000.0 AND 150000.0")
+    val want2 = Snapshots.read(spark, t)
+      .where($"o_totalprice".between(100000.0, 150000.0)).count()
+    assert(sql2.as[Long].head() == want2)
+  }
+
   test("inner plan keeps parquet pushdown: pruned read schema and pushed filter") {
     val t = freshTable()
     Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))

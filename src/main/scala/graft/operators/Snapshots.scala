@@ -1462,7 +1462,8 @@ object Snapshots {
     * the scan description. */
   def readPruned(spark: SparkSession, table: String, version: Option[Long],
       partitionEq: Map[String, Any],
-      bands: Map[String, (Option[Any], Option[Any])]): (DataFrame, Int, Int) = {
+      bands: Map[String, (Option[Any], Option[Any])],
+      partitionIn: Map[String, Seq[Any]] = Map.empty): (DataFrame, Int, Int) = {
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
     val st = stateAt(spark, table, v)
@@ -1470,6 +1471,16 @@ object Snapshots {
     if (partitionEq.nonEmpty)
       keep = keep.intersect(
         partitionPrunedFiles(spark, table, partitionEq, Some(v)))
+    // IN-list on a partition column (the backfill/retention shape
+    // `WHERE day IN (…)`): per column, a file survives if ANY listed
+    // value matches — union of per-value survivors, intersected across
+    // columns; still pure path parsing
+    partitionIn.foreach { case (c, vs) =>
+      val surv = vs.iterator
+        .map(x => partitionPrunedFiles(spark, table, Map(c -> x), Some(v)).toSet)
+        .foldLeft(Set.empty[String])(_ ++ _)
+      keep = keep.filter(surv)
+    }
     if (bands.nonEmpty)
       keep = keep.intersect(
         statsPrunedFilesBands(spark, table, bands, Some(v)))

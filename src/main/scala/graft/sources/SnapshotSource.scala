@@ -315,11 +315,15 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
     * filter above the scan), so first-seen per side suffices, and a
     * strict `>` sharing its bound with the inclusive band keeps at most
     * one boundary file too many. */
-  private def pruningHints(spark: SparkSession): (Map[String, Any], Map[String, (Option[Any], Option[Any])]) = {
+  private def pruningHints(spark: SparkSession): (Map[String, Any], Map[String, (Option[Any], Option[Any])], Map[String, Seq[Any]]) = {
     val partCols = Snapshots.partitionColumnsOf(spark, path).toSet
     val partEq: Map[String, Any] = pushed.collect {
       case sources.EqualTo(a, v) if partCols(a) => a -> (v: Any)
       case sources.IsNull(a) if partCols(a) => a -> (null: Any)
+    }.toMap
+    val partIn: Map[String, Seq[Any]] = pushed.collect {
+      case sources.In(a, vs) if partCols(a) && !partEq.contains(a) =>
+        a -> vs.toSeq
     }.toMap
     val lo = scala.collection.mutable.Map[String, Any]()
     val hi = scala.collection.mutable.Map[String, Any]()
@@ -334,12 +338,12 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
     }
     val bands = (lo.keySet ++ hi.keySet).iterator
       .map(c => c -> (lo.get(c), hi.get(c))).toMap
-    (partEq, bands)
+    (partEq, bands, partIn)
   }
 
   override def build(): Scan = {
     val spark = SparkSession.active
-    val (partEq, bands) = pruningHints(spark)
+    val (partEq, bands, partIn) = pruningHints(spark)
     // the batch plan is a thunk: a pure streaming scan never builds it
     val mkBatch = () => {
       var df =
@@ -356,7 +360,7 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
           val to = Option(options.get("endingVersion"))
             .map(_.toLong).getOrElse(version)
           Snapshots.changeFeed(spark, path, from, to)
-        } else if (partEq.isEmpty && bands.isEmpty) {
+        } else if (partEq.isEmpty && bands.isEmpty && partIn.isEmpty) {
           Snapshots.read(spark, path, Some(version))
         } else {
           // manifest-level skipping: pushed partition equality + stats
@@ -364,7 +368,7 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
           // scheduled (zero data files opened to decide); every pushed
           // filter is still re-applied above, so the conservative
           // superset contract is enough
-          Snapshots.readPruned(spark, path, Some(version), partEq, bands)._1
+          Snapshots.readPruned(spark, path, Some(version), partEq, bands, partIn)._1
         }
       pushed.flatMap(SnapshotSource.filterToColumn).foreach(c => df = df.where(c))
       df.select(required.fieldNames.map(col).toIndexedSeq: _*)
@@ -374,7 +378,7 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
     new SnapshotScan(required,
       s"graft-snapshot $path v$version" +
-        (if (partEq.nonEmpty) partEq.keys.mkString(" partPrune=[", ",", "]") else "") +
+        (if (partEq.nonEmpty || partIn.nonEmpty) (partEq.keys ++ partIn.keys).mkString(" partPrune=[", ",", "]") else "") +
         (if (bands.nonEmpty) bands.keys.mkString(" statsBands=[", ",", "]") else ""),
       mkBatch, cfg, pushed.toSeq)
   }

@@ -416,6 +416,20 @@ class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
     val want2 = Snapshots.read(spark, t)
       .where($"o_totalprice".between(100000.0, 150000.0)).count()
     assert(sql2.as[Long].head() == want2)
+
+    // IN-list on the partition column (the backfill shape): union of
+    // per-value survivors, still pure path parsing
+    val inPrune = Snapshots.readPruned(spark, t, None, Map.empty, Map.empty,
+      Map("o_orderpriority" -> Seq("1-URGENT", "2-HIGH")))
+    assert(inPrune._2 < inPrune._3, s"IN-list must drop files: $inPrune")
+    val sql3 = spark.sql("SELECT o_orderkey FROM gsnap10.skip_tbl " +
+      "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')")
+    val want3 = Snapshots.read(spark, t)
+      .where($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .select($"o_orderkey")
+    assert(sql3.exceptAll(want3).isEmpty && want3.exceptAll(sql3).isEmpty)
+    assert(sql3.queryExecution.executedPlan.toString
+      .contains("partPrune=[o_orderpriority]"))
   }
 
   test("inner plan keeps parquet pushdown: pruned read schema and pushed filter") {

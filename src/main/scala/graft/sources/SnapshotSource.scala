@@ -140,6 +140,39 @@ private[sources] object SnapshotSource {
     base.add("_change_type", org.apache.spark.sql.types.StringType,
       nullable = false)
 
+  /** Manifest-level skipping hints from pushed conjuncts (shared by
+    * the batch scan and the streaming initial snapshot): equality and
+    * IN-lists on REGISTERED partition columns prune by path parsing,
+    * comparison bounds become open-ended stats bands. Weaker-than-exact
+    * bounds are safe (survivors are a superset — Spark re-applies every
+    * filter above the scan), so first-seen per side suffices, and a
+    * strict `>` sharing its bound with the inclusive band keeps at most
+    * one boundary file too many. */
+  def pruningHints(pushed: Seq[sources.Filter], partCols: Set[String]): (Map[String, Any], Map[String, (Option[Any], Option[Any])], Map[String, Seq[Any]]) = {
+    val partEq: Map[String, Any] = pushed.collect {
+      case sources.EqualTo(a, v) if partCols(a) => a -> (v: Any)
+      case sources.IsNull(a) if partCols(a) => a -> (null: Any)
+    }.toMap
+    val partIn: Map[String, Seq[Any]] = pushed.collect {
+      case sources.In(a, vs) if partCols(a) && !partEq.contains(a) =>
+        a -> vs.toSeq
+    }.toMap
+    val lo = scala.collection.mutable.Map[String, Any]()
+    val hi = scala.collection.mutable.Map[String, Any]()
+    pushed.foreach {
+      case sources.EqualTo(a, v) if v != null =>
+        lo.getOrElseUpdate(a, v); hi.getOrElseUpdate(a, v): Unit
+      case sources.GreaterThan(a, v) if v != null => lo.getOrElseUpdate(a, v): Unit
+      case sources.GreaterThanOrEqual(a, v) if v != null => lo.getOrElseUpdate(a, v): Unit
+      case sources.LessThan(a, v) if v != null => hi.getOrElseUpdate(a, v): Unit
+      case sources.LessThanOrEqual(a, v) if v != null => hi.getOrElseUpdate(a, v): Unit
+      case _ =>
+    }
+    val bands = (lo.keySet ++ hi.keySet).iterator
+      .map(c => c -> (lo.get(c), hi.get(c))).toMap
+    (partEq, bands, partIn)
+  }
+
   /** Best-effort `sources.Filter` → `Column` conversion for pushing
     * into the inner plan. `None` = not convertible (the filter is
     * still applied by Spark above the scan either way). */
@@ -308,38 +341,9 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  /** Manifest-level skipping hints from the pushed conjuncts:
-    * equality on REGISTERED partition columns prunes by path parsing,
-    * comparison bounds become open-ended stats bands. Weaker-than-exact
-    * bounds are safe (survivors are a superset — Spark re-applies every
-    * filter above the scan), so first-seen per side suffices, and a
-    * strict `>` sharing its bound with the inclusive band keeps at most
-    * one boundary file too many. */
-  private def pruningHints(spark: SparkSession): (Map[String, Any], Map[String, (Option[Any], Option[Any])], Map[String, Seq[Any]]) = {
-    val partCols = Snapshots.partitionColumnsOf(spark, path).toSet
-    val partEq: Map[String, Any] = pushed.collect {
-      case sources.EqualTo(a, v) if partCols(a) => a -> (v: Any)
-      case sources.IsNull(a) if partCols(a) => a -> (null: Any)
-    }.toMap
-    val partIn: Map[String, Seq[Any]] = pushed.collect {
-      case sources.In(a, vs) if partCols(a) && !partEq.contains(a) =>
-        a -> vs.toSeq
-    }.toMap
-    val lo = scala.collection.mutable.Map[String, Any]()
-    val hi = scala.collection.mutable.Map[String, Any]()
-    pushed.foreach {
-      case sources.EqualTo(a, v) if v != null =>
-        lo.getOrElseUpdate(a, v); hi.getOrElseUpdate(a, v): Unit
-      case sources.GreaterThan(a, v) if v != null => lo.getOrElseUpdate(a, v): Unit
-      case sources.GreaterThanOrEqual(a, v) if v != null => lo.getOrElseUpdate(a, v): Unit
-      case sources.LessThan(a, v) if v != null => hi.getOrElseUpdate(a, v): Unit
-      case sources.LessThanOrEqual(a, v) if v != null => hi.getOrElseUpdate(a, v): Unit
-      case _ =>
-    }
-    val bands = (lo.keySet ++ hi.keySet).iterator
-      .map(c => c -> (lo.get(c), hi.get(c))).toMap
-    (partEq, bands, partIn)
-  }
+  private def pruningHints(spark: SparkSession): (Map[String, Any], Map[String, (Option[Any], Option[Any])], Map[String, Seq[Any]]) =
+    SnapshotSource.pruningHints(pushed.toSeq,
+      Snapshots.partitionColumnsOf(spark, path).toSet)
 
   override def build(): Scan = {
     val spark = SparkSession.active

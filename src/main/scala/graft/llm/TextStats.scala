@@ -174,21 +174,31 @@ object TextStats {
   def tfidfTerms(docs: DataFrame, idCol: String, textCol: String,
       topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // terms feeds TWO consumers (the df aggregate and the scored join)
+    // — uncached, the tokenize+aggregate pipeline over the whole corpus
+    // evaluates twice. Persist the (doc, term, tf) result once (the
+    // bm25TopK pattern: serialized, evictable); the RESULT is
+    // checkpointed below so the cache releases before returning and a
+    // long-lived session never accumulates one per call.
     val terms = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
-    // terms is already one row per (doc, term), so df is a plain count
-    val dft = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = terms.join(dft, "term").crossJoin(broadcast(nDocs))
-      .withColumn("tfidf", round(col("tf") *
-        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
-        col("tfidf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+      // terms is already one row per (doc, term), so df is a plain count
+      val dft = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = terms.join(dft, "term").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          col("tfidf"))
+        .localCheckpoint()
+    } finally terms.unpersist(blocking = false)
   }
 
   /** Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009; the idf is
@@ -225,6 +235,15 @@ object TextStats {
     val tf = bm25Tf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     tf.count()
+    // dl is CONSUMED TWICE (the corpus stats rollup and the hits join)
+    // and each uncached evaluation is a full pass over the
+    // corpus-token-scale tf table — persist the doc-count-sized result
+    // so the second consumer reads n_docs rows instead of re-folding
+    // every posting (measured at sf0.1: two identical 0.65 s tf-pass
+    // stages → one; at 100 TB it removes a token-scale pass). O(docs)
+    // memory, evictable, released with tf below.
+    val dlC = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       // eager localCheckpoint on the k·|queries|-sized RESULT lets the
       // corpus-token-scale tf cache release before returning — a
@@ -232,10 +251,14 @@ object TextStats {
       // explicit unpersist, so the ad-hoc path must not leak one per
       // call on a long-lived session (the steady-state path uses
       // [[bm25Index]] and the CALLER owns that lifecycle)
-      val (dl, dft, stats) = bm25Derived(tf)
-      bm25TopKWith(queries, queryIdCol, queryTermsCol, k, tf, dl, dft, stats, k1, b)
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = dlC.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      bm25TopKWith(queries, queryIdCol, queryTermsCol, k, tf, dlC, dft, stats, k1, b)
         .localCheckpoint()
-    } finally tf.unpersist(blocking = false)
+    } finally {
+      tf.unpersist(blocking = false)
+      dlC.unpersist(blocking = false)
+    }
   }
 
   /** The four relations of a BM25 "index": (doc,term,tf), (doc,dl),

@@ -668,7 +668,10 @@ object Snapshots {
     val dropped = st.files.filter(partitionMatches(_, filter)).sorted
     if (dropped.isEmpty) return Cow(None, 0, st.files.size)
     val v = commitManifest(spark, table, Seq.empty, "replace", None,
-      removed = dropped, baseDvs = Some(st.dvs.toSet))
+      removed = dropped, baseDvs = Some(st.dvs.toSet),
+      // a file appended to a matching partition since `base` is not in
+      // `dropped` and would silently survive the DROP — conflict
+      partitionScope = Some(partitionMatches(_, filter)))
     Cow(Some(v), 0, st.files.size, filesDropped = dropped.size)
   }
 
@@ -702,13 +705,21 @@ object Snapshots {
       .map(f => partitionValuesOf(f))
       .map(vals => pcols.map(c => vals.getOrElse(c, "")).toIndexedSeq)
       .toSet
-    val removed = st.files.filter { f =>
+    val inTouched = (f: String) => {
       val vals = partitionValuesOf(f)
       vals.nonEmpty &&
         touched.contains(pcols.map(c => vals.getOrElse(c, "")).toIndexedSeq)
-    }.sorted
+    }
+    val removed = st.files.filter(inTouched).sorted
+    // this commit's own files land in touched partitions by definition
+    // — scope the guard to OTHER writers' files
+    val own = files.toSet
     val v = commitManifest(spark, table, files, "replace", None,
-      removed = removed, baseDvs = Some(st.dvs.toSet))
+      removed = removed, baseDvs = Some(st.dvs.toSet),
+      // a file a concurrent append landed in a touched partition since
+      // `base` is not in `removed` and would survive the "replace" —
+      // conflict (Delta's replaceWhere rule)
+      partitionScope = Some(f => !own(f) && inTouched(f)))
     Cow(Some(v), removed.size, st.files.size)
   }
 
@@ -781,7 +792,8 @@ object Snapshots {
       baseDvs: Option[Set[String]] = None,
       restoredFrom: Option[Long] = None,
       neutral: Boolean = false,
-      mergeGuard: Option[MergeGuard] = None): Long = {
+      mergeGuard: Option[MergeGuard] = None,
+      partitionScope: Option[String => Boolean] = None): Long = {
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     if ((action == "overwrite" || action == "replace") &&
@@ -812,6 +824,26 @@ object Snapshots {
           s"replace conflict at $table v$v: ${gone.size} of this commit's " +
             s"removed/required files are no longer visible (e.g. ${gone.head}) " +
             "— a concurrent writer replaced them; re-run the DML against the new state")
+      }
+      // partition-scoped replaces (DROP PARTITION / dynamic partition
+      // overwrite) own EVERY visible file of their touched partitions:
+      // a file a concurrent commit ADDED to a touched partition since
+      // the base state is not in `removed`, so committing would leave
+      // the partition holding both the refresh's rows and the racing
+      // append's — breaking atomic partition replacement (Delta's
+      // replaceWhere conflict rule). The removed-still-visible check
+      // above covers disappearances; this covers additions.
+      partitionScope.foreach { inScope =>
+        if (v > 0) {
+          val removedSet = removed.toSet
+          val extra = filesAt(spark, table, v - 1)
+            .filter(fp => inScope(fp) && !removedSet(fp))
+          if (extra.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"replace conflict at $table v$v: a concurrent commit added " +
+              s"${extra.size} file(s) to a partition this commit replaces " +
+              s"(e.g. ${extra.head}) — committing would silently keep them; " +
+              "re-run the partition operation against the new state")
+        }
       }
       baseDvs.foreach { bd =>
         val now = if (v > 0) stateAt(spark, table, v - 1).dvs.toSet

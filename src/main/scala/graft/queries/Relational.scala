@@ -334,9 +334,15 @@ object Relational {
     import s.implicits._
     val li = t(s, dir, "lineitem")
       .select($"l_returnflag".as("rf"), $"l_extendedprice".as("x"))
-    val med = li.groupBy($"rf").agg(median($"x").as("med"))
+    // med feeds TWO dev branches (the MAD build and the outlier count)
+    // and mad one more — each uncached reference re-runs the full
+    // median aggregate (a whole-table sort-agg pass). Pinning the
+    // GROUP-COUNT-sized results (3 rows) with localCheckpoint cuts the
+    // plan from 4 lineitem passes to the inherent 3 (med, mad, count);
+    // values are identical, the checkpoint only stops re-evaluation.
+    val med = li.groupBy($"rf").agg(median($"x").as("med")).localCheckpoint()
     val dev = li.join(broadcast(med), "rf").withColumn("adev", abs($"x" - $"med"))
-    val mad = dev.groupBy($"rf").agg(median($"adev").as("mad"))
+    val mad = dev.groupBy($"rf").agg(median($"adev").as("mad")).localCheckpoint()
     dev.join(broadcast(mad), "rf")
       .groupBy($"rf", $"med", $"mad")
       .agg(count(when($"adev" > lit(3 * 1.4826) * $"mad", 1)).as("n_outliers"))

@@ -358,11 +358,22 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
         } else if (cdc) {
           // batch CDF read: inclusive [startingVersion, endingVersion]
           // (Delta's option names), defaults = the whole retained log
-          // up to the pinned version
+          // up to the pinned version. 'latest' (valid on the STREAMING
+          // path: "only changes after now") maps to the pinned version
+          // — an empty feed — instead of a raw NumberFormatException;
+          // any other non-numeric value fails with the option named.
+          def parseV(opt: String, v: String): Long =
+            try v.toLong catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"option $opt: expected a version number or 'latest', got '$v'")
+            }
           val from = Option(options.get("startingVersion"))
-            .map(_.toLong - 1L).getOrElse(-1L)
+            .map(v => if (v == "latest") version else parseV("startingVersion", v) - 1L)
+            .getOrElse(-1L)
           val to = Option(options.get("endingVersion"))
-            .map(_.toLong).getOrElse(version)
+            .map(v => if (v == "latest") version else parseV("endingVersion", v))
+            .getOrElse(version)
           Snapshots.changeFeed(spark, path, from, to)
         } else if (partEq.isEmpty && bands.isEmpty && partIn.isEmpty) {
           Snapshots.read(spark, path, Some(version))
@@ -462,12 +473,15 @@ class SnapshotReaderFactory(rdd: RDD[InternalRow])
   * root. Time travel maps straight onto the log: `VERSION AS OF` pins
   * that manifest version, `TIMESTAMP AS OF` resolves the newest commit
   * at-or-before the timestamp (Spark hands it down in MICROseconds).
-  * `INSERT INTO` / `INSERT OVERWRITE` (incl. dynamic partition
-  * overwrite) land through the table's write builder — the same
-  * manifest commit every other writer makes. DDL (CREATE/ALTER/DROP)
-  * is refused: table layout (partition columns, stats, constraints)
-  * is declared through the [[Snapshots]] API, whose manifest rename
-  * IS the transaction. */
+  * `INSERT INTO` / `INSERT OVERWRITE` land through the table's write
+  * builder — the same manifest commit every other writer makes.
+  * DYNAMIC partition overwrite is refused at analysis (the table does
+  * not advertise the capability); route partition refreshes to
+  * [[Snapshots.overwritePartitions]], whose replace commit is atomic.
+  * DDL: CREATE/CTAS (identity partition transforms only), DROP, and
+  * ALTER … SET/UNSET TBLPROPERTIES are served; schema/partition ALTERs
+  * and RENAME are refused — layout is create-time, and every mutation
+  * lands through the [[Snapshots]] manifest commit. */
 class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: Option[String] = None

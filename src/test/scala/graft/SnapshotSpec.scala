@@ -1170,6 +1170,65 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     assert(Snapshots.read(spark, t, Some(0L)).count() == base.count())
   }
 
+  test("partition replaces conflict with a racing append INTO a touched partition; disjoint partitions commute") {
+    val t = tbl()
+    val base = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.setPartitionColumns(spark, t, Seq("o_orderpriority"))
+    Snapshots.commit(spark, t, base)
+    val refreshed = base.where($"o_orderpriority" === "2-HIGH" &&
+      $"o_totalprice" > 100000.0)
+    // a racing append lands rows in the partition this overwrite
+    // replaces: committing would keep BOTH the refresh's rows and the
+    // racer's — the replace must fail instead (Delta's replaceWhere rule)
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.commit(spark, t,
+        base.where($"o_orderpriority" === "2-HIGH").limit(5))
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.overwritePartitions(spark, t, refreshed)
+      }
+    } finally Snapshots.raceHook = () => ()
+    // the racer's rows are live; the loser left no visible trace
+    assert(Snapshots.read(spark, t).count() == base.count() + 5)
+    // the retry reads the new state, so it replaces the racer's rows too
+    val retry = Snapshots.overwritePartitions(spark, t, refreshed)
+    assert(retry.version.nonEmpty)
+    val want = base.where($"o_orderpriority" =!= "2-HIGH").unionByName(refreshed)
+    val got = Snapshots.read(spark, t)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // an append to an UNTOUCHED partition commutes with DROP PARTITION
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.commit(spark, t,
+        base.where($"o_orderpriority" === "3-MEDIUM").limit(3))
+    }
+    try {
+      val cow = Snapshots.deletePartitions(spark, t,
+        Map("o_orderpriority" -> "5-LOW"))
+      assert(cow.version.nonEmpty, "disjoint append must not block the drop")
+    } finally Snapshots.raceHook = () => ()
+    assert(Snapshots.read(spark, t)
+      .where($"o_orderpriority" === "5-LOW").isEmpty)
+    // but a racing append INTO the dropped partition conflicts — the
+    // drop's removed set no longer covers the partition
+    Snapshots.raceHook = () => {
+      Snapshots.raceHook = () => ()
+      Snapshots.commit(spark, t,
+        base.where($"o_orderpriority" === "1-URGENT").limit(2))
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.deletePartitions(spark, t, Map("o_orderpriority" -> "1-URGENT"))
+      }
+    } finally Snapshots.raceHook = () => ()
+    assert(Snapshots.read(spark, t)
+      .where($"o_orderpriority" === "1-URGENT").count() ==
+      base.where($"o_orderpriority" === "1-URGENT").count() + 2)
+  }
+
   test("partitioned snapshots compose with deletion vectors; vacuum sweeps nested partition dirs") {
     val t = tbl()
     val base = Tables.load(spark, sf0001, "orders")

@@ -29,9 +29,29 @@ object Dedup {
   }
 
   /** Distinct (doc_id, shingle) rows — the exploded form of
-    * [[shingles3]]. */
+    * [[shingles3]].
+    *
+    * A (doc_id, shingle) pair can only repeat WITHIN one document, so
+    * the dedup is per-row: explode the per-doc `array_distinct` shingle
+    * array instead of `.distinct()`-ing the raw rows — the old shape
+    * paid a full corpus-token-scale SHUFFLE for a dedup that never
+    * needed to leave the row (guide §2.4: remove shuffles outright).
+    * The array lambda is interpreted where the raw explode is
+    * codegen'd, but one in-row pass beats an exchange of every shingle
+    * at any scale (measured at sf0.1: ns_ngram_jaccard's first
+    * exchange disappears; same rows, oracle-exact). Assumes `idCol` is
+    * unique per row (the standing dedup-family contract — every keep
+    * rule here is keyed on it). [[shingleRowsRaw]] stays the generator
+    * for consumers whose aggregate is idempotent under duplicates. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    shingleRowsRaw(docs, idCol, textCol).distinct()
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))))
+        .as("sh"))
 
   /** [[shingleRows]] without the distinct — for consumers whose
     * aggregate is idempotent under duplicate (doc_id, shingle) rows
@@ -497,18 +517,39 @@ object Dedup {
   def bloomDecontaminate(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, minOverlap: Int,
       fpp: Double = 0.01): DataFrame = {
-    val corpusSh = shingleRows(docs, idCol, textCol)
     val benchSh = shingleRows(benchmark, idCol, textCol)
       .select(col("sh")).distinct()
     // Sizing count + build are two small jobs over the SMALL side only.
     val nBench = benchSh.count()
     val bloom = graft.expr.Bloom.build(benchSh, "sh", nBench, fpp)
-    val candidates = corpusSh
+    // RAW shingle rows with the bloom probe riding the generator, and
+    // the (doc, sh) dedup AFTER it: duplicates of one shingle all pass
+    // or all fail the (deterministic) bloom, so distinct-after admits
+    // exactly the same set — but the dedup exchange is now
+    // CANDIDATE-sized instead of corpus-token-sized. The previous
+    // shape distinct'd every corpus shingle before the filter could
+    // kill it — a full corpus-token shuffle that existed only to
+    // protect n_hits from double counting.
+    val candidates = shingleRowsRaw(docs, idCol, textCol)
       .filter(graft.expr.Bloom.mightContain(bloom, col("sh")))
+      .distinct()
       .join(benchSh.withColumn("__hit", lit(1)), Seq("sh"), "left_outer")
       .filter(col("__hit").isNotNull) // drop bloom false positives
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    // n_shingles (the per-doc DISTINCT shingle count) is a per-row
+    // projection — size(shingles3(text)) — not an exploded aggregate:
+    // the second full shingle-generation + distinct + doc-keyed shuffle
+    // the old shape paid for a number the row itself already knows.
+    // Same population: only docs with ≥ 3 tokens emit shingles.
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        size(array_distinct(transform(
+          sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))))
+          .cast("long").as("n_shingles"))
       .join(candidates, Seq("doc_id"), "left_outer")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contaminated", col("n_hits") >= minOverlap)

@@ -289,11 +289,23 @@ object Snapshots {
     * local relation — the single key set every downstream use of the
     * merge shares (touched-file discovery, the anti-join, the commit
     * loop's MergeGuard). Broadcast-sized by contract: a table-scale
-    * "merge" is an overwrite commit, not an upsert. */
+    * "merge" is an overwrite commit, not an upsert.
+    *
+    * The duplicate-key validation rides the SAME aggregate (keys with
+    * counts), so a validated merge costs one pass over the source
+    * batch, not two — the separate groupBy-count job the callers used
+    * to run first re-read the whole batch for a boolean. */
   private def frozenSourceKeys(spark: SparkSession, source: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], validateUnique: Boolean, op: String): DataFrame = {
     val proj = source.select(keyCols.map(col): _*)
-    val rows = proj.distinct().collect()
+    val counted = proj.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).collect()
+    if (validateUnique && counted.exists(_.getLong(keyCols.size) > 1))
+      throw new IllegalArgumentException(
+        s"$op: source has duplicate keys — one target row would match " +
+          "multiple source rows (pass validate = false to skip this check)")
+    val rows = counted.map(r =>
+      org.apache.spark.sql.Row.fromSeq(keyCols.indices.map(r.get)))
     broadcast(spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), proj.schema))
   }
@@ -2200,20 +2212,14 @@ object Snapshots {
     require(source.columns.sorted.sameElements(snap.columns.sorted),
       s"mergeInto: source columns ${source.columns.mkString(",")} must match " +
         s"table columns ${snap.columns.mkString(",")}")
-    if (validate) {
-      val dup = source.groupBy(keyCols.map(col): _*).count()
-        .where(col("count") > 1).limit(1).count()
-      require(dup == 0L,
-        "mergeInto: source has duplicate keys — one target row would match " +
-          "multiple source rows (pass validate = false to skip this check)")
-    }
     val st = stateAt(spark, table, base)
     val visible = st.files
     // touched = files holding a row whose key appears in source; the
     // key set is COLLECTED once (broadcast-sized by contract) so
     // discovery, the anti-join, and the conflict guard all probe the
-    // same frozen keys even against a nondeterministic source plan
-    val srcKeys = frozenSourceKeys(spark, source, keyCols)
+    // same frozen keys even against a nondeterministic source plan —
+    // and the duplicate-key validation rides the same pass
+    val srcKeys = frozenSourceKeys(spark, source, keyCols, validate, "mergeInto")
     val keyEq = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val scanSet = candidates
       .map(_.map(new Path(_).toString).filter(visible.map(new Path(_).toString).toSet))
@@ -2382,15 +2388,9 @@ object Snapshots {
     require(source.columns.sorted.sameElements(snap.columns.sorted),
       s"mergeIntoMor: source columns ${source.columns.mkString(",")} must match " +
         s"table columns ${snap.columns.mkString(",")}")
-    if (validate) {
-      val dup = source.groupBy(keyCols.map(col): _*).count()
-        .where(col("count") > 1).limit(1).count()
-      require(dup == 0L,
-        "mergeIntoMor: source has duplicate keys — one target row would match " +
-          "multiple source rows (pass validate = false to skip this check)")
-    }
     val st = stateAt(spark, table, base)
-    val srcKeys = frozenSourceKeys(spark, source, keyCols)
+    // one pass over the source batch: frozen keys + duplicate-key check
+    val srcKeys = frozenSourceKeys(spark, source, keyCols, validate, "mergeIntoMor")
     val keyEq = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val scanSet = candidates
       .map(_.map(new Path(_).toString).filter(st.files.map(new Path(_).toString).toSet))

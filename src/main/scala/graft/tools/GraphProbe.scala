@@ -36,7 +36,7 @@ object GraphProbe {
 
     // variant harness: a pageRank copy with knobs
     def pr(iters: Int, lazyCkpt: Boolean, shJoin: Boolean,
-        contractMsgs: Boolean): Long = {
+        contractMsgs: Boolean, bcHint: Boolean = false): Long = {
       val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def mat(df: DataFrame): DataFrame = {
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -49,7 +49,8 @@ object GraphProbe {
       var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       var i = 1
       while (i <= iters) {
-        val r = if (shJoin) rank.hint("SHUFFLE_HASH") else rank
+        val r = if (shJoin) rank.hint("SHUFFLE_HASH")
+          else if (bcHint) broadcast(rank) else rank
         rank =
           if (contractMsgs)
             // contribution per src computed BEFORE the edge join: the
@@ -79,6 +80,8 @@ object GraphProbe {
     time("pr SHUFFLE_HASH rank join")(pr(10, lazyCkpt = false, shJoin = true, contractMsgs = false))
     time("pr lazy + SH")(pr(10, lazyCkpt = true, shJoin = true, contractMsgs = false))
     time("pr 1 iter (fixed cost)")(pr(1, lazyCkpt = false, shJoin = false, contractMsgs = false))
+    time("pr broadcast-hint rank")(pr(10, lazyCkpt = false, shJoin = false, contractMsgs = false, bcHint = true))
+    time("pr bc-hint + lazy ckpt")(pr(10, lazyCkpt = true, shJoin = false, contractMsgs = false, bcHint = true))
 
     // the real operator for reference
     time("Graph.pageRank (real)")(

@@ -184,21 +184,29 @@ object TextStats {
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
-      // terms is already one row per (doc, term), so df is a plain count
-      val dft = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = terms.join(dft, "term").crossJoin(broadcast(nDocs))
-        .withColumn("tfidf", round(col("tf") *
-          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("term"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= topK)
-        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
-          col("tfidf"))
-        .localCheckpoint()
-    } finally terms.unpersist(blocking = false)
+    try tfidfScored(docs, idCol, terms, topK).localCheckpoint()
+    finally terms.unpersist(blocking = false)
+  }
+
+  /** The scoring pipeline of [[tfidfTerms]] over a given (doc, term,
+    * tf) table — split out so plan audits can inspect the EXECUTED
+    * plan (the public form checkpoints its result, which replaces the
+    * visible plan with an ExistingRDD scan). */
+  private[graft] def tfidfScored(docs: DataFrame, idCol: String,
+      terms: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    // terms is already one row per (doc, term), so df is a plain count
+    val dft = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = terms.join(dft, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
   }
 
   /** Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009; the idf is

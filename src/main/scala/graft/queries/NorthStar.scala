@@ -269,8 +269,13 @@ object NorthStar {
     // fixed-size as the graph scales
     val seeds = edges.select($"src").distinct()
       .filter($"src" % 20 === 0 && $"src" < 12800)
+    // seeds ⊆ nodes BY CONSTRUCTION (drawn from the edge table's own
+    // src set), so the operator's seed-membership anti-join is provably
+    // redundant here — validateSeeds=false is the documented flag for
+    // exactly this caller shape (one fewer job; result unchanged)
     graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
-        seeds, "src", iters = 5, assumeDistinct = true)
+        seeds, "src", iters = 5, assumeDistinct = true,
+        validateSeeds = false)
       .select(decodeNode(s) :+ $"rank": _*)
       .orderBy($"node_type", $"node_key")
   }

@@ -57,18 +57,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     def line(qs: String, omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"failures":$fs,"n_failed":${failures.size},"pass":"min_of_2_after_warmup","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"failures":$fs,"n_failed":${failures.size},"pass":"min_of_2_after_warmup","cpus":$cpus,"sf":"$sfDir"}"""
     // Full per-query map → bench_out.json (machine-readable round artifact).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line(qJson(results.toSeq.sortBy(-_._2)), 0) + "\n").getBytes("UTF-8"))
-    // Stdout copy must fit the driver's ~2.9 KB stdout-tail buffer or the
-    // line's HEAD gets truncated and the round's bench parse fails
-    // (BENCH_r02 "parsed": null). Keep the slowest queries until ~2 KB.
+    // Stdout copy must fit the driver's stdout-tail buffer or the line's
+    // HEAD gets truncated and the round's bench parse fails (BENCH_r02,
+    // BENCH_r09, BENCH_r10_c8 all lost their parse to a cut line). Two
+    // hardenings after round 10: (1) the line is the absolute LAST stdout
+    // write, emitted AFTER spark.stop() so no late executor/SparkContext
+    // shutdown chatter can interleave with or follow it; (2) the budget
+    // shrinks from ~2 KB to 1.2 KB so the line survives a ~2.9 KB tail
+    // capture with room for sbt's own trailing "[success]" lines.
     val bySlow = results.toSeq.sortBy(-_._2)
     var kept = bySlow.length
-    while (kept > 1 && line(qJson(bySlow.take(kept)), bySlow.length - kept).length > 2000)
+    while (kept > 1 && line(qJson(bySlow.take(kept)), bySlow.length - kept).length > 1200)
       kept -= 1
-    println(line(qJson(bySlow.take(kept)), bySlow.length - kept))
+    val stdoutLine = line(qJson(bySlow.take(kept)), bySlow.length - kept)
     spark.stop()
+    println(stdoutLine)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph operators in the Pregel-by-joins style: each
@@ -68,34 +68,49 @@ object Graph {
     out
   }
 
+  /** When `repartitionBySrc`, the dedup (if needed) runs ABOVE the src
+    * exchange: hashpartitioning(src) satisfies the (src, dst) clustering
+    * the dedup aggregate requires, so ONE edge-sized exchange serves
+    * both the dedup and the per-superstep join partitioning (r11 probe:
+    * kHop 3.36 → 2.89 s vs the old distinct-then-repartition double
+    * exchange; result identical — dropDuplicates(src, dst) ≡ distinct()
+    * on a 2-column frame). */
   private def normEdges(edges: DataFrame, srcCol: String, dstCol: String,
       assumeDistinct: Boolean, track: Caches,
       repartitionBySrc: Boolean = false): DataFrame = {
     val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val d = if (assumeDistinct) raw else raw.distinct()
-    matEdges(if (repartitionBySrc) d.repartition(col("src")) else d, track)
+    val shaped =
+      if (repartitionBySrc) {
+        val rep = raw.repartition(col("src"))
+        if (assumeDistinct) rep else rep.dropDuplicates("src", "dst")
+      } else if (assumeDistinct) raw
+      else raw.distinct()
+    matEdges(shaped, track)
   }
 
-  /** Out-degrees plus the once-materialized (src, dst, deg) message
-    * table hash-partitioned on src — reused every superstep; the
-    * serialized persist preserves the partitioning so each round's join
-    * reuses it and only the node-sized rank table moves (AQE usually
-    * broadcasts it). The edge table never re-shuffles after this.
+  /** The once-materialized (src, dst, deg) message table hash-partitioned
+    * on src — reused every superstep; the serialized persist preserves
+    * the partitioning so each round's join reuses it and only the
+    * node-sized rank table moves (AQE usually broadcasts it). The edge
+    * table never re-shuffles after this.
     *
-    * Two costs the 10⁸-edge hub probe surfaced and this layout removes:
-    * (1) deg is CONSUMED TWICE (the ed build and the rank/base init) —
-    * uncached, the second use re-aggregated the full edge table (~50 s
-    * at 58 M edges), so the node-sized deg persists alongside ed;
-    * (2) the ed build join defaulted to sort-merge, sorting all edges
-    * once — the SHUFFLE_HASH hint streams the edge side against a
-    * per-partition hash map of the node-sized deg instead (build side
-    * is nodes/shuffle-partitions rows; size shuffle partitions to the
-    * node count at extreme scale). */
-  private def messageTable(e: DataFrame, track: Caches): (DataFrame, DataFrame) = {
-    val deg = matEdges(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), track)
-    (deg, matEdges(e.join(deg.hint("SHUFFLE_HASH"), "src").repartition(col("src")), track))
-  }
+    * Out-degree rides the SAME src exchange as a window count: the
+    * window's required ClusteredDistribution(src) inserts exactly the
+    * exchange the per-round join layout needs, and the count over the
+    * unbounded src frame attaches deg with no join at all. The previous
+    * shape (separate groupBy(src) degree aggregate + SHUFFLE_HASH join
+    * back) paid one more edge-sized exchange, a node-sized aggregate
+    * exchange, a second edge-sized persist, and the join itself — r11
+    * probe: pageRank 6.89 → 5.27 s, same rows. Per-src groups are
+    * out-degree-sized, spillable (WindowExec buffers one group at a
+    * time), and AQE's skew handling does not apply to windows — a
+    * celebrity hub with 10⁸ out-edges lands in one task's buffer, the
+    * same bound the old SHUFFLE_HASH build side had. */
+  private def messageTable(e: DataFrame, track: Caches): DataFrame =
+    matEdges(e.withColumn("deg",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")))), track)
 
   /** PageRank with INTEGER micro-unit ranks — deterministic on any
     * engine and any partition order, so a fixed-iteration run is
@@ -129,8 +144,11 @@ object Graph {
     require(iters >= 1)
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val cached: Caches = scala.collection.mutable.ArrayBuffer.empty
-    val (deg, ed) = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct, cached), cached)
-    var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    val ed = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct, cached), cached)
+    // node init reads the persisted src-partitioned ed — the distinct is
+    // a no-exchange aggregate (partitioning already satisfies it)
+    var rank = ed.select(col("src")).distinct()
+      .select(col("src").as("node"), lit(1000000L).as("rank"))
     var i = 1
     while (i <= iters) {
       rank = ed.join(rank, ed("src") === rank("node"))
@@ -176,34 +194,58 @@ object Graph {
     require(iters >= 1)
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val cached: Caches = scala.collection.mutable.ArrayBuffer.empty
-    val (deg, ed) = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct, cached), cached)
+    val ed = messageTable(normEdges(edges, srcCol, dstCol, assumeDistinct, cached), cached)
+    val nodes = ed.select(col("src")).distinct()
     val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().localCheckpoint()
     if (validateSeeds) {
-      val strays = seedSet.join(deg, seedSet("node") === deg("src"), "left_anti").count()
+      val strays = seedSet.join(nodes, seedSet("node") === nodes("src"), "left_anti").count()
       require(strays == 0,
         s"personalizedPageRank: $strays seed(s) are not nodes of the graph — " +
           "an isolated seed would lose its teleport mass; add its edges or drop it")
     }
-    val nNodes = knownNodeCount.getOrElse(deg.count())
+    val nNodes = knownNodeCount.getOrElse(nodes.count())
     val nSeeds = seedSet.count()
     require(nSeeds > 0, "seed set is empty")
     val base = (150000L * nNodes) / nSeeds
+    // Teleport mass: seeds are query-sized by contract (a user's
+    // purchases, a topic's members), so up to `inSetSeedCap` the
+    // membership test folds into the aggregate PROJECTION as a
+    // codegen'd InSet — no per-round broadcast-join stage at all (r11
+    // probe: ppr 6.94 → 4.34 s; 5 broadcast builds removed). The seed
+    // ids are already on the driver in spirit (nSeeds was just counted);
+    // collecting ≤ `inSetSeedCap` longs is bounded driver work. A
+    // larger-than-cap seed set keeps the broadcast left_outer join —
+    // identical arithmetic either way (a seed row gets `base`, a
+    // non-seed 0).
+    val seedIds = if (nSeeds <= inSetSeedCap)
+      Some(seedSet.collect().map(_.getLong(0)).toSeq) else None
+    val teleport: Column => Column = seedIds match {
+      case Some(ids) => dst => when(dst.isInCollection(ids), lit(base)).otherwise(lit(0L))
+      case None => _ => coalesce(col("__base"), lit(0L))
+    }
     val seedBase = seedSet.withColumn("__base", lit(base))
-    var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    var rank = nodes.select(col("src").as("node"), lit(1000000L).as("rank"))
     var i = 1
     while (i <= iters) {
-      rank = ed.join(rank, ed("src") === rank("node"))
+      val msgs = ed.join(rank, ed("src") === rank("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-        .join(broadcast(seedBase), col("dst") === seedBase("node"), "left_outer")
-        .select(col("dst").as("node"),
-          (coalesce(col("__base"), lit(0L)) + expr("(85 * m) div 100")).as("rank"))
+      val joined = if (seedIds.isDefined) msgs
+        else msgs.join(broadcast(seedBase), col("dst") === seedBase("node"), "left_outer")
+      rank = joined.select(col("dst").as("node"),
+        (teleport(col("dst")) + expr("(85 * m) div 100")).as("rank"))
       if (i % checkpointEvery == 0) rank = rank.localCheckpoint()
       i += 1
     }
     finishAndRelease(rank, cached)
   }
+
+  /** Seed-set size up to which [[personalizedPageRank]] folds the
+    * teleport membership into an in-projection InSet instead of a
+    * per-round broadcast join: 8192 longs ≈ 64 KB embedded in the task
+    * binary — comfortably small; larger sets go through a broadcast. */
+  private val inSetSeedCap = 8192L
 
   /** k-hop neighborhood expansion: for every seed, all nodes within
     * `k` hops with `hop` = the BFS shortest distance — the

@@ -173,8 +173,62 @@ object Snapshots {
       .sorted.toSeq
   }
 
-  def latestVersion(spark: SparkSession, table: String): Option[Long] =
-    versions(spark, table).lastOption
+  /** `_latest` pointer file — the Delta `_last_checkpoint` idea applied
+    * to latest-version resolution: every successful commit rewrites it
+    * (atomically) with its version, so the hottest metadata probe of
+    * the engine — [[latestVersion]], hit by every unpinned read, SQL
+    * resolution, serving refresh and stream poll — reads ONE tiny file
+    * plus ONE existence check instead of listing an O(commits)
+    * directory (a 10⁵-commit log is a multi-second list on an object
+    * store, paid per query before this). The pointer is ADVISORY, the
+    * log stays the source of truth: a writer crashing between manifest
+    * create and pointer update leaves it stale-behind, which the
+    * forward existence probe heals at one O(1) check per lagged
+    * version; a missing/corrupt/unwritable pointer falls back to the
+    * listing. It can never serve a version the log does not have —
+    * every answer is re-validated against an existing manifest file. */
+  private def latestPtrFile(table: String) = new Path(logDir(table), "_latest")
+
+  private def readLatestPtr(f: org.apache.hadoop.fs.FileSystem,
+      table: String): Option[Long] =
+    try {
+      val in = f.open(latestPtrFile(table))
+      val buf = new java.io.ByteArrayOutputStream(24)
+      try {
+        val b = new Array[Byte](64)
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+      } finally in.close()
+      new String(buf.toByteArray, "UTF-8").trim.toLongOption.filter(_ >= 0L)
+    } catch { case _: java.io.IOException => None }
+
+  /** Advance the pointer to `v` after a successful commit — never
+    * backwards (two racing committers update out of order; the loser's
+    * stale write is suppressed by the read-check and any remaining
+    * interleaving is healed by [[latestVersion]]'s forward probe and
+    * overwritten by the next commit). Failures are swallowed: the
+    * pointer is a cache of the log, not part of the commit. */
+  private def advanceLatestPtr(f: org.apache.hadoop.fs.FileSystem,
+      table: String, v: Long): Unit =
+    try {
+      if (!readLatestPtr(f, table).exists(_ >= v))
+        replaceAtomic(f, latestPtrFile(table), v.toString.getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  def latestVersion(spark: SparkSession, table: String): Option[Long] = {
+    val f = fs(spark, table)
+    readLatestPtr(f, table) match {
+      case Some(p) =>
+        // forward probe from the pointer: heals a stale-behind pointer
+        // (crashed writer) at one existence check per lagged version
+        var v = p
+        while (f.exists(versionFile(table, v + 1))) v += 1
+        if (v == p && !f.exists(versionFile(table, p)))
+          versions(spark, table).lastOption // pointer points at nothing — trust the log
+        else Some(v)
+      case None => versions(spark, table).lastOption
+    }
+  }
 
   private final case class Manifest(version: Long, action: String,
       files: Seq[String], ts: Long, batchId: Option[Long],
@@ -932,7 +986,10 @@ object Snapshots {
       statsNode.foreach(sn => json.set[com.fasterxml.jackson.databind.JsonNode]("stats", sn))
       // atomic create-if-absent IS the commit point (hard-link on
       // local/POSIX, exclusive create on HDFS-like stores)
-      if (createExclusive(f, target, mapper.writeValueAsBytes(json))) return v
+      if (createExclusive(f, target, mapper.writeValueAsBytes(json))) {
+        advanceLatestPtr(f, table, v)
+        return v
+      }
       v = latestVersion(spark, table).map(_ + 1).getOrElse(v + 1)
     }
     v // unreachable
@@ -1320,7 +1377,13 @@ object Snapshots {
   private def statsJson(spark: SparkSession, table: String,
       files: Seq[String]): Option[com.fasterxml.jackson.databind.node.ObjectNode] = {
     val cols = statsColumns(spark, table)
-    if (cols.isEmpty || files.isEmpty) return None
+    // cols may be EMPTY: the per-file row count is still recorded (the
+    // Delta/Iceberg always-on numRecords) so metadata-only COUNT(*)
+    // ([[countAt]], the DSv2 aggregate pushdown) and planner row
+    // statistics work on every table, not just stats-columns ones. The
+    // cost is one parallelized footer open per NEW file at commit —
+    // O(new files) metadata reads the stats-columns path already paid.
+    if (files.isEmpty) return None
     val conf = spark.sparkContext.hadoopConfiguration
     // footer opens are independent metadata reads — parallelize on a
     // bounded pool: a large compaction/overwrite commits 10³+ files and
@@ -1333,7 +1396,7 @@ object Snapshots {
         val futs = files.map { f =>
           pool.submit(new java.util.concurrent.Callable[(String, Map[String, ColStats])] {
             def call(): (String, Map[String, ColStats]) =
-              new Path(f).getName -> footerStats(conf, f, cols.toSet)
+              statsKey(f) -> footerStats(conf, f, cols.toSet)
           })
         }
         futs.map(_.get())
@@ -1366,6 +1429,26 @@ object Snapshots {
     }
   }
 
+  /** Canonical key of a data file in a manifest's stats node: the full
+    * normalized path. File NAMES are NOT unique on a partitioned table
+    * — one write job reuses `part-0000N-<jobUUID>` across every
+    * partition directory it touches, so name-keyed stats silently
+    * overwrote each other (wrong metadata row counts, and a wrongly
+    * NARROW min/max envelope that could prune a file a query needed —
+    * the r11 COUNT-pushdown test exposed it). Full paths are unique,
+    * survive shallow clones (the clone's manifest references the
+    * parent's absolute paths), and stay stable through the vacuum
+    * horizon rewrite. */
+  private def statsKey(f: String): String = new Path(f).toString
+
+  /** Folded stats for one file: full-path key first, file-name fallback
+    * for manifests written before the key change (unambiguous on
+    * unpartitioned tables, which is all the old format could serve
+    * correctly). */
+  private def fileStatsOf(folded: Map[String, Map[String, ColStats]],
+      f: String): Option[Map[String, ColStats]] =
+    folded.get(statsKey(f)).orElse(folded.get(new Path(f).getName))
+
   /** Re-serialize already-folded stats for `files` — used where a
     * manifest must become SELF-CONTAINED without re-opening footers
     * (the vacuum horizon rewrite, shallow clones). */
@@ -1373,8 +1456,8 @@ object Snapshots {
       files: Seq[String]): Option[com.fasterxml.jackson.databind.node.ObjectNode] = {
     val node = mapper.createObjectNode()
     files.foreach { f =>
-      val n = new Path(f).getName
-      folded.get(n).filter(_.nonEmpty).foreach(writeFileStats(node, n, _))
+      fileStatsOf(folded, f).filter(_.nonEmpty)
+        .foreach(writeFileStats(node, statsKey(f), _))
     }
     if (node.isEmpty) None else Some(node)
   }
@@ -1480,7 +1563,7 @@ object Snapshots {
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
     val folded = statsFold(spark, table, v)
     stateAt(spark, table, v).files.filter { f =>
-      val fileStats = folded.get(new Path(f).getName)
+      val fileStats = fileStatsOf(folded, f)
       bands.forall { case (c, (lo, hi)) =>
         fileStats.flatMap(_.get(c)) match {
           case None => true // no stats — never prune
@@ -1567,22 +1650,39 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot committed at $table"))
     val st = stateAt(spark, table, v)
-    val folded = statsFold(spark, table, v)
-    val per = st.files.map(f =>
-      folded.get(new Path(f).getName).flatMap(_.get(rowCountKey))
-        .collect { case cs if cs.hasValues => cs.min.asInstanceOf[Long] })
-    if (per.exists(_.isEmpty)) return None
-    val total = per.map(_.get).sum
-    if (st.dvs.isEmpty) Some(total)
-    else {
-      val visible = st.files.map(new Path(_).toString).toSet
-      val dead = spark.read.parquet(st.dvs: _*)
-        .groupBy(col("file_path")).count().collect()
-        .filter(r => visible.contains(normPath(r.getString(0))))
-        .map(_.getLong(1)).sum
-      Some(total - dead)
+    fileRowTotalAt(spark, table, v).map { total =>
+      if (st.dvs.isEmpty) total
+      else {
+        val visible = st.files.map(new Path(_).toString).toSet
+        val dead = spark.read.parquet(st.dvs: _*)
+          .groupBy(col("file_path")).count().collect()
+          .filter(r => visible.contains(normPath(r.getString(0))))
+          .map(_.getLong(1)).sum
+        total - dead
+      }
     }
   }
+
+  /** Sum of the per-file committed row counts visible at `version` —
+    * the deletion-vector-blind UPPER BOUND [[countAt]] refines (exact
+    * when the state carries no DVs). Pure cached log fold, never a
+    * Spark job — cheap enough for the DSv2 scan's
+    * `estimateStatistics`. None when any visible file predates stats
+    * recording. */
+  private[graft] def fileRowTotalAt(spark: SparkSession, table: String,
+      version: Long): Option[Long] = {
+    val st = stateAt(spark, table, version)
+    val folded = statsFold(spark, table, version)
+    val per = st.files.map(f =>
+      fileStatsOf(folded, f).flatMap(_.get(rowCountKey))
+        .collect { case cs if cs.hasValues => cs.min.asInstanceOf[Long] })
+    if (per.exists(_.isEmpty)) None else Some(per.map(_.get).sum)
+  }
+
+  /** Whether `version`'s state carries deletion vectors (drives whether
+    * [[fileRowTotalAt]] is exact or an upper bound). */
+  private[graft] def hasDvsAt(spark: SparkSession, table: String,
+      version: Long): Boolean = stateAt(spark, table, version).dvs.nonEmpty
 
   /** TIMESTAMP AS OF: read the newest version whose commit time is
     * at-or-before `tsMillis` (manifest `ts`, driver clock at commit) —
@@ -2109,7 +2209,7 @@ object Snapshots {
     val cls: Seq[(String, Boolean, Boolean)] =
       if (folded.nonEmpty) {
         visible.map { f =>
-          folded.get(new Path(f).getName).flatMap(_.get(c)) match {
+          fileStatsOf(folded, f).flatMap(_.get(c)) match {
             case Some(cs) if !boundComparable(cs.typ, lo) ||
                 !boundComparable(cs.typ, hi) =>
               (f, false, true) // mismatched bound types — conservative
@@ -2520,6 +2620,7 @@ object Snapshots {
       .foreach(sn => json.set[com.fasterxml.jackson.databind.JsonNode]("stats", sn))
     require(createExclusive(f, versionFile(dst, 0L), mapper.writeValueAsBytes(json)),
       s"cloneShallow: a racing writer created $dst's log first")
+    advanceLatestPtr(f, dst, 0L)
     // the parent's stats.columns keep applying to commits on the branch
     properties(spark, src).get("stats.columns")
       .foreach(v => setProperty(spark, dst, "stats.columns", v))

@@ -226,12 +226,22 @@ object NorthStar {
   // suppliers); symmetrized by explode so the join+distinct evaluates
   // ONCE (a union with the swap would re-run the upstream plan), and
   // (even, odd) ∪ (odd, even) pairs are disjoint so distinctness holds.
-  private[graft] def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
+  /** `dedup = false` skips the pre-explode distinct and hands the raw
+    * symmetrized pair stream to operators that fold the dedup into
+    * their own src exchange (kHop/labelProp: dropDuplicates above the
+    * repartition — one edge-sized exchange instead of two; the edge SET
+    * is identical either way because (even, odd) ∪ (odd, even) rows are
+    * disjoint, so dedup-before-explode ≡ dedup-after). Operators whose
+    * src exchange is a window (pageRank/ppr) keep the half-sized
+    * pre-explode distinct — fusing measured slower there (r11 probe). */
+  private[graft] def custSuppEdges(s: SparkSession, dir: String,
+      dedup: Boolean = true): DataFrame = {
     import s.implicits._
     val o = t(s, dir, "orders").select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
     val l = t(s, dir, "lineitem").select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
-    val rel = o.join(l, "ok")
-      .select(($"ck" * 2).as("a"), ($"sk" * 2 + 1).as("b")).distinct()
+    val rel0 = o.join(l, "ok")
+      .select(($"ck" * 2).as("a"), ($"sk" * 2 + 1).as("b"))
+    val rel = if (dedup) rel0.distinct() else rel0
     rel.select(explode(array(
         struct($"a".as("src"), $"b".as("dst")),
         struct($"b".as("src"), $"a".as("dst")))).as("e"))
@@ -290,11 +300,11 @@ object NorthStar {
   // CTE stages.
   val kHopQ: Q = (s, dir) => {
     import s.implicits._
-    val edges = custSuppEdges(s, dir)
+    val edges = custSuppEdges(s, dir, dedup = false)
     val seeds = edges.select($"src").distinct()
       .filter($"src" % 200 === 0 && $"src" < 25600)
     graft.operators.Graph.kHopNeighborhood(edges, "src", "dst",
-        seeds, "src", k = 2, assumeDistinct = true)
+        seeds, "src", k = 2, assumeDistinct = false)
       .select((expr("seed div 2").as("seed_key") +: decodeNode(s) :+ $"hop"): _*)
       .orderBy($"seed_key", $"hop", $"node_type", $"node_key")
   }
@@ -305,8 +315,8 @@ object NorthStar {
   // unrolls the identical rounds as CTE stages.
   val labelPropQ: Q = (s, dir) => {
     import s.implicits._
-    graft.operators.Graph.labelPropagation(custSuppEdges(s, dir), "src", "dst",
-        iters = 5, assumeDistinct = true)
+    graft.operators.Graph.labelPropagation(custSuppEdges(s, dir, dedup = false),
+        "src", "dst", iters = 5, assumeDistinct = false)
       .select(decodeNode(s) :+ $"lbl".as("label"): _*)
       .orderBy($"node_type", $"node_key")
   }

@@ -325,9 +325,11 @@ class SnapshotWriteBuilder(path: String)
 class SnapshotScanBuilder(path: String, version: Long, full: StructType,
     cdc: Boolean, options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[sources.Filter] = Array.empty
+  private var pushedCount: Option[Long] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty prune (COUNT(*) shapes) keeps one narrow column so the
@@ -341,12 +343,49 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 
+  /** Metadata-only COUNT(*): an unfiltered, ungrouped `SELECT COUNT(*)`
+    * through the SQL surface is answered from the manifests' per-file
+    * row counts minus standing deletion vectors ([[Snapshots.countAt]])
+    * — ZERO data files opened. Guarded to the exactly-answerable case:
+    * no residual filters can exist when Spark attempts aggregate
+    * pushdown (and this source keeps every filter residual, so any
+    * WHERE disables it), not a change feed, a real committed version,
+    * and every visible file has commit-time stats (else countAt is
+    * None and the scan falls back to counting data rows). */
+  private def countStarOnly(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  private lazy val metaCount: Option[Long] =
+    if (cdc || version < 0L || pushed.nonEmpty) None
+    else Snapshots.countAt(SparkSession.active, path, Some(version))
+
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countStarOnly(agg) && metaCount.isDefined
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countStarOnly(agg) && metaCount.isDefined && {
+      pushedCount = metaCount; true
+    }
+
   private def pruningHints(spark: SparkSession): (Map[String, Any], Map[String, (Option[Any], Option[Any])], Map[String, Seq[Any]]) =
     SnapshotSource.pruningHints(pushed.toSeq,
       Snapshots.partitionColumnsOf(spark, path).toSet)
 
   override def build(): Scan = {
     val spark = SparkSession.active
+    pushedCount.foreach { n =>
+      // complete aggregate pushdown: the scan IS the 1-row result
+      val countSchema = StructType(Seq(org.apache.spark.sql.types.StructField(
+        "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+      val mk = () => SparkSession.active.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(n)), countSchema)
+      return new SnapshotScan(countSchema,
+        s"graft-snapshot $path v$version aggPushed=[count(*)]",
+        mk, SnapshotStreamConfig(path, cdc, None, None), Seq.empty,
+        () => Some(1L))
+    }
     val (partEq, bands, partIn) = pruningHints(spark)
     // the batch plan is a thunk: a pure streaming scan never builds it
     val mkBatch = () => {
@@ -391,11 +430,19 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
     val cfg = SnapshotStreamConfig(path, cdc,
       Option(options.get("startingVersion")),
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+    // row estimate for the planner (join sizing): the manifests'
+    // DV-blind row total — exact without DVs, a slight over-estimate
+    // with them (conservative for broadcast decisions). Pure cached
+    // log fold; None (unknown) for CDC shapes, uncommitted tables, or
+    // pre-stats files.
+    val rowEstimate = () =>
+      if (cdc || version < 0L) None
+      else Snapshots.fileRowTotalAt(SparkSession.active, path, version)
     new SnapshotScan(required,
       s"graft-snapshot $path v$version" +
         (if (partEq.nonEmpty || partIn.nonEmpty) (partEq.keys ++ partIn.keys).mkString(" partPrune=[", ",", "]") else "") +
         (if (bands.nonEmpty) bands.keys.mkString(" statsBands=[", ",", "]") else ""),
-      mkBatch, cfg, pushed.toSeq)
+      mkBatch, cfg, pushed.toSeq, rowEstimate)
   }
 }
 
@@ -405,9 +452,28 @@ class SnapshotScanBuilder(path: String, version: Long, full: StructType,
   * which re-plans a fresh inner DataFrame per offset range. */
 class SnapshotScan(schema: StructType, desc: String,
     mkBatch: () => DataFrame, streamCfg: SnapshotStreamConfig,
-    pushed: Seq[sources.Filter]) extends Scan {
+    pushed: Seq[sources.Filter],
+    rowEstimate: () => Option[Long] = () => None) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def description(): String = desc
+
+  /** Manifest-derived size estimates for the planner ([[Snapshots]]
+    * records per-file row counts at commit): numRows from the cached
+    * log fold, sizeInBytes = rows x the negotiated schema's default
+    * row width — the same estimate a file source derives from bytes,
+    * without listing or opening any data file. Unknown (empty) rather
+    * than wrong when stats are unavailable. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val rows = rowEstimate()
+      override def numRows(): java.util.OptionalLong = rows
+        .map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+      override def sizeInBytes(): java.util.OptionalLong = rows
+        .map(n => java.util.OptionalLong.of(
+          math.max(1L, n * schema.defaultSize.toLong)))
+        .getOrElse(java.util.OptionalLong.empty())
+    }
 
   override def toBatch: Batch = new Batch {
     // planning runs driver-side: the optimized physical plan compiles

@@ -33,6 +33,20 @@ object StateCacheProbe {
     println(f"build: $commits commits x $filesPer files in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     val latest = Snapshots.latestVersion(spark, t).get
 
+    // latest-version probe: pointer read + 1 existence check (O(1)) vs
+    // the pre-r11 full directory listing (O(commits)) — run at several
+    // log lengths to show the probe cost is flat in commit count
+    {
+      def msPer(n: Int)(g: => Any): Double = {
+        val s = System.nanoTime(); (0 until n).foreach(_ => g)
+        (System.nanoTime() - s) / 1e6 / n
+      }
+      val viaPtr = msPer(500)(Snapshots.latestVersion(spark, t))
+      val viaList = msPer(100)(Snapshots.versions(spark, t).lastOption)
+      println(f"latestVersion @ $commits commits: pointer $viaPtr%8.4f ms/call" +
+        f"   listing $viaList%8.4f ms/call")
+    }
+
     def timeMs[A](n: Int)(f: => A): Double = {
       val s = System.nanoTime(); (0 until n).foreach(_ => f)
       (System.nanoTime() - s) / 1e6 / n

@@ -169,19 +169,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
 
   test("tfidf broadcasts the 1-row corpus count, never the term table cross join") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
-    // audit the scoring pipeline directly: the public tfidfTerms
-    // checkpoints its (persisted-terms) result, so its visible plan is
-    // just the checkpoint scan — the broadcast property lives here
-    val terms = docs.select($"doc_id",
-        org.apache.spark.sql.functions.explode(
-          org.apache.spark.sql.functions.split($"text", " ")).as("term"))
-      .groupBy($"doc_id", $"term")
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("tf"))
-    val plan = executed(graft.llm.TextStats.tfidfScored(docs, "doc_id", terms, 3))
+    // the public plan is fully visible again (r11 removed the persist +
+    // result checkpoint): audit tfidfTerms directly — corpus tokenized
+    // once (one scan of docs for terms + one for the n_docs count),
+    // 1-row corpus count broadcast, df attached by window not join
+    val plan = executed(graft.llm.TextStats.tfidfTerms(docs, "doc_id", "text", 3))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"corpus count not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in tfidf:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"df joined back instead of windowed:\n$plan")
   }
 
   test("pivot scans once and partial-aggregates before any exchange") {

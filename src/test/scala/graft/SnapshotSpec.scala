@@ -1392,16 +1392,54 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     // survives the vacuum horizon fold (stats embedded in the rewrite)
     Snapshots.vacuum(spark, t, retainVersions = 1)
     assert(Snapshots.countAt(spark, t).contains(live))
-    // pre-registration files have no recorded count — None, never wrong
+    // row counts are ALWAYS recorded (r11, the Delta numRecords
+    // behavior): a commit made before any stats-column registration
+    // still answers countAt
     val t2 = tbl()
     Snapshots.commit(spark, t2, orders.limit(10))
     Snapshots.setStatsColumns(spark, t2, Seq("o_totalprice"))
     Snapshots.commit(spark, t2, orders.limit(5))
+    assert(Snapshots.countAt(spark, t2).contains(15L))
+    // a LEGACY manifest with no stats node (pre-row-count log) still
+    // degrades to None, never to a wrong number: strip v0's stats
+    val f2 = new org.apache.hadoop.fs.Path(t2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0p = new org.apache.hadoop.fs.Path(t2, "_graft_log/v00000000000.json")
+    val node = {
+      val in = f2.open(v0p)
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    }
+    node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].remove("stats")
+    val out = f2.create(v0p, true)
+    out.write(node.toString.getBytes("UTF-8")); out.close()
+    Snapshots.invalidateCaches(t2)
     assert(Snapshots.countAt(spark, t2).isEmpty)
     // the internal key namespace is reserved
     intercept[IllegalArgumentException] {
       Snapshots.setStatsColumns(spark, tbl(), Seq("__rowCount"))
     }
+  }
+
+  test("stats survive partitioned writes that reuse file names across partition dirs") {
+    // one write job emits part-0000N-<uuid> under EVERY partition dir it
+    // touches — identical file NAMES. Stats are keyed by full path, so
+    // per-file row counts and min/max must stay per-file, not
+    // last-name-wins (the pre-r11 bug: countAt under-counted and a
+    // narrowed envelope could wrongly prune)
+    val t = tbl()
+    val base = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.setPartitionColumns(spark, t, Seq("o_orderpriority"))
+    Snapshots.setStatsColumns(spark, t, Seq("o_orderkey"))
+    Snapshots.commit(spark, t, base)
+    assert(Snapshots.countAt(spark, t).contains(base.count()),
+      "metadata count must survive name collisions across partition dirs")
+    // stats pruning keeps exactly the right rows (conservative superset
+    // is re-filtered by the caller; here the FULL key range must survive)
+    val lo = base.agg(min($"o_orderkey")).head.getLong(0)
+    val pruned = Snapshots.readStatsPruned(spark, t, "o_orderkey", lo, lo)
+    assert(pruned.where($"o_orderkey" === lo).count() == 1)
   }
 
   test("stats-in-log fold resolves through the checkpoint sidecar") {
@@ -1500,5 +1538,39 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
         viaLiteral.exceptAll(viaJoin).isEmpty,
         "provenance via broadcast join must match the literal map exactly")
     } finally Snapshots.provenanceLiteralMax = saved
+  }
+
+  test("_latest pointer: O(1) resolution, stale/missing/corrupt all heal to the log") {
+    val t = tbl()
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(t, "_graft_log/_latest")
+    def writePtr(s: String): Unit = {
+      val out = f.create(ptr, true); out.write(s.getBytes("UTF-8")); out.close()
+    }
+    (0 until 3).foreach(_ => Snapshots.commit(spark, t, orders.limit(5)))
+    // commit maintains the pointer
+    assert(f.exists(ptr), "commit must write the _latest pointer")
+    assert(Snapshots.latestVersion(spark, t).contains(2L))
+    // stale-behind pointer (writer crashed between manifest and pointer):
+    // the forward probe still finds the real latest
+    writePtr("0")
+    assert(Snapshots.latestVersion(spark, t).contains(2L),
+      "stale pointer must heal forward to the newest manifest")
+    // pointer ahead of any manifest (manual surgery): falls back to the log
+    writePtr("99")
+    assert(Snapshots.latestVersion(spark, t).contains(2L),
+      "dangling pointer must fall back to the listing")
+    // corrupt pointer: falls back to the listing
+    writePtr("not-a-version")
+    assert(Snapshots.latestVersion(spark, t).contains(2L))
+    // missing pointer: falls back to the listing (pre-pointer logs)
+    f.delete(ptr, false)
+    assert(Snapshots.latestVersion(spark, t).contains(2L))
+    // and the next commit restores it
+    Snapshots.commit(spark, t, orders.limit(5))
+    assert(f.exists(ptr) && Snapshots.latestVersion(spark, t).contains(3L))
+    // reads resolve identically through every state above
+    assert(Snapshots.read(spark, t).count() == 20)
   }
 }

@@ -442,4 +442,46 @@ class SnapshotSqlSpec extends AnyFunSuite with SparkSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(7L))
     assert(plan.contains("graft-snapshot"), plan.take(500))
   }
+
+  test("COUNT(*) through the SQL provider is metadata-only and DV-exact") {
+    val t = freshTable()
+    buildLifecycle(t) // commit + MOR delete (DVs standing) + MOR merge
+    val api = Snapshots.read(spark, t).count()
+    val df = spark.read.format("graft-snapshot").load(t)
+      .agg(count(lit(1)).as("n"))
+    // the pushed-down count must equal the full read's count, DVs and
+    // merge files included
+    assert(df.head().getLong(0) == api)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("aggPushed=[count(*)]"),
+      s"COUNT(*) not answered from manifests:\n${plan.take(800)}")
+    assert(!plan.contains("Scan parquet"),
+      s"metadata COUNT(*) opened data files:\n${plan.take(800)}")
+    // SQL spelling through the catalog hits the same path
+    spark.conf.set("spark.sql.catalog.gsqlc", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gsqlc.root",
+      new java.io.File(t).getParent)
+    val name = new java.io.File(t).getName
+    assert(spark.sql(s"SELECT COUNT(*) FROM gsqlc.`$name`").head().getLong(0) == api)
+    // a WHERE disables the pushdown (filters stay residual here) and
+    // the filtered count still matches the API exactly
+    val filtered = spark.read.format("graft-snapshot").load(t)
+      .where($"o_totalprice" >= 50000.0).count()
+    assert(filtered ==
+      Snapshots.read(spark, t).where($"o_totalprice" >= 50000.0).count())
+    // version pinning composes: COUNT at v0 sees the pre-delete table
+    val v0 = spark.read.format("graft-snapshot").option("versionAsOf", "0")
+      .load(t).agg(count(lit(1))).head().getLong(0)
+    assert(v0 == Snapshots.read(spark, t, Some(0L)).count())
+  }
+
+  test("provider scan reports manifest row statistics to the planner") {
+    val t = freshTable()
+    Snapshots.commit(spark, t, orders.repartitionByRange(4, $"o_orderkey"))
+    val rel = spark.read.format("graft-snapshot").load(t)
+      .queryExecution.optimizedPlan
+    val stats = rel.stats
+    assert(stats.rowCount.contains(BigInt(orders.count())),
+      s"expected manifest row count in planner stats, got $stats")
+  }
 }

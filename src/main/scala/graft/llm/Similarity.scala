@@ -1308,9 +1308,28 @@ object Similarity {
   object LocalIvfPq {
     /** Collect an index (+ the corpus vectors the re-rank needs) into
       * a serving engine. One job over the code table, one column-pruned
-      * job over the corpus — then every query is driver-local. */
+      * job over the corpus — then every query is driver-local.
+      *
+      * `maxBytes` bounds the DRIVER working set (§5: the driver should
+      * do almost no data work — an unbounded collect of a 10⁹-vector
+      * corpus is a silent OOM long before the JVM reports it against
+      * this call). The estimate is checked BEFORE anything collects:
+      * rows × (raw vector doubles × 1.5 boxing/map overhead + m PQ-code
+      * ints + per-entry header). A corpus over budget fails loudly with
+      * the remedies (raise the budget on a bigger driver, shrink the
+      * corpus, or serve distributed via [[ivfPqTopKReranked]]) instead
+      * of collecting until the heap dies. */
     def build(index: IvfPqIndex, corpus: DataFrame, idCol: String,
-        vecCol: String): LocalIvfPq = {
+        vecCol: String, maxBytes: Long = 4L << 30): LocalIvfPq = {
+      val dim = index.centroids.headOption.map(_.length).getOrElse(0)
+      val m = index.codebooks.length
+      val rows = corpus.count()
+      val estBytes = rows * (dim.toLong * 8L * 3L / 2L + m.toLong * 4L + 48L)
+      require(estBytes <= maxBytes,
+        f"LocalIvfPq.build: $rows%,d vectors of dim $dim ≈ $estBytes%,d bytes " +
+          f"on the driver exceeds the $maxBytes%,d-byte budget — raise " +
+          "maxBytes on a driver sized for it, reduce the corpus, or serve " +
+          "distributed (Similarity.ivfPqTopKReranked)")
       val codeRows = index.codes
         .select(col("neighbor_id").cast("long"), col("cell"), col("code"))
         .collect()

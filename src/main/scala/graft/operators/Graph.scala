@@ -205,21 +205,22 @@ object Graph {
           "an isolated seed would lose its teleport mass; add its edges or drop it")
     }
     val nNodes = knownNodeCount.getOrElse(nodes.count())
-    val nSeeds = seedSet.count()
-    require(nSeeds > 0, "seed set is empty")
-    val base = (150000L * nNodes) / nSeeds
     // Teleport mass: seeds are query-sized by contract (a user's
     // purchases, a topic's members), so up to `inSetSeedCap` the
     // membership test folds into the aggregate PROJECTION as a
     // codegen'd InSet — no per-round broadcast-join stage at all (r11
-    // probe: ppr 6.94 → 4.34 s; 5 broadcast builds removed). The seed
-    // ids are already on the driver in spirit (nSeeds was just counted);
-    // collecting ≤ `inSetSeedCap` longs is bounded driver work. A
-    // larger-than-cap seed set keeps the broadcast left_outer join —
-    // identical arithmetic either way (a seed row gets `base`, a
-    // non-seed 0).
-    val seedIds = if (nSeeds <= inSetSeedCap)
-      Some(seedSet.collect().map(_.getLong(0)).toSeq) else None
+    // probe: ppr 6.94 → 4.34 s; 5 broadcast builds removed). One
+    // BOUNDED fetch (cap+1 rows off the checkpointed seed set) decides
+    // the strategy and, in the common small case, the seed count — no
+    // separate count job, no unbounded collect. A larger-than-cap seed
+    // set keeps the broadcast left_outer join — identical arithmetic
+    // either way (a seed row gets `base`, a non-seed 0).
+    val probe = seedSet.limit(inSetSeedCap.toInt + 1).collect()
+    require(probe.nonEmpty, "seed set is empty")
+    val seedIds = if (probe.length <= inSetSeedCap)
+      Some(probe.map(_.getLong(0)).toSeq) else None
+    val nSeeds = seedIds.map(_.length.toLong).getOrElse(seedSet.count())
+    val base = (150000L * nNodes) / nSeeds
     val teleport: Column => Column = seedIds match {
       case Some(ids) => dst => when(dst.isInCollection(ids), lit(base)).otherwise(lit(0L))
       case None => _ => coalesce(col("__base"), lit(0L))
@@ -284,9 +285,14 @@ object Graph {
       frontier = next
       h += 1
     }
-    // the final checkpoint copies the (node-sized × k) union once —
-    // the price of releasing the edge cache before returning
-    finishAndRelease(visited, cached)
+    // no final checkpoint: the seed set and every frontier are ALREADY
+    // localCheckpoint'd, so the union's lineage references only
+    // materialized blocks — never the edge cache — and the cache can
+    // release directly. The generic finishAndRelease would re-copy the
+    // whole (seed × node × k) union, the family's LARGEST result, to
+    // sever lineage that is already severed.
+    cached.foreach(_.unpersist(blocking = false))
+    visited
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) with

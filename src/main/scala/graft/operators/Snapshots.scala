@@ -936,8 +936,14 @@ object Snapshots {
         }
       }
       mergeGuard.foreach { g =>
-        val intervening = versions(spark, table)
-          .filter(x => x > g.baseVersion && x < v)
+        // probe the (base, v) RANGE directly instead of listing the
+        // whole log: a merge's base is recent, so this is O(commits
+        // since the merge read) existence checks per attempt, not an
+        // O(all commits) directory listing on every commit of every
+        // merge (the listing was the one commit-path cost still growing
+        // with log length after the _latest pointer)
+        val intervening = (g.baseVersion + 1 until v)
+          .filter(x => f.exists(versionFile(table, x)))
           .map(readManifest(spark, table, _)).filterNot(_.neutral)
         intervening.find(_.action == "overwrite").foreach { m =>
           throw new java.util.ConcurrentModificationException(

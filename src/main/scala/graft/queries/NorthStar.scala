@@ -248,6 +248,25 @@ object NorthStar {
       .select($"e.src", $"e.dst")
   }
 
+  /** Graph seed sets for ppr/khop, derived from base tables instead of
+    * a second evaluation of the [[custSuppEdges]] subtree: customer
+    * nodes (id = ck·2) with ck % `ckMod` == 0, ck < `ckLimit`, that
+    * appear in the graph (≥ 1 lineitem-backed order — the left-semi).
+    * Identical to `edges.select(src).distinct.filter(...)` restricted
+    * to even ids, which is what the original modulus filters selected
+    * (src % 20 == 0 and % 200 == 0 only match even = customer nodes).
+    * The ck predicates push down to the orders parquet scan. */
+  private def graphSeedCustomers(s: SparkSession, dir: String,
+      ckMod: Int, ckLimit: Int): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .filter($"o_custkey" % ckMod === 0 && $"o_custkey" < ckLimit)
+      .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
+    val l = t(s, dir, "lineitem").select($"l_orderkey".as("ok"))
+    o.join(l, Seq("ok"), "left_semi")
+      .select(($"ck" * 2).as("src")).distinct()
+  }
+
   private def decodeNode(s: SparkSession): Seq[Column] = {
     import s.implicits._
     Seq(when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
@@ -276,13 +295,22 @@ object NorthStar {
     // capped at a fixed-size seed set: personalization seeds are a
     // related-entity QUERY (a user's purchases), not a corpus fraction —
     // and the seed table broadcasts into every round, so it must stay
-    // fixed-size as the graph scales
-    val seeds = edges.select($"src").distinct()
-      .filter($"src" % 20 === 0 && $"src" < 12800)
-    // seeds ⊆ nodes BY CONSTRUCTION (drawn from the edge table's own
-    // src set), so the operator's seed-membership anti-join is provably
-    // redundant here — validateSeeds=false is the documented flag for
-    // exactly this caller shape (one fewer job; result unchanged)
+    // fixed-size as the graph scales.
+    // Derived WITHOUT re-evaluating the edge subtree: the filtered src
+    // set {2·ck | ck%10=0, ck<6400} ∩ graph = customers with a
+    // lineitem-backed order — a pushed-down filter on orders + one
+    // semi-join, instead of a SECOND join+distinct+explode pass over
+    // the full relationship table (the operator's own edge persist
+    // cannot be shared with the seed derivation, which runs first).
+    // Set-identical to edges.select(src).distinct.filter(...): even
+    // src values are exactly the customers of at least one edge.
+    val seeds = graphSeedCustomers(s, dir, ckMod = 10, ckLimit = 6400)
+    // seeds ⊆ nodes BY CONSTRUCTION (the semi-join keeps exactly the
+    // customers owning ≥1 lineitem-backed order, and every such
+    // customer is the src of its symmetrized edges), so the operator's
+    // seed-membership anti-join is provably redundant here —
+    // validateSeeds=false is the documented flag for exactly this
+    // caller shape (one fewer job; result unchanged)
     graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
         seeds, "src", iters = 5, assumeDistinct = true,
         validateSeeds = false)
@@ -301,8 +329,11 @@ object NorthStar {
   val kHopQ: Q = (s, dir) => {
     import s.implicits._
     val edges = custSuppEdges(s, dir, dedup = false)
-    val seeds = edges.select($"src").distinct()
-      .filter($"src" % 200 === 0 && $"src" < 25600)
+    // seed derivation shares nothing with the operator's edge persist —
+    // build it from the base tables with pushed-down ck predicates
+    // instead of a second full edge-subtree evaluation (same set; see
+    // graphSeedCustomers)
+    val seeds = graphSeedCustomers(s, dir, ckMod = 100, ckLimit = 12800)
     graft.operators.Graph.kHopNeighborhood(edges, "src", "dst",
         seeds, "src", k = 2, assumeDistinct = false)
       .select((expr("seed div 2").as("seed_key") +: decodeNode(s) :+ $"hop"): _*)

@@ -253,6 +253,32 @@ object R11Probe {
       }
     }
 
+    // ---------- shingle: interpreted-lambda vs codegen'd+shuffle ----------
+    // VERDICT item 6: the r10 shape replaced a corpus-token exchange
+    // with an interpreted array lambda — prove the trade holds when the
+    // data grows (no sf1 on disk: replicate the corpus 10x with shifted
+    // ids, which scales the data-bound part faithfully). noop sink so
+    // every column is computed (guide §1.4).
+    if (groups("shingle")) {
+      def noop(df: DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      def corpus(mult: Int): DataFrame = {
+        val d = t("documents")
+        if (mult == 1) d
+        else d.select(explode(sequence(lit(0), lit(mult - 1))).as("r"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") * mult + col("r")).as("doc_id"), col("text"))
+      }
+      Seq(1, 10).foreach { mult =>
+        val docs = corpus(mult)
+        time(s"shingle lambda (r10 shape) x$mult")(
+          noop(graft.llm.Dedup.shingleRows(docs, "doc_id", "text")))
+        time(s"shingle explode+distinct (r9) x$mult")(
+          noop(graft.llm.Dedup.shingleRowsRaw(docs, "doc_id", "text").distinct()))
+      }
+    }
+
     // ---------- ppr: teleport-mass variants ----------
     if (groups("ppr")) {
       def edges(): DataFrame = graft.queries.NorthStar.custSuppEdges(spark, dir)

@@ -709,6 +709,23 @@ class LlmSpec extends AnyFunSuite with SparkSuite {
     assert(ex.getMessage.contains("different builds"), ex.getMessage)
   }
 
+  test("LocalIvfPq.build enforces its driver byte budget before collecting") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val built = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCells = 4, m = 8, kCodes = 16)
+    // a budget below the corpus estimate refuses loudly, naming remedies
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.LocalIvfPq.build(built, emb, "vec_id", "embedding",
+        maxBytes = 1024L)
+    }
+    assert(ex.getMessage.contains("budget") &&
+      ex.getMessage.contains("ivfPqTopKReranked"), ex.getMessage)
+    // within budget: builds and answers (parity with the distributed
+    // path is pinned by HttpApiSpec's serving tests)
+    val eng = Similarity.LocalIvfPq.build(built, emb, "vec_id", "embedding")
+    assert(eng.size == emb.count())
+  }
+
   test("cross-corpus near-dups equal the within-corpus pairs restricted to probes") {
     import graft.llm.Dedup
     val docs = Tables.load(spark, sf0001, "documents")

@@ -16,6 +16,8 @@ object R11Probe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "false"))
       .config("spark.sql.shuffle.partitions", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
